@@ -1,0 +1,189 @@
+"""Unit tests for the XSD→StructType converter (SURVEY.md §5: exact
+expected schemas for the fixture trio, plus parity checks against the
+reference's own fixtures when the reference tree is present)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tests.conftest import FIXTURES, REFERENCE_FIXTURES
+from xml_hive_spark.xsd import XsdGraph, xsd_to_struct
+
+
+def _names_types(struct: StructType) -> list[tuple[str, str, bool]]:
+    return [(f.name, f.dataType.simpleString(), f.nullable) for f in struct.fields]
+
+
+class TestBooksFixture:
+    def test_book_struct(self):
+        st = xsd_to_struct(FIXTURES / "books" / "schema.xsd", "bookType")
+        assert _names_types(st) == [
+            ("id", "string", True),  # optional attribute → nullable
+            ("author", "string", False),
+            ("title", "string", False),
+            ("genre", "string", False),
+            ("price", "float", False),
+            ("publish_date", "string", False),  # xs:date → string (parity)
+            ("description", "string", False),
+            ("tag", "array<string>", True),  # maxOccurs unbounded, minOccurs 0
+        ]
+
+    def test_catalog_root(self):
+        g = XsdGraph.parse_file(FIXTURES / "books" / "schema.xsd")
+        root = g.struct_for_root_element("catalog")
+        assert root.fieldNames() == ["book"]
+        assert isinstance(root["book"].dataType, ArrayType)
+        assert isinstance(root["book"].dataType.elementType, StructType)
+
+    def test_rich_types_opt_in(self):
+        st = xsd_to_struct(
+            FIXTURES / "books" / "schema.xsd", "bookType", rich_types=True
+        )
+        assert st["publish_date"].dataType.simpleString() == "date"
+        assert st["price"].dataType == FloatType()
+
+
+class TestMembersFixture:
+    """Venetian-blind style: anonymous inline complexType, attribute-only
+    rows; synthesized type name ``<element>Type``."""
+
+    def test_anonymous_type_synthesis(self):
+        g = XsdGraph.parse_file(FIXTURES / "members" / "schema.xsd")
+        st = g.struct_for("PlayerType")
+        assert _names_types(st) == [
+            ("Alias", "string", True),
+            ("Squad", "string", True),
+        ]
+
+    def test_namespace_keyed(self):
+        g = XsdGraph.parse_file(FIXTURES / "members" / "schema.xsd")
+        st = g.struct_for("PlayerType", ns="http://example.org/members")
+        assert st.fieldNames() == ["Alias", "Squad"]
+
+
+class TestNestedFixture:
+    """Nested anonymous simpleType w/ integer restriction: facets ignored,
+    ``integer`` → int via suffix rule."""
+
+    def test_nested_simple_type(self):
+        g = XsdGraph.parse_file(FIXTURES / "nested" / "schema.xsd")
+        st = g.struct_for("EntryType")
+        assert _names_types(st) == [
+            ("Handle", "string", True),
+            ("Region", "string", True),
+            ("Score", "int", False),
+        ]
+
+
+class TestPrimitiveMapping:
+    def test_suffix_fallback(self):
+        g = XsdGraph()
+        assert g._primitive("nonNegativeInteger", False) == IntegerType()
+        assert g._primitive("normalizedString", False) == StringType()
+        with pytest.raises(ValueError):
+            g._primitive("base64Binary", False)  # unmapped, parity
+
+    def test_enum_collapses_to_string(self):
+        xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          <xs:simpleType name="colorType">
+            <xs:restriction base="xs:string">
+              <xs:enumeration value="red"/><xs:enumeration value="blue"/>
+            </xs:restriction>
+          </xs:simpleType>
+          <xs:complexType name="itemType">
+            <xs:sequence><xs:element name="color" type="colorType"/></xs:sequence>
+          </xs:complexType>
+        </xs:schema>"""
+        g = XsdGraph()
+        g.parse_source(xsd)
+        st = g.struct_for("itemType")
+        assert st["color"].dataType == StringType()
+
+    def test_simple_content_value_field(self):
+        xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          <xs:complexType name="priceType">
+            <xs:simpleContent>
+              <xs:extension base="xs:double">
+                <xs:attribute name="currency" type="xs:string" use="required"/>
+              </xs:extension>
+            </xs:simpleContent>
+          </xs:complexType>
+        </xs:schema>"""
+        g = XsdGraph()
+        g.parse_source(xsd)
+        st = g.struct_for("priceType")
+        assert _names_types(st) == [
+            ("currency", "string", False),
+            ("_Value", "double", True),
+        ]
+
+    def test_attribute_element_collision_prefixed(self):
+        xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          <xs:complexType name="cType">
+            <xs:sequence><xs:element name="name" type="xs:string"/></xs:sequence>
+            <xs:attribute name="name" type="xs:string"/>
+          </xs:complexType>
+        </xs:schema>"""
+        g = XsdGraph()
+        g.parse_source(xsd)
+        st = g.struct_for("cType")
+        assert st.fieldNames() == ["_name", "name"]
+
+    def test_choice_unsupported(self):
+        xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          <xs:complexType name="cType">
+            <xs:choice><xs:element name="a" type="xs:string"/></xs:choice>
+          </xs:complexType>
+        </xs:schema>"""
+        g = XsdGraph()
+        with pytest.raises(NotImplementedError):
+            g.parse_source(xsd)
+
+
+@pytest.mark.skipif(
+    not REFERENCE_FIXTURES.exists(), reason="reference tree not mounted"
+)
+class TestReferenceParity:
+    """Parity with the reference's own fixtures (read at test time from the
+    read-only reference tree; golden schemas per FIXTURES.md)."""
+
+    def test_testdata1_books(self):
+        st = xsd_to_struct(
+            REFERENCE_FIXTURES / "testdata1" / "schema" / "schema.xsd", "bookType"
+        )
+        assert _names_types(st) == [
+            ("id", "string", True),
+            ("author", "string", False),
+            ("title", "string", False),
+            ("genre", "string", False),
+            ("price", "float", False),
+            ("publish_date", "string", False),
+            ("description", "string", False),
+        ]
+
+    def test_testdata2_member_attrs(self):
+        st = xsd_to_struct(
+            REFERENCE_FIXTURES / "testdata2" / "schema" / "schema.xsd", "MemberType"
+        )
+        assert _names_types(st) == [
+            ("FirstName", "string", True),
+            ("LastName", "string", True),
+        ]
+
+    def test_testdata3_member_nested(self):
+        st = xsd_to_struct(
+            REFERENCE_FIXTURES / "testdata3" / "schema" / "schema.xsd", "MemberType"
+        )
+        assert _names_types(st) == [
+            ("FirstName", "string", True),
+            ("LastName", "string", True),
+            ("Age", "int", False),
+        ]

@@ -1,0 +1,481 @@
+"""XSD → Spark ``StructType`` converter.
+
+Capability parity with the reference's XSD→Avro schema generator
+(``/root/reference/src/main/scala/com/github/xmlavrobridge/XMLToAvroSchema.scala``),
+re-expressed as a one-phase pure-Python converter (no Avro-JSON round trip —
+``StructType`` is produced directly; see SURVEY.md §1.3).
+
+Semantics mirrored from the reference (cites into the reference tree):
+
+- ``(namespace, name)``-keyed type maps for complex types, simple types and
+  global elements (XMLToAvroSchema.scala:32-34).
+- ``sequence`` / nested ``sequence`` / ``all`` walked for child elements;
+  ``choice`` is NOT supported, matching the reference
+  (XMLToAvroSchema.scala:247-249).
+- Anonymous inline complex/simple types are synthesized as ``<name>Type``
+  (XMLToAvroSchema.scala:287-297).
+- Cardinality: ``maxOccurs > 1`` → array (XMLToAvroSchema.scala:140-158),
+  ``minOccurs = 0`` → nullable (XMLToAvroSchema.scala:122-136); elements
+  missing the attributes inherit cardinality from the enclosing ``sequence``
+  (XMLToAvroSchema.scala:300-310).
+- XML attributes become struct fields; optional attributes
+  (``use != "required"``) are nullable (XMLToAvroSchema.scala:101-116).
+  If an attribute name collides with an element name in the same struct we
+  prefix it with ``_`` (the reference lets them collide last-write-wins —
+  AvroTransormer.scala:190 — ours keeps both, SURVEY.md §7 hard-part 3).
+- ``simpleContent`` + ``extension`` → struct with a synthetic ``_Value``
+  field for the text (XMLToAvroSchema.scala:256,268-273).
+- ``simpleType`` with enumeration restriction → string; allowed values are
+  carried in field metadata but NOT enforced, matching the reference which
+  never validates enum values (AvroTransormer.scala:202).
+- Primitive map + suffix-matching fallback (XMLToAvroSchema.scala:36-47,
+  332-346); mapping table in SURVEY.md §1.2 (decimal→double, temporals→
+  string for parity; richer types opt-in via ``temporal_as_string=False``
+  etc.).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field as dc_field
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+XS_NS = "http://www.w3.org/2001/XMLSchema"
+
+# exact-match primitive table (reference: primitivesMap,
+# XMLToAvroSchema.scala:36-47) → Spark types per SURVEY.md §1.2
+_PRIMITIVES: dict[str, DataType] = {
+    "string": StringType(),
+    "int": IntegerType(),
+    "integer": IntegerType(),
+    "long": LongType(),
+    "boolean": BooleanType(),
+    "decimal": DoubleType(),  # lossy, parity with reference
+    "float": FloatType(),
+    "double": DoubleType(),
+    "dateTime": StringType(),  # reference keeps temporals as strings
+    "date": StringType(),
+    "time": StringType(),
+}
+
+# richer opt-in temporal/decimal mapping (SURVEY.md §1.2 "option" column)
+_RICH_OVERRIDES: dict[str, DataType] = {
+    "decimal": DecimalType(38, 18),
+    "dateTime": TimestampType(),
+    "date": DateType(),
+}
+
+# suffix-matching fallback, longest suffix first (reference: xsdToAvro,
+# XMLToAvroSchema.scala:332-346 matches by suffix so e.g.
+# nonNegativeInteger → integer → int)
+_SUFFIX_ORDER = [
+    "dateTime",
+    "date",
+    "time",
+    "string",
+    "integer",
+    "int",
+    "long",
+    "boolean",
+    "decimal",
+    "float",
+    "double",
+]
+
+
+@dataclass
+class XsdAttribute:
+    name: str
+    type_ref: tuple[str, str]  # (ns, local type name)
+    required: bool
+
+
+@dataclass
+class XsdElement:
+    name: str
+    type_ref: tuple[str, str]
+    min_occurs: int
+    max_occurs: int  # -1 == unbounded
+
+
+@dataclass
+class XsdComplexType:
+    name: str
+    ns: str
+    elements: list[XsdElement] = dc_field(default_factory=list)
+    attributes: list[XsdAttribute] = dc_field(default_factory=list)
+    # (ns, name) of the simpleContent extension base, if any → _Value field
+    simple_content_base: tuple[str, str] | None = None
+
+
+@dataclass
+class XsdSimpleType:
+    name: str
+    ns: str
+    base_ref: tuple[str, str]
+    enum_values: list[str] = dc_field(default_factory=list)
+
+
+class XsdGraph:
+    """Parsed type graph: the reference's three ``(ns,name)`` maps
+    (XMLToAvroSchema.scala:32-34) in one object."""
+
+    def __init__(self) -> None:
+        self.complex_types: dict[tuple[str, str], XsdComplexType] = {}
+        self.simple_types: dict[tuple[str, str], XsdSimpleType] = {}
+        self.root_elements: dict[tuple[str, str], XsdElement] = {}
+
+    # ---------------------------------------------------------------- parse
+
+    @classmethod
+    def parse_dir(
+        cls,
+        path: str | Path,
+        list_files: Callable[[str], list[str]] | None = None,
+        read_file: Callable[[str], str] | None = None,
+    ) -> "XsdGraph":
+        """Parse every XSD file in a directory (reference skips ``.avsc``
+        files — HFSReader.scala:10-18 / XMLToAvroSchema.scala:206-218).
+
+        ``list_files``/``read_file`` injection mirrors the reference's
+        IO-abstraction (XMLToAvroSchema.scala:49-50) so tests / remote
+        filesystems can plug in.
+        """
+        graph = cls()
+        if list_files is None:
+            files = [str(p) for p in sorted(Path(path).iterdir()) if p.is_file()]
+        else:
+            files = list_files(str(path))
+        xsd_files = [f for f in files if f.endswith(".xsd")]
+        # reference parses every non-.avsc file in the dir; we additionally
+        # require the .xsd extension when any .xsd file is present, so a
+        # schema dir with stray data/readme files doesn't crash the parse
+        for f in xsd_files or [f for f in files if not f.endswith(".avsc")]:
+            text = read_file(f) if read_file else Path(f).read_text()
+            graph.parse_source(text)
+        return graph
+
+    @classmethod
+    def parse_file(cls, path: str | Path) -> "XsdGraph":
+        graph = cls()
+        graph.parse_source(Path(path).read_text())
+        return graph
+
+    def parse_source(self, xsd_text: str) -> None:
+        root = ET.fromstring(xsd_text)
+        if _local(root.tag) != "schema":
+            raise ValueError("not an XSD document (root must be xs:schema)")
+        tns = root.get("targetNamespace", "")
+        nsmap = _nsmap_of(xsd_text)
+        for child in root:
+            tag = _local(child.tag)
+            if tag == "complexType":
+                self._parse_complex_type(child, child.get("name"), tns, nsmap)
+            elif tag == "simpleType":
+                self._parse_simple_type(child, child.get("name"), tns, nsmap)
+            elif tag == "element":
+                elm = self._parse_element(child, None, tns, nsmap)
+                self.root_elements[(tns, elm.name)] = elm
+
+    def _parse_complex_type(
+        self, node: ET.Element, name: str | None, tns: str, nsmap: dict[str, str]
+    ) -> tuple[str, str]:
+        if name is None:
+            raise ValueError("anonymous complexType must be named by caller")
+        ct = XsdComplexType(name=name, ns=tns)
+        self.complex_types[(tns, name)] = ct
+        for child in node:
+            tag = _local(child.tag)
+            if tag in ("sequence", "all"):
+                self._parse_sequence(child, ct, tns, nsmap)
+            elif tag == "attribute":
+                ct.attributes.append(self._parse_attribute(child, tns, nsmap))
+            elif tag == "simpleContent":
+                # extension base → _Value + extension attributes
+                # (reference: XMLToAvroSchema.scala:256,268-273)
+                for ext in child:
+                    if _local(ext.tag) == "extension":
+                        base = ext.get("base")
+                        if base:
+                            ct.simple_content_base = _split_type(base, nsmap, tns)
+                        for a in ext:
+                            if _local(a.tag) == "attribute":
+                                ct.attributes.append(
+                                    self._parse_attribute(a, tns, nsmap)
+                                )
+            elif tag == "choice":
+                # parity: reference walks only sequence/all
+                # (XMLToAvroSchema.scala:247-249)
+                raise NotImplementedError(
+                    "xs:choice is not supported (parity with reference)"
+                )
+        return (tns, name)
+
+    def _parse_sequence(
+        self, seq: ET.Element, ct: XsdComplexType, tns: str, nsmap: dict[str, str]
+    ) -> None:
+        for child in seq:
+            tag = _local(child.tag)
+            if tag == "element":
+                ct.elements.append(self._parse_element(child, seq, tns, nsmap))
+            elif tag in ("sequence", "all"):
+                # nested sequence flattened into the same record
+                # (reference: XMLToAvroSchema.scala:247-249)
+                self._parse_sequence(child, ct, tns, nsmap)
+
+    def _parse_attribute(
+        self, node: ET.Element, tns: str, nsmap: dict[str, str]
+    ) -> XsdAttribute:
+        name = node.get("name") or ""
+        type_s = node.get("type", "string")
+        return XsdAttribute(
+            name=name,
+            type_ref=_split_type(type_s, nsmap, tns),
+            # use != "required" → nullable (XMLToAvroSchema.scala:101-114)
+            required=node.get("use") == "required",
+        )
+
+    def _parse_simple_type(
+        self, node: ET.Element, name: str | None, tns: str, nsmap: dict[str, str]
+    ) -> tuple[str, str]:
+        if name is None:
+            raise ValueError("anonymous simpleType must be named by caller")
+        base_ref = (XS_NS, "string")
+        enum_values: list[str] = []
+        for child in node:
+            if _local(child.tag) == "restriction":
+                base = child.get("base")
+                if base:
+                    base_ref = _split_type(base, nsmap, tns)
+                for facet in child:
+                    if _local(facet.tag) == "enumeration":
+                        v = facet.get("value")
+                        if v is not None:
+                            enum_values.append(v)
+                    # min/maxInclusive etc. facets ignored, parity with
+                    # reference (SURVEY.md §5 fixture 3)
+        st = XsdSimpleType(name=name, ns=tns, base_ref=base_ref, enum_values=enum_values)
+        self.simple_types[(tns, name)] = st
+        return (tns, name)
+
+    def _parse_element(
+        self,
+        node: ET.Element,
+        enclosing_seq: ET.Element | None,
+        tns: str,
+        nsmap: dict[str, str],
+    ) -> XsdElement:
+        name = node.get("name") or ""
+        # cardinality with fallback to the enclosing sequence
+        # (reference: XMLToAvroSchema.scala:300-310)
+        def occurs(attr: str, default: str) -> str:
+            v = node.get(attr)
+            if v is None and enclosing_seq is not None:
+                v = enclosing_seq.get(attr)
+            return v if v is not None else default
+
+        min_occurs = occurs("minOccurs", "1")
+        max_occurs_s = occurs("maxOccurs", "1")
+        max_occurs = -1 if max_occurs_s == "unbounded" else int(max_occurs_s)
+
+        type_s = node.get("type")
+        if type_s is not None:
+            type_ref = _split_type(type_s, nsmap, tns)
+        else:
+            # anonymous inline type → synthesize "<name>Type"
+            # (reference: XMLToAvroSchema.scala:287-297)
+            synth = f"{name}Type"
+            type_ref = None
+            for child in node:
+                tag = _local(child.tag)
+                if tag == "complexType":
+                    type_ref = self._parse_complex_type(child, synth, tns, nsmap)
+                elif tag == "simpleType":
+                    type_ref = self._parse_simple_type(child, synth, tns, nsmap)
+            if type_ref is None:
+                type_ref = (XS_NS, "string")
+        return XsdElement(
+            name=name,
+            type_ref=type_ref,
+            min_occurs=int(min_occurs),
+            max_occurs=max_occurs,
+        )
+
+    # ------------------------------------------------------------- generate
+
+    def spark_type_of(
+        self, type_ref: tuple[str, str], rich_types: bool = False
+    ) -> DataType:
+        """Resolve a type reference to a Spark ``DataType``."""
+        ns, name = type_ref
+        if type_ref in self.complex_types:
+            return self.struct_for(name, ns, rich_types=rich_types)
+        if type_ref in self.simple_types:
+            st = self.simple_types[type_ref]
+            # enum and facet restrictions collapse to the base primitive;
+            # enum → string (SURVEY.md §1.2)
+            if st.enum_values:
+                return StringType()
+            return self._primitive(st.base_ref[1], rich_types)
+        # fall back by local name regardless of ns (reference treats any
+        # prefix:primitive by suffix — XMLToAvroSchema.scala:332-346)
+        return self._primitive(name, rich_types)
+
+    def _primitive(self, local_name: str, rich_types: bool) -> DataType:
+        table = dict(_PRIMITIVES)
+        if rich_types:
+            table.update(_RICH_OVERRIDES)
+        if local_name in table:
+            return table[local_name]
+        lowered = local_name.lower()
+        for suffix in _SUFFIX_ORDER:
+            if lowered.endswith(suffix.lower()):
+                return table[suffix]
+        raise ValueError(f"unmapped XSD type: {local_name}")
+
+    def struct_for(
+        self, type_name: str, ns: str | None = None, rich_types: bool = False
+    ) -> StructType:
+        """Build the ``StructType`` for a named complex type.
+
+        This replaces the reference's generate-then-search flow
+        (generateAvroSchema + recordSchema name search,
+        XmlAvroHelper.scala:45-63): we build the separator-tag type's
+        struct directly from the graph.
+        """
+        key = self._resolve_key(type_name, ns, self.complex_types)
+        ct = self.complex_types[key]
+        fields: list[StructField] = []
+        element_names = {e.name for e in ct.elements}
+
+        # attributes first, matching the reference's field order
+        # (XMLToAvroSchema.scala:92-116 emits attributes before elements)
+        for attr in ct.attributes:
+            fname = attr.name if attr.name not in element_names else f"_{attr.name}"
+            fields.append(
+                StructField(
+                    fname,
+                    self.spark_type_of(attr.type_ref, rich_types),
+                    nullable=not attr.required,
+                    metadata={"xmlKind": "attribute", "xmlName": attr.name},
+                )
+            )
+        if ct.simple_content_base is not None:
+            fields.append(
+                StructField(
+                    "_Value",
+                    self.spark_type_of(ct.simple_content_base, rich_types),
+                    nullable=True,
+                    metadata={"xmlKind": "text"},
+                )
+            )
+        for elm in ct.elements:
+            etype = self.spark_type_of(elm.type_ref, rich_types)
+            meta = {"xmlKind": "element", "xmlName": elm.name}
+            if elm.max_occurs == -1 or elm.max_occurs > 1:
+                fields.append(
+                    StructField(
+                        elm.name,
+                        ArrayType(etype, containsNull=False),
+                        nullable=elm.min_occurs == 0,
+                        metadata=meta,
+                    )
+                )
+            else:
+                fields.append(
+                    StructField(
+                        elm.name, etype, nullable=elm.min_occurs == 0, metadata=meta
+                    )
+                )
+        return StructType(fields)
+
+    def struct_for_root_element(
+        self, element_name: str, ns: str | None = None, rich_types: bool = False
+    ) -> StructType:
+        key = self._resolve_key(element_name, ns, self.root_elements)
+        elm = self.root_elements[key]
+        t = self.spark_type_of(elm.type_ref, rich_types)
+        if not isinstance(t, StructType):
+            raise ValueError(f"root element {element_name} is not a complex type")
+        return t
+
+    def _resolve_key(
+        self, name: str, ns: str | None, table: dict[tuple[str, str], object]
+    ) -> tuple[str, str]:
+        if ns is not None and (ns, name) in table:
+            return (ns, name)
+        # name-only search, matching the reference's separator-tag-type
+        # lookup which searches by record name alone
+        # (XmlAvroHelper.scala:45-63)
+        matches = [k for k in table if k[1] == name]
+        if not matches:
+            raise KeyError(f"type/element not found in XSD graph: {name}")
+        return matches[0]
+
+
+def xsd_to_struct(
+    xsd_path: str | Path,
+    separator_tag_type: str,
+    ns: str | None = None,
+    rich_types: bool = False,
+) -> StructType:
+    """One-call API: XSD file or directory → ``StructType`` of the
+    separator-tag type (the row schema).
+
+    Equivalent of the reference's full DDL-side flow
+    (XmlAvroHelper.scala:88-107): parse schema dir, generate schema,
+    locate separator-tag sub-schema.
+    """
+    p = Path(xsd_path)
+    graph = XsdGraph.parse_dir(p) if p.is_dir() else XsdGraph.parse_file(p)
+    return graph.struct_for(separator_tag_type, ns, rich_types=rich_types)
+
+
+# ------------------------------------------------------------------ helpers
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _split_type(type_s: str, nsmap: dict[str, str], tns: str) -> tuple[str, str]:
+    """Resolve ``pfx:name`` to ``(namespace_uri, name)`` (reference:
+    splitType + per-node scope resolution, XMLToAvroSchema.scala:318-327)."""
+    if ":" in type_s:
+        pfx, name = type_s.split(":", 1)
+        return (nsmap.get(pfx, tns), name)
+    return (nsmap.get("", tns), type_s)
+
+
+def _nsmap_of(xsd_text: str) -> dict[str, str]:
+    """Collect prefix→URI declarations from the document.
+
+    ElementTree drops xmlns declarations from attributes, so pull them via
+    the pull-parser's start-ns events. Single scope map (document-level) —
+    sufficient for the reference's fixtures; per-node scope shadowing is a
+    documented non-goal.
+    """
+    import io
+
+    nsmap: dict[str, str] = {}
+    for event, payload in ET.iterparse(io.StringIO(xsd_text), events=("start-ns",)):
+        prefix, uri = payload
+        nsmap[prefix] = uri
+    return nsmap
