@@ -1,0 +1,236 @@
+"""Reader tests: byte-level record scanner, schema-directed assembly,
+golden-row round trips for the fixture trio, split safety, and parity
+against the reference's own fixtures (golden values per FIXTURES.md)."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from tests.conftest import FIXTURES, REFERENCE_FIXTURES
+from xml_hive_spark.reader import (
+    iter_record_spans,
+    parse_record,
+    plan_splits,
+    read_xml,
+    read_xml_rdd,
+)
+from xml_hive_spark.xsd import xsd_to_struct
+
+
+def _spans(data: bytes, tag: str, start=0, end=None):
+    return list(iter_record_spans(io.BytesIO(data), tag, start, end or len(data)))
+
+
+class TestRecordScanner:
+    def test_basic(self):
+        data = b"<r><a>1</a><a>2</a></r>"
+        recs = [r for _, r in _spans(data, "a")]
+        assert recs == [b"<a>1</a>", b"<a>2</a>"]
+
+    def test_prefix_collision(self):
+        data = b"<bookstore><book>x</book></bookstore>"
+        recs = [r for _, r in _spans(data, "book")]
+        assert recs == [b"<book>x</book>"]
+
+    def test_self_closing(self):
+        data = b'<r><m a="1"/><m a="2" /></r>'
+        recs = [r for _, r in _spans(data, "m")]
+        assert recs == [b'<m a="1"/>', b'<m a="2" />']
+
+    def test_nested_same_tag(self):
+        data = b"<r><d><d>inner</d>tail</d></r>"
+        recs = [r for _, r in _spans(data, "d")]
+        assert recs == [b"<d><d>inner</d>tail</d>"]
+
+    def test_gt_inside_attribute_quote(self):
+        data = b'<r><a note="x>y">v</a></r>'
+        recs = [r for _, r in _spans(data, "a")]
+        assert recs == [b'<a note="x>y">v</a>']
+
+    def test_comment_skipped(self):
+        data = b"<r><!-- <a>no</a> --><a>yes</a></r>"
+        recs = [r for _, r in _spans(data, "a")]
+        assert recs == [b"<a>yes</a>"]
+
+    def test_cdata_skipped(self):
+        data = b"<r><a><![CDATA[</a>]]></a><a>2</a></r>"
+        recs = [r for _, r in _spans(data, "a")]
+        assert recs[0] == b"<a><![CDATA[</a>]]></a>"
+        assert recs[1] == b"<a>2</a>"
+
+    def test_range_ownership(self):
+        """A record belongs to the split containing its start tag; splits
+        never duplicate or drop records regardless of the cut point."""
+        data = b"<r>" + b"".join(
+            b"<a>%d</a>" % i for i in range(100)
+        ) + b"</r>"
+        for cut in range(1, len(data), 7):
+            left = [r for _, r in _spans(data, "a", 0, cut)]
+            right = [r for _, r in _spans(data, "a", cut, len(data))]
+            assert len(left) + len(right) == 100, f"cut={cut}"
+
+
+class TestAssembly:
+    def test_books_golden_rows(self):
+        st = xsd_to_struct(FIXTURES / "books" / "schema.xsd", "bookType")
+        data = (FIXTURES / "books" / "data.xml").read_bytes()
+        rows = [parse_record(r, st) for _, r in _spans(data, "book")]
+        assert len(rows) == 3
+        assert rows[0] == (
+            "sb001",
+            "Hart, Ada",
+            "Distributed Query Planning",
+            "Systems",
+            31.5,
+            "2014-03-09",
+            "Shuffle boundaries, broadcast joins,\n      and adaptive execution.",
+            ["spark", "olap"],
+        )
+        # missing optional attribute → None; missing optional array → None
+        assert rows[1][0] is None
+        assert rows[1][7] is None
+        assert rows[2][7] == ["streaming"]
+
+    def test_members_attr_only(self):
+        st = xsd_to_struct(FIXTURES / "members" / "schema.xsd", "PlayerType")
+        data = (FIXTURES / "members" / "data.xml").read_bytes()
+        rows = [parse_record(r, st) for _, r in _spans(data, "Player")]
+        assert rows == [("flash", "alpha"), ("tank", "beta"), ("scout", "alpha")]
+
+    def test_nested_simple_type(self):
+        st = xsd_to_struct(FIXTURES / "nested" / "schema.xsd", "EntryType")
+        data = (FIXTURES / "nested" / "data.xml").read_bytes()
+        rows = [parse_record(r, st) for _, r in _spans(data, "Entry")]
+        assert rows == [("flash", "eu", 712), ("tank", "us", 88)]
+
+
+class TestSparkReader:
+    def test_read_xml_datasource(self, spark, fixtures_dir):
+        df = read_xml(
+            spark,
+            str(fixtures_dir / "books" / "data.xml"),
+            row_tag="book",
+            xsd=fixtures_dir / "books" / "schema.xsd",
+            sep_tag_type="bookType",
+        )
+        rows = df.orderBy("title").collect()
+        assert len(rows) == 3
+        assert rows[1].author == "Hart, Ada"
+        assert rows[1].tag == ["spark", "olap"]
+        assert abs(rows[1].price - 31.5) < 1e-6
+
+    def test_sql_over_xml(self, spark, fixtures_dir):
+        df = read_xml(
+            spark,
+            str(fixtures_dir / "books" / "data.xml"),
+            row_tag="book",
+            xsd=fixtures_dir / "books" / "schema.xsd",
+            sep_tag_type="bookType",
+        )
+        df.createOrReplaceTempView("books_xml")
+        out = spark.sql(
+            "SELECT genre, round(avg(price), 2) AS avg_price, count(*) AS n "
+            "FROM books_xml GROUP BY genre ORDER BY genre"
+        ).collect()
+        assert [(r.genre, r.avg_price, r.n) for r in out] == [
+            ("Streaming", 42.0, 1),
+            ("Systems", 24.88, 2),
+        ]
+
+    def test_rdd_fallback_matches(self, spark, fixtures_dir):
+        st = xsd_to_struct(fixtures_dir / "books" / "schema.xsd", "bookType")
+        a = read_xml(
+            spark, str(fixtures_dir / "books" / "data.xml"), "book", schema=st
+        )
+        b = read_xml_rdd(
+            spark, str(fixtures_dir / "books" / "data.xml"), "book", st
+        )
+        key = lambda t: repr(t)  # noqa: E731 — rows contain None
+        assert sorted(map(tuple, a.collect()), key=key) == sorted(
+            map(tuple, b.collect()), key=key
+        )
+
+    def test_split_safety_large_file(self, spark, tmp_path):
+        """Many tiny partitions over one file: every record exactly once —
+        the correctness property the reference lacks (SURVEY.md §4.3)."""
+        n = 2000
+        parts = ["<items>"]
+        parts += [
+            f'<item id="{i}"><v>{i * 3}</v><pad>{"x" * (i % 37)}</pad></item>'
+            for i in range(n)
+        ]
+        parts.append("</items>")
+        p = tmp_path / "big.xml"
+        p.write_text("\n".join(parts))
+
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        st = StructType(
+            [
+                StructField("id", IntegerType(), False,
+                            metadata={"xmlKind": "attribute", "xmlName": "id"}),
+                StructField("v", LongType(), False,
+                            metadata={"xmlKind": "element", "xmlName": "v"}),
+            ]
+        )
+        df = read_xml(spark, str(p), "item", schema=st, partition_bytes=4096)
+        assert df.rdd.getNumPartitions() > 10
+        assert df.count() == n
+        ids = [r.id for r in df.select("id").distinct().collect()]
+        assert len(ids) == n
+        s = df.selectExpr("sum(v) AS s").collect()[0].s
+        assert s == 3 * n * (n - 1) // 2
+
+    def test_plan_splits_shapes(self, tmp_path):
+        p = tmp_path / "f.xml"
+        p.write_bytes(b"x" * 1000)
+        splits = plan_splits([str(p)], partition_bytes=300)
+        assert [s[1:] for s in splits] == [(0, 250), (250, 500), (500, 750), (750, 1000)]
+
+
+@pytest.mark.skipif(
+    not REFERENCE_FIXTURES.exists(), reason="reference tree not mounted"
+)
+class TestReferenceParity:
+    """Golden rows from the reference's own fixtures (FIXTURES.md)."""
+
+    def test_testdata1_rows(self):
+        st = xsd_to_struct(
+            REFERENCE_FIXTURES / "testdata1" / "schema" / "schema.xsd", "bookType"
+        )
+        data = (REFERENCE_FIXTURES / "testdata1" / "data" / "data.xml").read_bytes()
+        rows = [parse_record(r, st) for _, r in _spans(data, "book")]
+        assert len(rows) == 2
+        assert rows[0][:6] == (
+            "bk101",
+            "Gambardella, Matthew",
+            "XML Developer's Guide",
+            "Computer",
+            44.95,
+            "2000-10-01",
+        )
+        assert rows[0][6].startswith("An in-depth look")
+        assert rows[1][0] == "bk102"
+
+    def test_testdata2_rows(self):
+        st = xsd_to_struct(
+            REFERENCE_FIXTURES / "testdata2" / "schema" / "schema.xsd", "MemberType"
+        )
+        data = (REFERENCE_FIXTURES / "testdata2" / "data" / "data.xml").read_bytes()
+        rows = [parse_record(r, st) for _, r in _spans(data, "Member")]
+        assert rows == [("Rob", "William"), ("Andrew", "Smith")]
+
+    def test_testdata3_rows(self):
+        st = xsd_to_struct(
+            REFERENCE_FIXTURES / "testdata3" / "schema" / "schema.xsd", "MemberType"
+        )
+        data = (REFERENCE_FIXTURES / "testdata3" / "data" / "data.xml").read_bytes()
+        rows = [parse_record(r, st) for _, r in _spans(data, "Member")]
+        assert rows == [("Rob", "William", 3), ("Andrew", "Smith", 33)]
