@@ -1,0 +1,110 @@
+"""Local stand-in for the driver's correctness gate: run every registry
+query on Spark and its oracle on DuckDB at the given SF, compare
+row-count, column names, and order-insensitive values.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import date, datetime
+from decimal import Decimal
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(round(v, 9))
+    if isinstance(v, Decimal):
+        return repr(round(float(v), 9))
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from xml_hive_spark.operators import all_queries
+    from xml_hive_spark.session import get_spark
+
+    spark = get_spark(app_name="verify-local", cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.sql(
+            f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{sf_dir}/{tname}.parquet')"
+        )
+
+    failures = []
+    for name, qd in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        try:
+            df = qd.fn(spark, sf_dir)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:200]}")
+            continue
+        if qd.oracle is None:
+            print(f"ok*   {name}: rows-only ({len(s_rows)} rows)")
+            continue
+        try:
+            res = con.sql(qd.oracle)
+            d_cols = [c for c in res.columns]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if not problems:
+            cs, cd = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
+            if cs != cd:
+                diffs = [(a, b) for a, b in zip(cs, cd) if a != b]
+                problems.append(
+                    f"{len(diffs)} differing rows; first: spark={diffs[0][0][:120]!r} "
+                    f"duckdb={diffs[0][1][:120]!r}"
+                )
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            print(f"ok    {name}: {len(s_rows)} rows match")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,314 @@
+"""Deduplication operators over the ``documents`` table (BASELINE.md
+north_star: LLM-data-pipeline dedup).
+
+All pipelines are pure DataFrame compositions (JVM-side hashing via
+``xxhash64``; no Python in the hot path) and shuffle only on
+(doc/signature) keys, so they scale horizontally: the MinHash-LSH path is
+the standard shingle → k minhashes → band → bucket-join design whose join
+fan-out is bounded by bucket size, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xml_hive_spark.operators import query, t
+
+# ------------------------------------------------------------- exact dedup
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+       min(n_chars) AS n_chars
+FROM documents GROUP BY text
+""",
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by full text: hash-aggregate on the content key,
+    canonical row = min doc_id. One shuffle on text hash.
+
+    At 100 TB you'd group on ``xxhash64(text)`` (verify on collision) so
+    the shuffle carries 8-byte keys, not document bodies — shown in
+    ``dedup_exact_by_hash``."""
+    docs = t(spark, sf, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).select("keep_id", "n_copies", "n_chars")
+
+
+@query(
+    "dedup_exact_by_lang",
+    oracle="""
+SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS n_unique, count(*) AS n_docs
+FROM documents GROUP BY lang
+""",
+    tags=("dedup", "exact"),
+)
+def dedup_exact_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.countDistinct("text").alias("n_unique"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ------------------------------------------------------- minhash building
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("sh"))
+
+
+def minhash_signatures(sh: DataFrame, num_perm: int = 32) -> DataFrame:
+    """(id, seed, minhash): k permutations approximated by seeding
+    ``xxhash64`` with the permutation index — all JVM-side, one shuffle on
+    (id, seed) with map-side partial min."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("seed")
+    hashed = sh.select("id", seeds, "sh").select(
+        "id", "seed", F.xxhash64("sh", "seed").alias("h")
+    )
+    return hashed.groupBy("id", "seed").agg(F.min("h").alias("minh"))
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
+    """Band the signature (bands × rows = num_perm) and bucket-join:
+    candidate pairs collide on at least one full band. The self-join is on
+    (band_id, band_hash) — bounded fan-out per bucket."""
+    banded = (
+        sig.withColumn("band_id", (F.col("seed") / rows).cast("int"))
+        .groupBy("id", "band_id")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minh"))))
+            ).alias("band_hash")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Verify candidates with true shingle-set Jaccard."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("id").alias("id_a"), "sh")
+    sb = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        pairs.join(sa, "id_a").join(sb, ["id_b", "sh"]).groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("n_inter")
+        )
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query("dedup_minhash_lsh", tags=("dedup", "minhash", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands × 4 rows, ~0.6 Jaccard threshold) near-dup
+    candidate pairs, verified with exact shingle Jaccard.
+
+    Not SQL-expressible (seeded xxhash64 permutations) → rows-only check;
+    tests/test_dedup.py validates recall on planted near-duplicates."""
+    docs = t(spark, sf, "documents")
+    sh = shingles(docs)
+    sig = minhash_signatures(sh, num_perm=32)
+    pairs = lsh_candidate_pairs(sig, bands=8, rows=4)
+    return exact_jaccard(pairs, sh).filter(F.col("jaccard") >= 0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word unigrams: per-bit signed vote weighted by
+    term frequency, all as one hash-agg (64 conditional sums, one
+    shuffle on id)."""
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    ).select("id", F.xxhash64("w").alias("h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(
+                    # bit 63 of a signed long: use min-long, 1<<63 overflows
+                    F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
+                )
+                != 0,
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tokens.groupBy("id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        # bit 63 of a signed long is the sign bit: 1<<63 overflows, use min-long
+        bit = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
+        sim = sim + F.when(F.col(f"b{b}") > 0, bit.cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select("id", sim.alias("simhash"))
+
+
+@query("dedup_simhash", tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs: 4× 16-bit chunk blocking (any equal chunk →
+    candidate; guarantees recall for Hamming distance ≤ 3 by pigeonhole),
+    then exact Hamming ≤ 3 filter via bit_count(xor). Rows-only check;
+    recall tested on planted near-dups."""
+    docs = t(spark, sf, "documents")
+    sig = simhash64(docs)
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "simhash", "ck.chunk_id", "ck.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ------------------------------------------------------------ ngram jaccard
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents WHERE doc_id < 200
+), sizes AS (
+  SELECT doc_id, count(*) AS n_w FROM words GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 10
+  WHERE a.doc_id < 200 AND b.doc_id < 200
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN words wa ON wa.doc_id = c.id_a
+  JOIN words wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(coalesce(n_inter, 0) AS DOUBLE)
+             / (sa.n_w + sb.n_w - coalesce(n_inter, 0)), 4) AS jaccard
+FROM cand c
+LEFT JOIN inter USING (id_a, id_b)
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE round(CAST(coalesce(n_inter, 0) AS DOUBLE)
+            / (sa.n_w + sb.n_w - coalesce(n_inter, 0)), 4) >= 0.5
+""",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-level Jaccard near-dup detection with a blocking prefilter
+    (same lang, close length) — the SQL-expressible cousin of MinHash
+    (integer set arithmetic → exact DuckDB oracle). doc_id < 200 bounds
+    the candidate set; in production blocking would be by length bucket +
+    lang partition."""
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), r"\s+"))).alias("w")
+    )
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_w"))
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"), F.col("n_chars").alias("nc_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"), F.col("n_chars").alias("nc_b"))
+    cand = a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 10),
+    ).select("id_a", "id_b")
+    wa = words.select(F.col("doc_id").alias("id_a"), "w")
+    wb = words.select(F.col("doc_id").alias("id_b"), "w")
+    inter = (
+        cand.join(wa, "id_a").join(wb, ["id_b", "w"]).groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("n_inter")
+        )
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_w").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_w").alias("n_b"))
+    jac = F.round(
+        F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+        4,
+    )
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -1,0 +1,166 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Two paths per BASELINE.md north_star:
+- brute-force cosine top-k — exact baseline, all JVM-side higher-order
+  array functions (no Python in the row path);
+- LSH-bucketed approximate top-k — the scale path: random-hyperplane
+  signatures shrink the candidate join from O(Q·N) to O(Q·bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xml_hive_spark.operators import query, t
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+@query(
+    "cosine_topk_bruteforce",
+    oracle="""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+n AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings),
+pairs AS (
+  SELECT qid, nid,
+         round(
+           (SELECT sum(CAST(qe[i + 1] AS DOUBLE) * CAST(ne[i + 1] AS DOUBLE))
+            FROM range(64) r(i))
+           / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS cos_sim
+  FROM q, n WHERE qid <> nid
+)
+SELECT qid, nid, cos_sim, rank FROM (
+  SELECT qid, nid, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+  FROM pairs) x
+WHERE rank <= 5
+""",
+    tags=("similarity", "ann", "array"),
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors (vec_id < 5).
+
+    Plan: broadcast the (tiny) query side against the full corpus — a
+    broadcast nested-loop whose cost is linear in corpus size; the per-query
+    top-k is a ranking window partitioned by query (no global sort). This is
+    the exact-scan baseline ANN variants are measured against."""
+    emb = t(spark, sf, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+    )
+    n = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+    pairs = q.crossJoin(n).filter(F.col("qid") != F.col("nid"))
+    cos = F.round(
+        _dot(F.col("qe"), F.col("ne")) / (_norm(F.col("qe")) * _norm(F.col("ne"))), 4
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
+    return (
+        pairs.select("qid", "nid", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def hyperplane_buckets(df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8,
+                       dim: int = 64, seed: int = 42) -> DataFrame:
+    """Sign-random-projection bucket id per vector (deterministic planes
+    from a seeded RNG, shipped as a literal array — no Python UDF)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                     bucket.alias("bucket"))
+
+
+@query("cosine_topk_lsh", tags=("similarity", "ann", "lsh"))
+def cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate cosine top-5 via random-hyperplane LSH (8 planes → 256
+    buckets): candidates only within the query's bucket, then exact cosine
+    + ranking window. Recall vs the brute-force baseline is asserted in
+    tests/test_similarity.py. Rows-only check (seeded projection planes
+    aren't SQL-expressible)."""
+    emb = t(spark, sf, "embeddings")
+    bucketed = hyperplane_buckets(emb, "vec_id", "embedding")
+    q = F.broadcast(
+        bucketed.filter(F.col("id") < 5).select(
+            F.col("id").alias("qid"), F.col("vec").alias("qe"), F.col("bucket").alias("qb")
+        )
+    )
+    n = bucketed.select(
+        F.col("id").alias("nid"), F.col("vec").alias("ne"), F.col("bucket").alias("nb")
+    )
+    pairs = q.join(n, (F.col("qb") == F.col("nb")) & (F.col("qid") != F.col("nid")))
+    cos = F.round(
+        _dot(F.col("qe"), F.col("ne")) / (_norm(F.col("qe")) * _norm(F.col("ne"))), 4
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
+    return (
+        pairs.select("qid", "nid", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+SELECT label, count(*) AS n,
+       CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)
+           / 1048576.0 / count(*) AS centroid_d0,
+       CAST(sum(CAST(floor(CAST(embedding[2] AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)
+           / 1048576.0 / count(*) AS centroid_d1,
+       CAST(sum(CAST(floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                * 1048576.0) AS BIGINT)) AS BIGINT) / 1048576.0 / count(*) AS avg_vec_sum
+FROM embeddings GROUP BY label
+""",
+    tags=("similarity", "agg", "array"),
+)
+def embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid components — the aggregate shape of IVF
+    coarse-quantizer training (k-means assignment step), expressed as a
+    plain hash-agg over array elements."""
+    emb = t(spark, sf, "embeddings")
+
+    def q20(col):
+        # floor(x * 2^20): power-of-two scaling is exact in IEEE doubles, so
+        # the quantized integers (and their sums) match any engine bit-for-bit
+        return F.floor(col * F.lit(1048576.0)).cast("long")
+
+    vec_sum = F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(q20(F.element_at("embedding", 1).cast("double"))) / F.lit(1048576.0)
+         / F.count(F.lit(1))).alias("centroid_d0"),
+        (F.sum(q20(F.element_at("embedding", 2).cast("double"))) / F.lit(1048576.0)
+         / F.count(F.lit(1))).alias("centroid_d1"),
+        (F.sum(q20(vec_sum)) / F.lit(1048576.0) / F.count(F.lit(1))).alias("avg_vec_sum"),
+    )

@@ -1,0 +1,195 @@
+"""Time-series operators over the ``events`` table: tumbling/sliding/session
+windows and as-of join.
+
+The reference has no streaming/temporal surface (batch InputFormat only,
+AvroFromXmlInputFormat.scala:15) — these are part of the engine's
+LLM-pipeline/scale extension (BASELINE.md north_star). Batch twins of the
+Structured Streaming operators live here so they get DuckDB oracles; the
+streaming execution path is ``xml_hive_spark.streaming`` (tested equal to
+these in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xml_hive_spark.operators import davg, dsum, query, t
+
+
+@query(
+    "tumbling_window_agg",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    tags=("timeseries", "window"),
+)
+def tumbling_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1h window — ``F.window`` is the same operator Structured
+    Streaming uses, so this plan carries over to the stream unchanged."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_agg",
+    oracle="""
+SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - k * 1800) AS TIMESTAMP)
+           AS window_start,
+       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events, range(2) r(k)
+GROUP BY 1
+""",
+    tags=("timeseries", "window"),
+)
+def sliding_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 1h window every 30min: each event lands in 2 windows (the
+    oracle materializes the same two aligned starts per event)."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "60 minutes", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
+FROM islands GROUP BY user_id, session_id
+""",
+    tags=("timeseries", "session"),
+)
+def session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30min gap) via ``F.session_window`` — Spark's
+    native session operator; the oracle derives identical sessions with
+    gaps-and-islands SQL. Session start = first event (window.start)."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "asof_join",
+    oracle="""
+SELECT p.user_id, p.event_id, p.ts,
+       v.ts AS last_view_ts, round(v.value, 3) AS last_view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+    tags=("timeseries", "asof"),
+)
+def asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (each purchase ↔ latest view at-or-before it, per user).
+
+    Spark has no ASOF JOIN operator; the scalable composition is the
+    union + last-non-null-over-window trick: one shuffle on
+    (user_id), no range self-join blowup — this is the plan that holds at
+    100 TB (a naive ``ts <= ts`` theta join is quadratic per user).
+    Oracle: DuckDB's native ASOF LEFT JOIN.
+    """
+    ev = t(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("value").alias("v_value"),
+        F.lit(0).alias("is_left"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("double").alias("v_value"),
+        F.lit(1).alias("is_left"),
+    )
+    # at equal ts the view sorts first (is_left asc) so `<=` semantics hold
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = views.unionByName(purchases)
+    enriched = u.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "is_left",
+        F.last(F.when(F.col("is_left") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_view_ts"),
+        F.round(
+            F.last(F.when(F.col("is_left") == 0, F.col("v_value")), ignorenulls=True).over(
+                w
+            ),
+            3,
+        ).alias("last_view_value"),
+    )
+    return enriched.filter(F.col("is_left") == 1).select(
+        "user_id", "event_id", "ts", "last_view_ts", "last_view_value"
+    )
+
+
+@query(
+    "hypertable_rollup",
+    oracle="""
+SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP) AS bucket,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_value,
+       round(max(value), 3) AS max_value
+FROM events GROUP BY 1, 2
+""",
+    tags=("timeseries", "rollup"),
+)
+def hypertable_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous-aggregate style 15-minute rollup (time_bucket shape).
+    At scale this is the materialized downsample you'd write back
+    partitioned by bucket date."""
+    ev = t(spark, sf, "events")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 900).cast("long") * 900
+    ).alias("bucket")
+    return ev.groupBy(bucket, "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        davg("value").alias("avg_value"),
+        F.round(F.max("value"), 3).alias("max_value"),
+    )
