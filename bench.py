@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries from the registry at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is fully executed (count() on the result — forces every
+exchange/agg; results are small so no collect overhead distortion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q18_large_volume_customer",
+    "window_rank_topn",
+    "agg_rollup",
+    "tumbling_window_agg",
+    "asof_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "cosine_topk_bruteforce",
+    "text_token_stats",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from xml_hive_spark.operators import all_queries
+    from xml_hive_spark.session import get_spark
+
+    spark = get_spark(app_name="xml-hive-spark-bench")
+    registry = all_queries()
+
+    # untimed warm pass: JIT/codegen compilation, parquet footer cache,
+    # Arrow/Python worker startup — report steady-state engine throughput
+    for name in HEADLINE:
+        registry[name].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = registry[name]
+        t0 = time.perf_counter()
+        n = qd.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

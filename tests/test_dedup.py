@@ -1,0 +1,96 @@
+"""Dedup operator tests: planted near-duplicates must be recalled by the
+MinHash-LSH and SimHash pipelines (the rows-only registry entries get
+their real correctness evidence here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xml_hive_spark.operators.dedup import (
+    exact_jaccard,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "shuffles partitions across the cluster and the optimizer prunes "
+    "columns from the scan before the join begins its probe phase"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        # near-dup of 0: one word changed
+        (1, BASE.replace("lazy", "sleepy")),
+        # near-dup of 0: one clause appended
+        (2, BASE + " and the sink writes parquet"),
+        # unrelated
+        (3, "completely different content about databases and storage "
+            "engines with columnar formats and vectorized execution kernels "
+            "that scan compressed pages directly without materializing rows"),
+        (4, "yet another unrelated document mentioning streams watermarks "
+            "and stateful operators that expire old keys when the event "
+            "time passes beyond the configured lateness threshold"),
+        # exact dup of 3
+        (5, "completely different content about databases and storage "
+            "engines with columnar formats and vectorized execution kernels "
+            "that scan compressed pages directly without materializing rows"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestMinHashLSH:
+    def test_planted_near_dups_recalled(self, docs):
+        sh = shingles(docs)
+        sig = minhash_signatures(sh, num_perm=32)
+        pairs = lsh_candidate_pairs(sig, bands=8, rows=4)
+        verified = exact_jaccard(pairs, sh)
+        found = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+        assert (0, 1) in found and found[(0, 1)] > 0.5
+        assert (0, 2) in found and found[(0, 2)] > 0.5
+        assert (3, 5) in found and found[(3, 5)] == 1.0
+        # unrelated docs must not pair with jaccard > 0.5
+        high = {k for k, v in found.items() if v > 0.5}
+        assert (0, 3) not in high and (0, 4) not in high and (3, 4) not in high
+
+    def test_signature_width(self, docs):
+        sig = minhash_signatures(shingles(docs), num_perm=16)
+        assert sig.columns == ["id"] + [f"m{i}" for i in range(16)]
+
+    def test_exact_dup_identical_signature(self, docs):
+        sig = minhash_signatures(shingles(docs), num_perm=32)
+        rows = {r["id"]: tuple(r)[1:] for r in sig.collect()}
+        assert rows[3] == rows[5]
+
+
+class TestSimHash:
+    def test_exact_dup_identical_simhash(self, docs):
+        sig = simhash64(docs)
+        rows = {r["id"]: r.simhash for r in sig.collect()}
+        assert rows[3] == rows[5]
+
+    def test_near_dup_small_hamming(self, docs, spark):
+        sig = simhash64(docs)
+        rows = {r["id"]: r.simhash for r in sig.collect()}
+        ham_01 = bin(rows[0] ^ rows[1]).count("1")
+        ham_03 = bin((rows[0] ^ rows[3]) & ((1 << 64) - 1)).count("1")
+        assert ham_01 <= 12  # one-word edit moves few bits
+        assert ham_03 > 12  # unrelated docs are far apart
+
+
+class TestShingles:
+    def test_shingle_contents(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        got = {r.sh for r in shingles(df).collect()}
+        assert got == {"a b c", "b c d"}
+
+    def test_short_doc_partial_shingle(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        got = [r.sh for r in shingles(df).collect()]
+        assert got == ["a b"]

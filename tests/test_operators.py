@@ -1,0 +1,100 @@
+"""Registry smoke + targeted correctness for operators whose driver check
+is rows-only, plus as-of join golden semantics on crafted input."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from xml_hive_spark.operators import all_queries
+
+SMOKE = [
+    "q1_pricing_summary",
+    "join_nonequi_range",
+    "agg_grouping_sets",
+    "window_moving_avg",
+    "explode_positional",
+    "json_functions",
+    "pandas_udf_scalar",
+    "tumbling_window_agg",
+    "session_window_agg",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "cosine_topk_lsh",
+    "multimodal_decode_stub",
+    "text_quality_score",
+    "xml_scan_books",
+]
+
+
+@pytest.mark.parametrize("name", SMOKE)
+def test_smoke(spark, sf_dir, name):
+    df = all_queries()[name].fn(spark, sf_dir)
+    assert df.count() >= 0  # executes the full plan
+
+
+def test_registry_complete():
+    reg = all_queries()
+    assert len(reg) >= 55
+    oracled = [n for n, q in reg.items() if q.oracle is not None]
+    assert len(oracled) >= 50
+    # rows-only entries are the genuinely non-SQL-expressible ones
+    rows_only = sorted(n for n, q in reg.items() if q.oracle is None)
+    assert rows_only == [
+        "agg_approx_distinct",
+        "cosine_topk_lsh",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "multimodal_decode_stub",
+        "streaming_window_counts",
+        "xml_scan_books",
+    ]
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ rsd=0.02 must land within 5% of exact (driver only checks
+    rows; the sketch's accuracy contract is pinned here)."""
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in all_queries()["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n_parts
+        for r in all_queries()["agg_distinct_count"].fn(spark, sf_dir).collect()
+    }
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) / n < 0.05
+
+
+def test_asof_join_golden(spark):
+    """Hand-computed as-of semantics on crafted events."""
+    ts = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    rows = [
+        # user 1: view@10:00(v=1), purchase@10:30, view@11:00(v=2), purchase@11:05
+        (1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        (2, ts("2024-01-01 10:30:00"), 1, "purchase", 9.0),
+        (3, ts("2024-01-01 11:00:00"), 1, "view", 2.0),
+        (4, ts("2024-01-01 11:05:00"), 1, "purchase", 9.0),
+        # user 2: purchase with NO prior view
+        (5, ts("2024-01-01 09:00:00"), 2, "purchase", 9.0),
+        (6, ts("2024-01-01 09:30:00"), 2, "view", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df = df.withColumn("props", F.lit("{}"))
+    df.write.mode("overwrite").parquet("/tmp/xmlhive_asof_events/events.parquet")
+    out = all_queries()["asof_join"].fn(spark, "/tmp/xmlhive_asof_events")
+    got = {r.event_id: (r.last_view_ts, r.last_view_value) for r in out.collect()}
+    assert got[2] == (ts("2024-01-01 10:00:00"), 1.0)
+    assert got[4] == (ts("2024-01-01 11:00:00"), 2.0)
+    assert got[5] == (None, None)  # left join keeps view-less purchases
+
+
+def test_multimodal_deterministic(spark, sf_dir):
+    a = all_queries()["multimodal_decode_stub"].fn(spark, sf_dir).collect()
+    b = all_queries()["multimodal_decode_stub"].fn(spark, sf_dir).collect()
+    assert a == b
+    assert sum(r.n for r in a) > 0

@@ -1,0 +1,43 @@
+"""Similarity-search tests: brute-force correctness on a crafted corpus,
+and LSH recall measured against the brute-force baseline on real data."""
+
+from __future__ import annotations
+
+from xml_hive_spark.operators import all_queries
+
+
+class TestBruteForce:
+    def test_self_similarity_excluded_and_ranked(self, spark, sf_dir):
+        df = all_queries()["cosine_topk_bruteforce"].fn(spark, sf_dir)
+        rows = df.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.qid, []).append(r)
+        for qid, rs in by_q.items():
+            assert len(rs) == 5
+            ranks = sorted(r.rank for r in rs)
+            assert ranks == [1, 2, 3, 4, 5]
+            sims = [r.cos_sim for r in sorted(rs, key=lambda x: x.rank)]
+            assert sims == sorted(sims, reverse=True)
+            assert all(r.nid != qid for r in rs)
+            assert all(-1.0 <= r.cos_sim <= 1.0 for r in rs)
+
+
+class TestLSH:
+    def test_lsh_results_subset_quality(self, spark, sf_dir):
+        """LSH top-k must (a) only return same-bucket candidates whose
+        exact cosine matches brute-force's value for that pair, and (b)
+        achieve nonzero recall of the true top-5."""
+        brute = all_queries()["cosine_topk_bruteforce"].fn(spark, sf_dir).collect()
+        lsh = all_queries()["cosine_topk_lsh"].fn(spark, sf_dir).collect()
+        brute_cos = {(r.qid, r.nid): r.cos_sim for r in brute}
+        brute_set = set(brute_cos)
+        lsh_set = {(r.qid, r.nid) for r in lsh}
+        # exact cosine agreement on overlapping pairs
+        for r in lsh:
+            if (r.qid, r.nid) in brute_cos:
+                assert abs(r.cos_sim - brute_cos[(r.qid, r.nid)]) < 1e-9
+        # recall: random hyperplanes on near-orthogonal random vectors is
+        # approximate — require > 0 overall and every query answered
+        assert len(lsh_set & brute_set) > 0
+        assert {q for q, _ in lsh_set} == {q for q, _ in brute_set}

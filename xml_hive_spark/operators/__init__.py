@@ -50,11 +50,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
+        from pyspark.sql.types import LongType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer DIV, not /: epoch-nanos (~1.7e18) exceeds double's exact
-        # integer range, so float division would round the microsecond
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(raw.schema["ts"].dataType, LongType):
+            # integer DIV, not /: epoch-nanos (~1.7e18) exceeds double's
+            # exact integer range — float division would round the microsecond
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -103,6 +107,7 @@ def all_queries() -> dict[str, QueryDef]:
             timeseries,
             xmlio,
         )
+        from xml_hive_spark.streaming import windowed  # noqa: F401
 
         _LOADED = True
     return REGISTRY

@@ -1,0 +1,86 @@
+"""Streaming windowed aggregation over the events table.
+
+Flow: file-source ``readStream`` (the landing-dir pattern — at scale this
+is the bronze layer receiving micro-batches) → watermark → tumbling
+window aggregate → ``availableNow`` trigger draining everything queued →
+memory sink. ``availableNow`` gives exactly-once batch-equivalent
+results, so the output is deterministic and testable against the batch
+twin (``tumbling_window_agg``)."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from xml_hive_spark.operators import query
+
+# events.parquet schema as stored (ts is TIMESTAMP(NANOS) → read as int64
+# via the legacy conf; converted to a microsecond timestamp below)
+_EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table as an unbounded stream (file source over the sf dir)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_streaming_event_counts(
+    spark: SparkSession, sf_dir: str, gap: str = "1 hour"
+) -> DataFrame:
+    """Run the tumbling-window count/sum as a real streaming query
+    (watermark + window + availableNow) and return the drained result."""
+    ev = streaming_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", gap).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+    name = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="xmlhive-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@query("streaming_window_counts", tags=("streaming", "window"))
+def streaming_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry entry: the streaming pipeline end-to-end (rows-only check;
+    equality with the batch twin is asserted in tests/test_streaming.py)."""
+    return run_streaming_event_counts(spark, sf)
