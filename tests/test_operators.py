@@ -37,9 +37,9 @@ def test_smoke(spark, sf_dir, name):
 
 def test_registry_complete():
     reg = all_queries()
-    assert len(reg) >= 55
+    assert len(reg) >= 70
     oracled = [n for n, q in reg.items() if q.oracle is not None]
-    assert len(oracled) >= 50
+    assert len(oracled) >= 65
     # rows-only entries are the genuinely non-SQL-expressible ones
     rows_only = sorted(n for n, q in reg.items() if q.oracle is None)
     assert rows_only == [
@@ -48,6 +48,7 @@ def test_registry_complete():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "multimodal_decode_stub",
+        "sample_deterministic",
         "streaming_window_counts",
         "xml_scan_books",
     ]

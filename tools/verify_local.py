@@ -100,6 +100,9 @@ def main() -> int:
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems))
+        elif len(s_rows) == 0:
+            # vacuous match — both sides empty proves nothing about values
+            print(f"WARN  {name}: 0 rows on both engines (vacuous match)")
         else:
             print(f"ok    {name}: {len(s_rows)} rows match")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))

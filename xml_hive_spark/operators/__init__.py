@@ -102,6 +102,7 @@ def all_queries() -> dict[str, QueryDef]:
             dedup,
             multimodal,
             relational,
+            relational2,
             similarity,
             text,
             timeseries,

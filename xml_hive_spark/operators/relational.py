@@ -785,7 +785,7 @@ SELECT p_partkey,
        substring(p_type, 1, 4)                         AS type_prefix,
        concat(p_brand, '-', p_type)                    AS brand_type,
        CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INTEGER) AS brand_num,
-       replace(p_name, 'part', 'item')                 AS renamed,
+       replace(p_name, 'widget', 'gadget')             AS renamed,
        trim(concat(' ', p_name, ' '))                  AS trimmed
 FROM part
 """,
@@ -800,7 +800,7 @@ def string_functions(spark: SparkSession, sf: str) -> DataFrame:
         F.substring("p_type", 1, 4).alias("type_prefix"),
         F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
         F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
-        F.regexp_replace("p_name", "part", "item").alias("renamed"),
+        F.regexp_replace("p_name", "widget", "gadget").alias("renamed"),
         F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
     )
 

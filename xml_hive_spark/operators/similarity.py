@@ -164,3 +164,51 @@ def embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
          / F.count(F.lit(1))).alias("centroid_d1"),
         (F.sum(q20(vec_sum)) / F.lit(1048576.0) / F.count(F.lit(1))).alias("avg_vec_sum"),
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings WHERE vec_id < 300
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       (SELECT sum(CAST(a.embedding[i + 1] AS DOUBLE)
+                   * CAST(b.embedding[i + 1] AS DOUBLE))
+        FROM range(64) r(i)) / (a.nrm * b.nrm) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE (SELECT sum(CAST(a.embedding[i + 1] AS DOUBLE)
+                  * CAST(b.embedding[i + 1] AS DOUBLE))
+       FROM range(64) r(i)) / (a.nrm * b.nrm) > 0.25
+""",
+    tags=("similarity", "dedup"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup stage of
+    an LLM data pipeline): all pairs above a cosine threshold within a
+    bounded id window. The threshold comparison and division operate on
+    bit-identical doubles in both engines (sequential zip_with dot, exact
+    per-pair) so the pair SET matches exactly.
+
+    Scale path: swap the bounded self-join for the LSH bucket join of
+    ``cosine_topk_lsh`` — same verify expression, candidate generation
+    goes from O(N^2) to O(N * bucket)."""
+    emb = t(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+    v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") > 0.25)
+    )
