@@ -1,0 +1,131 @@
+"""XML sink round-trip (our split-safe reader consumes the built-in
+writer's output) and the streaming XML source (exactly-once per file)."""
+
+from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from xml_hive_spark.reader import read_xml
+from xml_hive_spark.sources.xml_sink import write_avro, write_xml
+from xml_hive_spark.sources.xml_stream import register_stream
+
+
+def _el(name, dtype, nullable=True):
+    return StructField(
+        name, dtype, nullable, metadata={"xmlKind": "element", "xmlName": name}
+    )
+
+
+class TestXmlSinkRoundtrip:
+    def test_write_then_read_back(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [
+                (1, "alpha", 1.5, ["x", "y"]),
+                (2, "beta", 2.5, None),
+                (3, "gamma<&>", 3.5, ["z"]),  # escaping must survive
+            ],
+            "k long, name string, score double, tags array<string>",
+        )
+        out = str(tmp_path / "xml_out")
+        write_xml(df, out, row_tag="item", root_tag="items")
+
+        schema = StructType(
+            [
+                _el("k", LongType()),
+                _el("name", StringType()),
+                _el("score", DoubleType()),
+                _el("tags", ArrayType(StringType(), containsNull=False)),
+            ]
+        )
+        back = read_xml(spark, out + "/*.xml", row_tag="item", schema=schema)
+        got = sorted(map(tuple, back.collect()))
+        want = sorted(map(tuple, df.collect()))
+        assert got == want
+
+    def test_avro_sink(self, spark, tmp_path):
+        from xml_hive_spark.sources.xml_sink import avro_available
+
+        df = spark.range(10).selectExpr("id", "id * 2 AS dbl")
+        out = str(tmp_path / "avro_out")
+        if not avro_available(spark):
+            # container lacks the external spark-avro jar: the sink must
+            # fail with a clear, actionable error instead of a JVM trace
+            import pytest
+
+            with pytest.raises(RuntimeError, match="spark-avro"):
+                write_avro(df, out)
+            return
+        write_avro(df, out)
+        back = spark.read.format("avro").load(out)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+class TestXmlStreamSource:
+    def test_exactly_once_per_file(self, spark, tmp_path, fixtures_dir):
+        register_stream(spark)
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        shutil.copy(fixtures_dir / "books" / "data.xml", landing / "batch1.xml")
+
+        stream = (
+            spark.readStream.format("xmlhive-stream")
+            .option("xsd", str(fixtures_dir / "books" / "schema.xsd"))
+            .option("sepTagType", "bookType")
+            .option("rowTag", "book")
+            .option("path", str(landing))
+            .load()
+        )
+        name = "xml_stream_sink"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert spark.table(name).count() == 3
+
+            # drop a second file → only its records arrive (no re-emit)
+            second = (fixtures_dir / "books" / "data.xml").read_text()
+            (landing / "batch2.xml").write_text(second)
+            q.processAllAvailable()
+            assert spark.table(name).count() == 6
+            titles = [r.title for r in spark.table(name).select("title").collect()]
+            assert titles.count("Midnight Rain") == 0  # our own fixture data only
+            assert titles.count("Streams and Watermarks") == 2
+        finally:
+            q.stop()
+
+    def test_stream_requires_rowtag(self, spark, tmp_path):
+        register_stream(spark)
+        import pytest
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        q = (
+            spark.readStream.format("xmlhive-stream")
+            .schema(StructType([StructField("a", StringType())]))
+            .option("path", str(tmp_path))
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            with pytest.raises(Exception, match="rowTag"):
+                q.processAllAvailable()
+        finally:
+            q.stop()

@@ -435,6 +435,9 @@ def read_xml_rdd(
 ) -> DataFrame:
     """Fallback reader: parallelized byte-range splits + per-partition
     record scan. Same split protocol as the DataSource path."""
+    from xml_hive_spark.sources.xml_datasource import ship_package
+
+    ship_package(spark)  # executors unpickle _read_split by module reference
     splits = plan_splits(resolve_paths(path), partition_bytes)
     sc = spark.sparkContext
     rdd = sc.parallelize(splits, len(splits)).flatMap(

@@ -124,10 +124,36 @@ class XmlHiveReader(DataSourceReader):
 
 
 _REGISTERED_SESSIONS: set[int] = set()
+_PKG_ZIP: str | None = None
+
+
+def ship_package(spark) -> None:
+    """Make ``xml_hive_spark`` importable in Python workers regardless of
+    the driver process's cwd/sys.path: the DataSource class is pickled by
+    reference, so the data-source worker must be able to import the
+    package. ``addPyFile`` puts the zipped package on every worker's
+    path (idempotent per session)."""
+    global _PKG_ZIP
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    if _PKG_ZIP is None:
+        pkg_root = Path(__file__).resolve().parent.parent
+        zpath = Path(tempfile.gettempdir()) / "xml_hive_spark_pkg.zip"
+        with zipfile.ZipFile(zpath, "w") as z:
+            for p in sorted(pkg_root.rglob("*.py")):
+                z.write(p, "xml_hive_spark/" + str(p.relative_to(pkg_root)))
+        _PKG_ZIP = str(zpath)
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        pass  # already added in this session
 
 
 def register(spark) -> None:
     key = id(spark)
     if key not in _REGISTERED_SESSIONS:
+        ship_package(spark)
         spark.dataSource.register(XmlHiveDataSource)
         _REGISTERED_SESSIONS.add(key)
