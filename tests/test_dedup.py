@@ -94,3 +94,13 @@ class TestShingles:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         got = [r.sh for r in shingles(df).collect()]
         assert got == ["a b"]
+
+
+def test_hash_dedup_equals_text_dedup(spark, sf_dir):
+    from xml_hive_spark.operators import all_queries
+
+    by_text = all_queries()["dedup_exact"].fn(spark, sf_dir)
+    by_hash = all_queries()["dedup_exact_by_hash"].fn(spark, sf_dir)
+    a = sorted((r.keep_id, r.n_copies) for r in by_text.collect())
+    b = sorted((r.keep_id, r.n_copies) for r in by_hash.collect())
+    assert a == b

@@ -45,6 +45,7 @@ def test_registry_complete():
     assert rows_only == [
         "agg_approx_distinct",
         "cosine_topk_lsh",
+        "dedup_exact_by_hash",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "multimodal_decode_stub",

@@ -234,3 +234,50 @@ class TestReferenceParity:
         data = (REFERENCE_FIXTURES / "testdata3" / "data" / "data.xml").read_bytes()
         rows = [parse_record(r, st) for _, r in _spans(data, "Member")]
         assert rows == [("Rob", "William", 3), ("Andrew", "Smith", 33)]
+
+
+class TestMalformedModes:
+    """Malformed-record policies (reference parity: it drops bad records
+    with a console warning, AvroTransormer.scala:185)."""
+
+    XML = (
+        '<r><m><v>1</v></m><m><v>not_an_int</v></m><m><v>3</v></m></r>'
+    )
+
+    def _schema(self):
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        return StructType(
+            [StructField("v", IntegerType(), True,
+                         metadata={"xmlKind": "element", "xmlName": "v"})]
+        )
+
+    def test_failfast_default(self, spark, tmp_path):
+        p = tmp_path / "bad.xml"
+        p.write_text(self.XML)
+        import pytest
+
+        with pytest.raises(Exception):
+            read_xml(spark, str(p), "m", schema=self._schema()).collect()
+
+    def test_dropmalformed(self, spark, tmp_path):
+        p = tmp_path / "bad.xml"
+        p.write_text(self.XML)
+        df = read_xml(spark, str(p), "m", schema=self._schema(), mode="DROPMALFORMED")
+        assert sorted(r.v for r in df.collect()) == [1, 3]
+
+    def test_permissive_null_row(self, spark, tmp_path):
+        p = tmp_path / "bad.xml"
+        p.write_text(self.XML)
+        df = read_xml(spark, str(p), "m", schema=self._schema(), mode="PERMISSIVE")
+        vals = [r.v for r in df.collect()]
+        assert sorted(v for v in vals if v is not None) == [1, 3]
+        assert vals.count(None) == 1
+
+    def test_invalid_mode_rejected(self, spark, tmp_path):
+        p = tmp_path / "bad.xml"
+        p.write_text(self.XML)
+        import pytest
+
+        with pytest.raises(Exception):
+            read_xml(spark, str(p), "m", schema=self._schema(), mode="BOGUS").collect()

@@ -28,11 +28,13 @@ def _norm(v):
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, float):
+        # exact repr — the driver's value hash may be bit-exact, so the
+        # local gate must be at least as strict
         if math.isnan(v):
             return "nan"
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, Decimal):
-        return repr(round(float(v), 9))
+        return repr(float(v))
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):

@@ -336,3 +336,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+@query("dedup_exact_by_hash", tags=("dedup", "exact", "hash"))
+def dedup_exact_by_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup at 100 TB: group on ``xxhash64(text)`` so the shuffle
+    carries 8-byte keys instead of document bodies; collisions would be
+    verified by re-grouping the (tiny) multi-member buckets on full text.
+    Rows-only check (xxhash64 isn't available in DuckDB); equivalence to
+    text-keyed dedup is asserted in tests/test_dedup.py."""
+    docs = t(spark, sf, "documents")
+    return (
+        docs.groupBy(F.xxhash64("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )

@@ -369,14 +369,18 @@ def join_semi(spark: SparkSession, sf: str) -> DataFrame:
     "join_anti",
     oracle="""
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 """,
     tags=("join", "anti"),
 )
 def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers with no high-value order (anti join; the plain
+    no-orders-at-all variant is vacuous on this data — every customer
+    has orders)."""
     cust = t(spark, sf, "customer")
-    orders = t(spark, sf, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    big = t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
@@ -761,15 +765,20 @@ def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "set_except",
     oracle="""
-SELECT p_partkey FROM part
+SELECT p_partkey FROM part WHERE p_size >= 30
 EXCEPT
 SELECT l_partkey AS p_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2001-06-01'
 """,
     tags=("setop",),
 )
 def set_except(spark: SparkSession, sf: str) -> DataFrame:
-    part = t(spark, sf, "part").select("p_partkey")
-    ordered = t(spark, sf, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    part = t(spark, sf, "part").filter(F.col("p_size") >= 30).select("p_partkey")
+    ordered = (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp"))
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
     return part.subtract(ordered)  # EXCEPT (distinct) semantics
 
 

@@ -425,3 +425,44 @@ def sort_within_partitions(spark: SparkSession, sf: str) -> DataFrame:
     return li.sortWithinPartitions("l_orderkey", "l_linenumber").select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
+
+
+@query(
+    "apply_in_pandas_centered",
+    oracle="""
+WITH m AS (
+  SELECT c_nationkey,
+         CAST(sum(CAST(floor(c_acctbal * 1048576.0) AS BIGINT)) AS BIGINT)
+             / 1048576.0 / count(*) AS mean_bal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_custkey, c_nationkey, c_acctbal - mean_bal AS centered_bal
+FROM customer JOIN m USING (c_nationkey)
+""",
+    tags=("udf", "pandas", "udtf"),
+)
+def apply_in_pandas_centered(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas — the Hive UDTF surface):
+    per-nation balance centering, whole group as one Arrow batch.
+
+    Determinism: the group mean quantizes addends with floor(x * 2^20)
+    (power-of-two scaling is IEEE-exact, integer sums are associative), so
+    the mean — and therefore the subtraction — is bit-identical across
+    engines and row arrival orders."""
+    import math
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = [math.floor(x * 1048576.0) for x in pdf["c_acctbal"]]
+        mean = sum(q) / 1048576.0 / len(pdf)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_nationkey": pdf["c_nationkey"],
+                "centered_bal": pdf["c_acctbal"] - mean,
+            }
+        )
+
+    cust = t(spark, sf, "customer")
+    return cust.groupBy("c_nationkey").applyInPandas(
+        center, schema="c_custkey long, c_nationkey int, centered_bal double"
+    )

@@ -329,6 +329,25 @@ def parse_record(record_bytes: bytes, struct: StructType) -> tuple:
     return assemble_row(elem, struct)
 
 
+def parse_record_safe(record_bytes: bytes, struct: StructType, mode: str):
+    """Malformed-record policy (reference drops bad records with a console
+    warning — "oopsie", AvroTransormer.scala:185):
+
+    - ``FAILFAST``: raise (default — correctness-first).
+    - ``DROPMALFORMED``: skip the record (reference parity).
+    - ``PERMISSIVE``: emit an all-null row so downstream can count/route
+      corrupt records.
+    Returns the row tuple, None to drop, or raises."""
+    try:
+        return parse_record(record_bytes, struct)
+    except Exception:
+        if mode == "DROPMALFORMED":
+            return None
+        if mode == "PERMISSIVE":
+            return tuple(None for _ in struct.fields)
+        raise
+
+
 # ---------------------------------------------------------------- planning
 
 
@@ -370,11 +389,18 @@ def resolve_paths(path: str | list[str]) -> list[str]:
     return out
 
 
-def _read_split(split: tuple[str, int, int], row_tag: str, struct: StructType):
+def _read_split(
+    split: tuple[str, int, int],
+    row_tag: str,
+    struct: StructType,
+    mode: str = "FAILFAST",
+):
     path, a, b = split
     with open(path, "rb") as f:
         for _, rec in iter_record_spans(f, row_tag, a, b):
-            yield parse_record(rec, struct)
+            row = parse_record_safe(rec, struct, mode)
+            if row is not None:
+                yield row
 
 
 # -------------------------------------------------------------- public API
@@ -391,6 +417,7 @@ def read_xml(
     rich_types: bool = False,
     partition_bytes: int = DEFAULT_PARTITION_BYTES,
     use_datasource: bool = True,
+    mode: str = "FAILFAST",
 ) -> DataFrame:
     """Read XML files into a DataFrame, one row per ``row_tag`` record.
 
@@ -417,13 +444,14 @@ def read_xml(
                 .schema(schema)
                 .option("rowTag", row_tag)
                 .option("partitionBytes", str(partition_bytes))
+                .option("mode", mode)
             )
             paths = resolve_paths(path)
             return reader.option("paths", "\n".join(paths)).load()
         except Exception:
             pass  # fall back to the RDD path below
 
-    return read_xml_rdd(spark, path, row_tag, schema, partition_bytes)
+    return read_xml_rdd(spark, path, row_tag, schema, partition_bytes, mode)
 
 
 def read_xml_rdd(
@@ -432,6 +460,7 @@ def read_xml_rdd(
     row_tag: str,
     schema: StructType,
     partition_bytes: int = DEFAULT_PARTITION_BYTES,
+    mode: str = "FAILFAST",
 ) -> DataFrame:
     """Fallback reader: parallelized byte-range splits + per-partition
     record scan. Same split protocol as the DataSource path."""
@@ -441,6 +470,6 @@ def read_xml_rdd(
     splits = plan_splits(resolve_paths(path), partition_bytes)
     sc = spark.sparkContext
     rdd = sc.parallelize(splits, len(splits)).flatMap(
-        lambda s: _read_split(s, row_tag, schema)
+        lambda s: _read_split(s, row_tag, schema, mode)
     )
     return spark.createDataFrame(rdd, schema)

@@ -103,6 +103,9 @@ class XmlHiveReader(DataSourceReader):
         self._partition_bytes = int(
             _opt(options, "partitionBytes", "partitionbytes", default=DEFAULT_PARTITION_BYTES)
         )
+        self._mode = str(_opt(options, "mode", default="FAILFAST")).upper()
+        if self._mode not in ("FAILFAST", "DROPMALFORMED", "PERMISSIVE"):
+            raise ValueError(f"xmlhive: invalid mode {self._mode!r}")
 
     def partitions(self):
         parts = [
@@ -120,6 +123,7 @@ class XmlHiveReader(DataSourceReader):
             (partition.path, partition.start, partition.end),
             self._row_tag,
             self._schema,
+            self._mode,
         )
 
 
