@@ -466,3 +466,81 @@ def apply_in_pandas_centered(spark: SparkSession, sf: str) -> DataFrame:
     return cust.groupBy("c_nationkey").applyInPandas(
         center, schema="c_custkey long, c_nationkey int, centered_bal double"
     )
+
+
+@query(
+    "from_json_struct",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_parsed,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+FROM events WHERE event_id < 2000
+""",
+    tags=("functions", "json"),
+)
+def from_json_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-directed JSON parsing (``from_json`` → typed struct, then
+    dotted access) — the typed cousin of get_json_object."""
+    ev = t(spark, sf, "events").filter(F.col("event_id") < 2000)
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k INT").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_parsed"),
+        (F.col("p.k") % 10).alias("k_bucket"),
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+SELECT p_partkey,
+       2                                   AS n_keys,
+       p_brand                             AS brand_val,
+       upper(p_type)                       AS type_val
+FROM part WHERE p_partkey < 100
+""",
+    tags=("functions", "map"),
+)
+def map_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """MapType construction + access (Hive str_to_map/map surface; the
+    reference has no map type — SURVEY.md §1.2 — but our engine exposes
+    Spark's). The oracle validates the values read back out of the map."""
+    p = t(spark, sf, "part").filter(F.col("p_partkey") < 100)
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("type"), F.upper("p_type"),
+    )
+    return p.select(
+        "p_partkey",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "brand").alias("brand_val"),
+        F.element_at(m, "type").alias("type_val"),
+    )
+
+
+@query(
+    "date_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+       CAST(last_day(o_orderdate) AS DATE)          AS month_end,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+       dayofweek(o_orderdate)                        AS dow
+FROM orders WHERE o_orderkey < 2000
+""",
+    tags=("functions", "date"),
+)
+def date_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar arithmetic: month-end, add-months, week truncation,
+    day-of-week (note DuckDB dayofweek is 0=Sunday vs Spark 1=Sunday —
+    normalized here)."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus_3m"),
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+    )
