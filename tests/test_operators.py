@@ -44,6 +44,7 @@ def test_registry_complete():
     rows_only = sorted(n for n, q in reg.items() if q.oracle is None)
     assert rows_only == [
         "agg_approx_distinct",
+        "cosine_topk_ivf",
         "cosine_topk_lsh",
         "dedup_exact_by_hash",
         "dedup_minhash_lsh",

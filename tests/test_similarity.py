@@ -41,3 +41,22 @@ class TestLSH:
         # approximate — require > 0 overall and every query answered
         assert len(lsh_set & brute_set) > 0
         assert {q for q, _ in lsh_set} == {q for q, _ in brute_set}
+
+
+class TestIVF:
+    def test_ivf_recall_and_agreement(self, spark, sf_dir):
+        brute = all_queries()["cosine_topk_bruteforce"].fn(spark, sf_dir).collect()
+        ivf = all_queries()["cosine_topk_ivf"].fn(spark, sf_dir).collect()
+        brute_cos = {(r.qid, r.nid): r.cos_sim for r in brute}
+        ivf_set = {(r.qid, r.nid) for r in ivf}
+        # every query answered with a full top-5 from the probed lists
+        by_q = {}
+        for r in ivf:
+            by_q.setdefault(r.qid, []).append(r.rank)
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+        # cosine values agree exactly with brute force on shared pairs
+        for r in ivf:
+            if (r.qid, r.nid) in brute_cos:
+                assert abs(r.cos_sim - brute_cos[(r.qid, r.nid)]) < 1e-9
+        # probing 3 of 10 lists must still recover part of the true top-5
+        assert len(ivf_set & set(brute_cos)) > 0

@@ -212,3 +212,68 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
         pairs.select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") > 0.25)
     )
+
+
+@query("cosine_topk_ivf", tags=("similarity", "ann", "ivf"))
+def cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style approximate top-5: the ``label`` column partitions the
+    corpus into inverted lists; per-list centroids are computed as
+    per-dimension means, each query probes its nprobe=3 nearest centroids
+    and searches only those lists (candidate set = 3 lists, not the
+    corpus). Exact cosine + per-query ranking window inside the probed
+    lists.
+
+    All-DataFrame composition: centroid build is one posexplode +
+    hash-agg + sort-collect; probing is a broadcast query×centroid join.
+    At scale the lists come from a k-means coarse quantizer and the same
+    plan applies unchanged. Rows-only check; recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    emb = t(spark, sf, "embeddings")
+
+    # per-label centroid vectors: (label, centroid array<double>)
+    per_dim = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).groupBy("label", "pos").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    centroids = (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+    )
+    # probe: nprobe=3 nearest centroids per query (broadcast nested loop
+    # over ~#lists rows — constant-sized)
+    qc = q.crossJoin(F.broadcast(centroids))
+    cdist = _dot(F.col("qe"), F.col("centroid")) / (
+        _norm(F.col("qe")) * _norm(F.col("centroid"))
+    )
+    wprobe = Window.partitionBy("qid").orderBy(F.col("c_sim").desc(), "label")
+    probed = (
+        qc.select("qid", "qe", "label", cdist.alias("c_sim"))
+        .withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= 3)
+        .select("qid", "qe", "label")
+    )
+
+    # search only the probed lists
+    n = emb.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"), "label"
+    )
+    pairs = probed.join(n, "label").filter(F.col("qid") != F.col("nid"))
+    cos = F.round(
+        _dot(F.col("qe"), F.col("ne")) / (_norm(F.col("qe")) * _norm(F.col("ne"))), 4
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
+    return (
+        pairs.select("qid", "nid", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
