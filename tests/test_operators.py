@@ -50,6 +50,7 @@ def test_registry_complete():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "multimodal_decode_stub",
+        "multimodal_frame_sample",
         "sample_deterministic",
         "streaming_window_counts",
         "xml_scan_books",

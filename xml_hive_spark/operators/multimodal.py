@@ -101,3 +101,52 @@ def binary_column_stats(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("byte_len")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_checksum long, frame_bytes int"
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id",
+                  bin_col: str = "payload", n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage for video-shaped binary columns: one input row
+    fans out to ``n_frames`` rows via mapInPandas (batch-granular fan-out,
+    no JVM↔Python per-row chatter). The frame extraction itself is a
+    deterministic stub (payload slicing + crc) — a real implementation
+    would seek keyframes with ffmpeg; the Spark-side contract (schema,
+    fan-out shape, partition locality) is identical."""
+    import zlib
+    from typing import Iterator
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_checksum": [], "frame_bytes": []}
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = payload[i * step : (i + 1) * step]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(i)
+                    out["frame_checksum"].append(zlib.crc32(chunk))
+                    out["frame_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(explode_frames, schema=FRAME_SCHEMA)
+
+
+@query("multimodal_frame_sample", tags=("multimodal", "binary", "fanout"))
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: 4 frames per doc,
+    aggregated per frame position. Deterministic (checksum-based stub) →
+    stable rows-only check."""
+    docs = t(spark, sf, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    frames = sample_frames(with_payload)
+    return (
+        frames.groupBy("frame_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("frame_bytes").alias("total_bytes"),
+            F.min("frame_checksum").alias("min_crc"),
+        )
+        .orderBy("frame_idx")
+    )
