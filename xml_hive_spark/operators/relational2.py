@@ -544,3 +544,30 @@ def date_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
         F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
         (F.dayofweek("o_orderdate") - 1).alias("dow"),
     )
+
+
+@query(
+    "salted_join_agg",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    tags=("join", "skew"),
+)
+def salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted equi-join (static skew mitigation, n_salts=8): the fact side
+    is salted, the dimension side replicated, join key becomes
+    (key, salt) — a hot orderkey spreads over 8 tasks. The oracle is the
+    PLAIN join: salting must be result-invariant, which is exactly what
+    the driver check proves."""
+    from xml_hive_spark.plans.skew import salted_join
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
