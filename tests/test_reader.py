@@ -281,3 +281,28 @@ class TestMalformedModes:
 
         with pytest.raises(Exception):
             read_xml(spark, str(p), "m", schema=self._schema(), mode="BOGUS").collect()
+
+
+def test_rich_types_end_to_end(spark, fixtures_dir):
+    """Opt-in rich temporal types: xs:date parses to a real DateType
+    column (the reference always degrades temporals to strings —
+    XMLToAvroSchema.scala:44-46; SURVEY.md §1.2 option column)."""
+    import datetime
+
+    df = read_xml(
+        spark,
+        str(fixtures_dir / "books" / "data.xml"),
+        row_tag="book",
+        xsd=fixtures_dir / "books" / "schema.xsd",
+        sep_tag_type="bookType",
+        rich_types=True,
+    )
+    assert df.schema["publish_date"].dataType.simpleString() == "date"
+    years = {r.publish_date.year for r in df.select("publish_date").collect()}
+    assert years == {2014, 2011, 2019}
+    # date arithmetic works directly on the parsed column
+    from pyspark.sql import functions as F
+
+    n = df.filter(F.year("publish_date") >= 2014).count()
+    assert n == 2
+    assert isinstance(df.collect()[0].publish_date, datetime.date)

@@ -84,3 +84,32 @@ def streaming_window_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Registry entry: the streaming pipeline end-to-end (rows-only check;
     equality with the batch twin is asserted in tests/test_streaming.py)."""
     return run_streaming_event_counts(spark, sf)
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with a watermark:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only inside the
+    watermark horizon (bounded state — the streaming twin of exact dedup;
+    unbounded ``dropDuplicates`` state would grow forever at 100 TB/day).
+    Keyed on the event's JSON payload value as a stand-in content key."""
+    from pyspark.sql import functions as F
+
+    ev = streaming_events(spark, sf_dir)
+    keyed = ev.withColumn(
+        "content_key", F.get_json_object("props", "$.k").cast("int")
+    )
+    deduped = (
+        keyed.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["content_key"])
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="xmlhive-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
