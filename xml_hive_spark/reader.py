@@ -7,14 +7,31 @@ for Spark's execution model:
 - **Record-boundary detection** (reference: separator-tag watch,
   AvroTransormer.scala:106-109,143-151) is a byte-level scanner that finds
   ``<rowTag ...>...</rowTag>`` spans, depth-aware for nested same-name tags
-  and aware of quotes / comments / CDATA.
+  and aware of quotes / comments / CDATA / processing instructions. Row
+  tags are matched by *local label* — ``<book``, ``<ns:book`` — like the
+  reference's event matcher (AvroTransormer.scala:106-109).
 - **Split safety** (the reference's known gap: it opens every split at byte
   0 → duplicate records on multi-block files,
-  AvroFromXmlInputFormat.scala:49; SURVEY.md §4.3): a partition covering
-  byte range ``[start, end)`` owns exactly the records whose *start tag*
-  begins in that range, reading past ``end`` to close its last record.
-  This is what makes the reader correct (and linear) on 100 TB inputs:
-  N byte-range partitions each stream their slice once, no overlap.
+  AvroFromXmlInputFormat.scala:49; SURVEY.md §4.3): splits are made exact
+  by a **two-phase protocol**:
+
+  * *Phase A* (parallel, per split): for each possible lexer state at the
+    split start — TEXT, COMMENT, CDATA, PI — summarize the split's row-tag
+    token stream as ``(end_state, depth_delta, min_prefix_depth)``.
+    A cut that lands inside a *tag* needs no state of its own: ``<`` cannot
+    appear raw inside attribute values, so scanning the tag tail in TEXT
+    state yields no spurious tokens, and the straddling token was already
+    attributed to the split that contains its ``<``.
+  * *Phase B* (driver, O(#splits)): fold the summaries file-by-file to
+    assign every split its true incoming ``(state, depth)``.
+  * *Phase C* (parallel): rescan with the known state; a record is a
+    row-tag open at depth 0; the scan reads past the split end to close
+    its last record.
+
+  This is what makes N byte-range partitions over one file exact — no
+  duplicates, no drops — even when records self-nest or a cut lands inside
+  a comment/CDATA, at the cost of one extra byte-scan pass (phase A) over
+  multi-split files only.
 - **Record assembly** (reference: stack machine over XML pull events,
   AvroTransormer.scala:77-170): each extracted record chunk is parsed with
   ``ElementTree`` and assembled into a tuple directed by the target
@@ -22,23 +39,23 @@ for Spark's execution model:
   nested complex types as structs, ``_Value`` for simpleContent text
   (AvroTransormer.scala:180-208 coercion semantics).
 
-Known limitations (documented, matching or narrowing reference scope):
-namespace-*prefixed* row tags are not matched by the byte scanner (the
-reference matches on local label only); records relying on namespace
-declarations from ancestor elements outside the record chunk will fail to
-parse.
+Known limitations: namespace prefixes longer than 64 chars are not matched
+by the scanner; DOCTYPE internal subsets containing ``<rowTag`` literals
+are not skipped (none of these appear in the reference's scope either).
 """
 
 from __future__ import annotations
 
 import glob as _glob
-import io
+import json
+import logging
 import os
+import re
 import xml.etree.ElementTree as ET
 from datetime import date, datetime
 from decimal import Decimal
 from pathlib import Path
-from typing import BinaryIO, Iterator
+from typing import BinaryIO, Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -58,10 +75,21 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+log = logging.getLogger("xml_hive_spark.reader")
+
 DEFAULT_PARTITION_BYTES = 128 * 1024 * 1024
 
 _WS = b" \t\r\n"
 _OPEN_DELIMS = b" \t\r\n>/"
+
+# Lexer states a split boundary can land in (see module docstring for why
+# "inside a tag" safely degenerates to TEXT).
+ST_TEXT = "TEXT"
+ST_COMMENT = "COMMENT"
+ST_CDATA = "CDATA"
+ST_PI = "PI"
+_RESUME_PAT = {ST_COMMENT: b"-->", ST_CDATA: b"]]>", ST_PI: b"?>"}
+_STATE_OF_KIND = {"comment": ST_COMMENT, "cdata": ST_CDATA, "pi": ST_PI}
 
 
 class _Buf:
@@ -89,16 +117,30 @@ class _Buf:
     def end_offset(self) -> int:
         return self.base + len(self.data)
 
-    def find(self, pattern: bytes, pos: int) -> int:
-        """Absolute offset of next occurrence of ``pattern`` at >= pos,
-        -1 at EOF."""
+    def find(
+        self,
+        pattern: bytes,
+        pos: int,
+        bound: int | None = None,
+        compact_to: int | None = None,
+    ) -> int:
+        """Absolute offset of next occurrence of ``pattern`` at >= pos.
+        Returns -1 at EOF, or when no occurrence *starts* before ``bound``.
+        ``compact_to`` lets long scans drop already-searched bytes."""
         search_from = max(pos, self.base)
         while True:
             i = self.data.find(pattern, search_from - self.base)
             if i != -1:
-                return self.base + i
+                off = self.base + i
+                if bound is not None and off >= bound:
+                    return -1
+                return off
+            if bound is not None and self.end_offset() >= bound + len(pattern) - 1:
+                return -1
             # next round only needs to re-scan the possibly-straddling tail
             search_from = max(search_from, self.end_offset() - len(pattern) + 1)
+            if compact_to is not None:
+                self.compact(min(compact_to, search_from))
             if not self._refill():
                 return -1
 
@@ -121,9 +163,9 @@ class _Buf:
             self.base = keep_from
 
 
-def _skip_to(buf: _Buf, end_pat: bytes, pos: int) -> int:
+def _skip_to(buf: _Buf, end_pat: bytes, pos: int, compact_to: int | None = None) -> int:
     """Skip past the next ``end_pat``; returns offset after it (EOF-safe)."""
-    i = buf.find(end_pat, pos)
+    i = buf.find(end_pat, pos, compact_to=compact_to)
     return buf.end_offset() if i == -1 else i + len(end_pat)
 
 
@@ -147,92 +189,258 @@ def _consume_tag(buf: _Buf, pos: int) -> tuple[int, bool]:
         pos += 1
 
 
-def iter_record_spans(
-    f: BinaryIO, row_tag: str, start: int, end: int
-) -> Iterator[tuple[int, bytes]]:
-    """Yield ``(record_start_offset, record_bytes)`` for every row-tag
-    record whose start tag begins in ``[start, end)``.
+def _token_rx(row_tag: str) -> "re.Pattern[bytes]":
+    """One compiled regex matching every byte sequence the scanner cares
+    about: comment/CDATA/PI openers and row-tag opens/closes with an
+    optional namespace prefix (local-label matching, like the reference —
+    AvroTransormer.scala:106-109)."""
+    nc = rb"[A-Za-z_][A-Za-z0-9_.\-]{0,63}"
+    t = re.escape(row_tag.encode())
+    return re.compile(
+        rb"(?P<comment><!--)|(?P<cdata><!\[CDATA\[)|(?P<pi><\?)"
+        rb"|(?P<open><(?:" + nc + rb":)?" + t + rb")"
+        rb"|(?P<close></(?:" + nc + rb":)?" + t + rb")"
+    )
 
-    The scan may read past ``end`` to finish the last record — the standard
-    record-boundary protocol for splittable text formats, which the
-    reference omits (SURVEY.md §4.3).
+
+class _Scanner:
+    """Streaming token scanner over a ``_Buf``.
+
+    ``next_token(pos)`` returns the earliest token starting at >= ``pos``
+    as ``(kind, start, after)`` where ``after`` is the offset past the
+    whole construct (comment/CDATA/PI body, or the tag's closing ``>``).
+    ``kind`` ∈ {comment, cdata, pi, open, selfclose, close}. Returns None
+    at EOF. ``floor`` is the lowest offset the caller still needs buffered
+    (start of an in-flight record); everything below it may be compacted.
     """
-    tag = row_tag.encode()
-    open_pat = b"<" + tag
-    close_pat = b"</" + tag
-    comment_pat = b"<!--"
-    cdata_pat = b"<![CDATA["
 
-    buf = _Buf(f, start)
-    pos = start
-    while True:
-        if pos >= end:
-            return
-        # find the next record start, skipping comments / CDATA
-        s = buf.find(open_pat, pos)
-        if s == -1 or s >= end:
-            return
-        cm = buf.find(comment_pat, pos)
-        if cm != -1 and cm < s:
-            pos = _skip_to(buf, b"-->", cm + len(comment_pat))
-            continue
-        cd = buf.find(cdata_pat, pos)
-        if cd != -1 and cd < s:
-            pos = _skip_to(buf, b"]]>", cd + len(cdata_pat))
-            continue
-        nxt = buf.byte_at(s + len(open_pat))
-        if nxt is None or nxt not in _OPEN_DELIMS:
-            pos = s + 1  # e.g. <bookstore> when row_tag is book
-            continue
+    # widest token prefix that must be visible in one window: '</' + 64-char
+    # prefix + ':' + tag; 160 covers any sane tag (longer ones re-scan).
+    _MARGIN = 160
 
-        # record start confirmed — consume the start tag
-        p, self_closing = _consume_tag(buf, s + len(open_pat))
-        if self_closing:
-            yield s, buf.slice(s, p)
-            pos = p
-            buf.compact(pos)
-            continue
-        depth = 1
-        while depth > 0:
-            no = buf.find(open_pat, p)
-            nc = buf.find(close_pat, p)
-            cm = buf.find(comment_pat, p)
-            cd = buf.find(cdata_pat, p)
-            candidates = [(x, k) for x, k in ((no, "o"), (nc, "c"), (cm, "m"), (cd, "d")) if x != -1]
-            if not candidates:
-                return  # truncated document
-            x, kind = min(candidates)
-            if kind == "m":
-                p = _skip_to(buf, b"-->", x + len(comment_pat))
-            elif kind == "d":
-                p = _skip_to(buf, b"]]>", x + len(cdata_pat))
-            elif kind == "o":
-                nxt = buf.byte_at(x + len(open_pat))
-                if nxt is not None and nxt in _OPEN_DELIMS:
-                    p, sc = _consume_tag(buf, x + len(open_pat))
-                    if not sc:
-                        depth += 1
-                else:
-                    p = x + 1
-            else:  # close tag — allow optional whitespace before '>'
-                q = x + len(close_pat)
-                while buf.byte_at(q) in (0x20, 0x09, 0x0D, 0x0A):
+    def __init__(self, buf: _Buf, row_tag: str):
+        self.buf = buf
+        self.rx = _token_rx(row_tag)
+        self.floor = buf.base
+
+    def _search(self, pos: int):
+        buf = self.buf
+        while True:
+            if pos >= buf.end_offset() and not buf._refill():
+                return None
+            m = self.rx.search(buf.data, pos - buf.base)
+            if m is not None:
+                return m
+            if buf.eof:
+                return None
+            tail = buf.end_offset() - self._MARGIN
+            pos = max(pos, tail)
+            buf.compact(min(self.floor, max(buf.base, tail)))
+            buf._refill()
+
+    def next_token(self, pos: int):
+        buf = self.buf
+        while True:
+            m = self._search(pos)
+            if m is None:
+                return None
+            start = buf.base + m.start()
+            kind = m.lastgroup
+            if kind == "comment":
+                return kind, start, _skip_to(buf, b"-->", start + 4, self.floor)
+            if kind == "cdata":
+                return kind, start, _skip_to(buf, b"]]>", start + 9, self.floor)
+            if kind == "pi":
+                return kind, start, _skip_to(buf, b"?>", start + 2, self.floor)
+            name_end = buf.base + m.end()
+            if kind == "open":
+                nxt = buf.byte_at(name_end)
+                if nxt is None or nxt not in _OPEN_DELIMS:
+                    pos = start + 1  # e.g. <bookstore> when row_tag is book
+                    continue
+                after, self_closing = _consume_tag(buf, name_end)
+                return ("selfclose" if self_closing else "open"), start, after
+            # close tag — allow optional whitespace before '>'
+            q = name_end
+            while True:
+                c = buf.byte_at(q)
+                if c in (0x20, 0x09, 0x0D, 0x0A):
                     q += 1
-                if buf.byte_at(q) == 0x3E:
-                    depth -= 1
-                    p = q + 1
+                elif c == 0x3E:  # >
+                    return "close", start, q + 1
                 else:
-                    p = x + 1
-        yield s, buf.slice(s, p)
-        pos = p
-        buf.compact(pos)
+                    pos = start + 1
+                    break
+
+
+def _resume_offset(
+    buf: _Buf, state: str, start: int, end: int | None
+) -> int | None:
+    """Offset where the lexer returns to TEXT given ``state`` at ``start``.
+    The close pattern may straddle ``start`` (e.g. ``-->`` beginning 2
+    bytes before the split), hence the look-back. None = the construct
+    covers the whole range."""
+    pat = _RESUME_PAT[state]
+    pos = max(0, start - (len(pat) - 1))
+    i = buf.find(pat, pos, bound=end, compact_to=pos)
+    while i != -1 and i + len(pat) <= start:  # closed before the split began
+        i = buf.find(pat, i + 1, bound=end, compact_to=pos)
+    return None if i == -1 else i + len(pat)
+
+
+def split_summaries(
+    f: BinaryIO, row_tag: str, start: int, end: int
+) -> dict[str, tuple[str, int, int]]:
+    """Phase A: for each possible lexer state at ``start``, the
+    ``(end_state, depth_delta, min_prefix_depth)`` of scanning
+    ``[start, end)``. Pure byte work — no record parsing, O(1) memory."""
+    # raw-byte resume offsets for the non-TEXT hypotheses
+    resumes: dict[str, int | None] = {}
+    for st in (ST_COMMENT, ST_CDATA, ST_PI):
+        buf = _Buf(f, max(0, start - 2))
+        resumes[st] = _resume_offset(buf, st, start, end)
+
+    def scan(from_off: int, checkpoints: list[int]):
+        """One token pass from ``from_off``; per-checkpoint suffix
+        accumulators piggyback on it so the non-TEXT hypotheses usually
+        don't need their own pass."""
+        buf = _Buf(f, from_off)
+        sc = _Scanner(buf, row_tag)
+        delta = mind = 0
+        # per checkpoint r: [delta, min, last_after, valid]
+        acc = {r: [0, 0, r, True] for r in checkpoints}
+        pos = from_off
+        last_kind, last_after = None, from_off
+        while True:
+            tok = sc.next_token(pos)
+            if tok is None:
+                break
+            kind, s, after = tok
+            if s >= end:
+                break
+            dd = 1 if kind == "open" else (-1 if kind == "close" else 0)
+            delta += dd
+            mind = min(mind, delta)
+            for r, a in acc.items():
+                if s >= r:
+                    a[0] += dd
+                    a[1] = min(a[1], a[0])
+                    a[2] = after
+                elif after > r:
+                    a[3] = False  # a token straddles this checkpoint
+            last_kind, last_after = kind, after
+            pos = after
+            sc.floor = pos
+        end_state = ST_TEXT
+        if last_after > end and last_kind in _STATE_OF_KIND:
+            end_state = _STATE_OF_KIND[last_kind]
+        return end_state, delta, mind, acc
+
+    cps = sorted(
+        {r for r in resumes.values() if r is not None and start < r < end}
+    )
+    text_end_state, text_delta, text_min, acc = scan(start, cps)
+    out = {ST_TEXT: (text_end_state, text_delta, text_min)}
+
+    for st, r in resumes.items():
+        if r is None or r > end:
+            out[st] = (st, 0, 0)  # construct covers (or straddles) the split
+        elif r == end:
+            out[st] = (ST_TEXT, 0, 0)
+        elif acc[r][3]:
+            # valid suffix reuse; a straddling final comment/CDATA/PI is
+            # shared with the TEXT scan by construction
+            d, m, last_after, _ = acc[r]
+            out[st] = (text_end_state if last_after > end else ST_TEXT, d, m)
+        else:
+            out[st] = scan(r, [])[:3]
+    return out
+
+
+def chain_splits(
+    open_fn: Callable[[], BinaryIO], bounds: list[int], row_tag: str
+) -> list[tuple[int, int, str, int]]:
+    """Phase B over one file: fold per-split summaries into the true
+    incoming ``(state, depth)`` of every split. ``bounds`` is the sorted
+    offset fence ``[0, b1, ..., size]``."""
+    ann: list[tuple[int, int, str, int]] = []
+    state, depth = ST_TEXT, 0
+    for i in range(len(bounds) - 1):
+        a, b = bounds[i], bounds[i + 1]
+        ann.append((a, b, state, depth))
+        if i < len(bounds) - 2:
+            with open_fn() as f:
+                summ = split_summaries(f, row_tag, a, b)
+            nxt_state, delta, mind = summ[state]
+            if depth + mind < 0:
+                log.warning(
+                    "xml split chain: depth underflow at [%d,%d) — malformed input?",
+                    a, b,
+                )
+            state, depth = nxt_state, max(0, depth + delta)
+    return ann
+
+
+def iter_record_spans(
+    f: BinaryIO,
+    row_tag: str,
+    start: int,
+    end: int,
+    state: str = ST_TEXT,
+    depth: int = 0,
+) -> Iterator[tuple[int, bytes]]:
+    """Phase C: yield ``(record_start_offset, record_bytes)`` for every
+    row-tag record whose start tag begins in ``[start, end)`` at depth 0.
+
+    ``state``/``depth`` are the split's incoming lexer state and row-tag
+    nesting depth from ``chain_splits``; the defaults are exact for a scan
+    that starts at a known record boundary (offset 0 of a document). The
+    scan may read past ``end`` to finish the last record — the standard
+    record-boundary protocol for splittable formats, which the reference
+    omits (SURVEY.md §4.3)."""
+    pos = start
+    if state != ST_TEXT:
+        buf = _Buf(f, max(0, start - 2))
+        r = _resume_offset(buf, state, start, end)
+        if r is None or r >= end:
+            return
+        pos = r
+    else:
+        buf = _Buf(f, start)
+    sc = _Scanner(buf, row_tag)
+    d = depth
+    rec_start: int | None = None
+    while True:
+        sc.floor = rec_start if rec_start is not None else pos
+        tok = sc.next_token(pos)
+        if tok is None:
+            return  # EOF / truncated document
+        kind, s, after = tok
+        if rec_start is None and s >= end:
+            return
+        if kind == "open":
+            if d == 0:
+                rec_start = s
+            d += 1
+        elif kind == "selfclose":
+            if d == 0:
+                yield s, buf.slice(s, after)
+        elif kind == "close":
+            if d > 0:
+                d -= 1
+                if d == 0 and rec_start is not None:
+                    yield rec_start, buf.slice(rec_start, after)
+                    rec_start = None
+        pos = after
+        if rec_start is None:
+            buf.compact(pos)
 
 
 # --------------------------------------------------------------- assembly
 
 
 def _local(tag: str) -> str:
-    return tag.rsplit("}", 1)[-1]
+    return tag.rsplit("}", 1)[-1].rsplit(":", 1)[-1]
 
 
 def _coerce(text: str | None, dtype: DataType, trim: bool = True):
@@ -252,7 +460,14 @@ def _coerce(text: str | None, dtype: DataType, trim: bool = True):
     if isinstance(dtype, (FloatType, DoubleType)):
         return float(text)
     if isinstance(dtype, BooleanType):
-        return text.lower() in ("true", "1")
+        low = text.lower()
+        if low in ("true", "1"):
+            return True
+        if low in ("false", "0"):
+            return False
+        # surface malformed booleans so the mode policy applies
+        # (FAILFAST raises, DROPMALFORMED drops, PERMISSIVE nulls the row)
+        raise ValueError(f"not a boolean: {text!r}")
     if isinstance(dtype, DecimalType):
         return Decimal(text)
     if isinstance(dtype, DateType):
@@ -279,6 +494,10 @@ def assemble_row(elem: ET.Element, struct: StructType) -> tuple:
     children_by_name: dict[str, list[ET.Element]] = {}
     for c in elem:
         children_by_name.setdefault(_local(c.tag), []).append(c)
+    # attributes by local label (a prefixed attribute is keyed '{uri}name'
+    # by ElementTree); collisions are last-write-wins, matching the
+    # reference's rec.put (AvroTransormer.scala:190)
+    attrs = {_local(k): v for k, v in elem.attrib.items()}
 
     for field in struct.fields:
         meta = field.metadata or {}
@@ -289,12 +508,12 @@ def assemble_row(elem: ET.Element, struct: StructType) -> tuple:
             continue
         if kind == "attribute" or (
             kind is None and xml_name not in children_by_name and (
-                xml_name in elem.attrib or field.name.lstrip("_") in elem.attrib
+                xml_name in attrs or field.name.lstrip("_") in attrs
             )
         ):
-            raw = elem.attrib.get(xml_name)
+            raw = attrs.get(xml_name)
             if raw is None:
-                raw = elem.attrib.get(field.name.lstrip("_"))
+                raw = attrs.get(field.name.lstrip("_"))
             # attributes are not trimmed (reference: setAttributes copies
             # the raw attribute value, AvroTransormer.scala:180-188)
             values.append(_coerce(raw, field.dataType, trim=False))
@@ -324,8 +543,39 @@ def assemble_row(elem: ET.Element, struct: StructType) -> tuple:
     return tuple(values)
 
 
+_PREFIX_RX = re.compile(rb"<\/?([A-Za-z_][A-Za-z0-9_.\-]*):")
+_ATTR_PREFIX_RX = re.compile(rb"\s([A-Za-z_][A-Za-z0-9_.\-]*):[A-Za-z_]")
+
+
+def _bind_unbound_prefixes(record_bytes: bytes) -> bytes:
+    """A record that uses a namespace prefix declared on an *ancestor*
+    element (outside the record chunk) fails ET parsing with "unbound
+    prefix". Since assembly matches by local label only (like the
+    reference), bind every referenced prefix to a synthetic URI."""
+    prefixes = set(_PREFIX_RX.findall(record_bytes))
+    prefixes |= {
+        p for p in _ATTR_PREFIX_RX.findall(record_bytes) if p != b"xmlns"
+    }
+    if not prefixes:
+        return record_bytes
+    decls = b"".join(
+        b' xmlns:' + p + b'="urn:xmlhive:unbound:' + p + b'"' for p in sorted(prefixes)
+    )
+    # inject into the root start tag, before its first delimiter
+    m = re.match(rb"<[^\s/>]+", record_bytes)
+    if m is None:
+        return record_bytes
+    i = m.end()
+    return record_bytes[:i] + decls + record_bytes[i:]
+
+
 def parse_record(record_bytes: bytes, struct: StructType) -> tuple:
-    elem = ET.fromstring(record_bytes)
+    try:
+        elem = ET.fromstring(record_bytes)
+    except ET.ParseError as e:
+        if "unbound prefix" not in str(e):
+            raise
+        elem = ET.fromstring(_bind_unbound_prefixes(record_bytes))
     return assemble_row(elem, struct)
 
 
@@ -373,6 +623,69 @@ def plan_splits(
     return splits
 
 
+AnnotatedSplit = tuple[str, int, int, str, int]  # path, start, end, state, depth
+
+
+def plan_annotated_splits(
+    paths: list[str],
+    row_tag: str,
+    partition_bytes: int = DEFAULT_PARTITION_BYTES,
+    spark: SparkSession | None = None,
+) -> list[AnnotatedSplit]:
+    """Full split plan with phase A+B boundary reconciliation.
+
+    Phase A summaries for multi-split files run as a Spark job when a
+    session is given (each task byte-scans one split — this is what keeps
+    planning distributed at 100 TB); driver-side otherwise (fine for
+    local files / small inputs). Single-split files need no phase A at
+    all — offset 0 is always ``(TEXT, 0)``."""
+    raw = plan_splits(paths, partition_bytes)
+    by_file: dict[str, list[tuple[int, int]]] = {}
+    for p, a, b in raw:
+        by_file.setdefault(p, []).append((a, b))
+
+    # phase A: summaries for every non-final split of multi-split files
+    need: list[tuple[str, int, int]] = []
+    for p, spans in by_file.items():
+        if len(spans) > 1:
+            need += [(p, a, b) for a, b in spans[:-1]]
+
+    summaries: dict[tuple[str, int], dict] = {}
+    if need:
+        def _summ(item: tuple[str, int, int]):
+            path, a, b = item
+            with open(path, "rb") as f:
+                return (path, a), split_summaries(f, row_tag, a, b)
+
+        if spark is not None:
+            # the map closure resolves split_summaries by module reference
+            # on executors — ship the package before the first job
+            from xml_hive_spark.sources.xml_datasource import ship_package
+
+            ship_package(spark)
+            sc = spark.sparkContext
+            summaries = dict(
+                sc.parallelize(need, len(need)).map(_summ).collect()
+            )
+        else:
+            summaries = dict(_summ(it) for it in need)
+
+    # phase B: fold per file
+    out: list[AnnotatedSplit] = []
+    for p, spans in by_file.items():
+        state, depth = ST_TEXT, 0
+        for i, (a, b) in enumerate(spans):
+            out.append((p, a, b, state, depth))
+            if i < len(spans) - 1:
+                nxt_state, delta, mind = summaries[(p, a)][state]
+                if depth + mind < 0:
+                    log.warning(
+                        "xml split chain: depth underflow in %s at [%d,%d)", p, a, b
+                    )
+                state, depth = nxt_state, max(0, depth + delta)
+    return out
+
+
 def resolve_paths(path: str | list[str]) -> list[str]:
     patterns = [path] if isinstance(path, str) else list(path)
     out: list[str] = []
@@ -390,14 +703,16 @@ def resolve_paths(path: str | list[str]) -> list[str]:
 
 
 def _read_split(
-    split: tuple[str, int, int],
+    split: tuple,
     row_tag: str,
     struct: StructType,
     mode: str = "FAILFAST",
 ):
-    path, a, b = split
+    path, a, b = split[0], split[1], split[2]
+    state = split[3] if len(split) > 3 else ST_TEXT
+    depth = split[4] if len(split) > 4 else 0
     with open(path, "rb") as f:
-        for _, rec in iter_record_spans(f, row_tag, a, b):
+        for _, rec in iter_record_spans(f, row_tag, a, b, state, depth):
             row = parse_record_safe(rec, struct, mode)
             if row is not None:
                 yield row
@@ -434,24 +749,40 @@ def read_xml(
 
         schema = xsd_to_struct(xsd, sep_tag_type, ns, rich_types=rich_types)
 
+    paths = resolve_paths(path)
+    splits = plan_annotated_splits(paths, row_tag, partition_bytes, spark=spark)
+
     if use_datasource:
+        # narrow availability probe only — a genuine reader bug must
+        # surface, not silently switch execution paths
         try:
             from xml_hive_spark.sources.xml_datasource import register
-
+        except ImportError:
+            log.warning("Python DataSource API unavailable; using RDD reader")
+            register = None
+        if register is not None:
             register(spark)
-            reader = (
+            return (
                 spark.read.format("xmlhive")
                 .schema(schema)
                 .option("rowTag", row_tag)
-                .option("partitionBytes", str(partition_bytes))
                 .option("mode", mode)
+                .option("splits", json.dumps(splits))
+                .load()
             )
-            paths = resolve_paths(path)
-            return reader.option("paths", "\n".join(paths)).load()
-        except Exception:
-            pass  # fall back to the RDD path below
 
-    return read_xml_rdd(spark, path, row_tag, schema, partition_bytes, mode)
+    return _read_xml_rdd_splits(spark, splits, row_tag, schema, mode)
+
+
+def _read_xml_rdd_splits(spark, splits, row_tag, schema, mode):
+    from xml_hive_spark.sources.xml_datasource import ship_package
+
+    ship_package(spark)  # executors unpickle _read_split by module reference
+    sc = spark.sparkContext
+    rdd = sc.parallelize(splits, max(1, len(splits))).flatMap(
+        lambda s: _read_split(s, row_tag, schema, mode)
+    )
+    return spark.createDataFrame(rdd, schema)
 
 
 def read_xml_rdd(
@@ -464,12 +795,6 @@ def read_xml_rdd(
 ) -> DataFrame:
     """Fallback reader: parallelized byte-range splits + per-partition
     record scan. Same split protocol as the DataSource path."""
-    from xml_hive_spark.sources.xml_datasource import ship_package
-
-    ship_package(spark)  # executors unpickle _read_split by module reference
-    splits = plan_splits(resolve_paths(path), partition_bytes)
-    sc = spark.sparkContext
-    rdd = sc.parallelize(splits, len(splits)).flatMap(
-        lambda s: _read_split(s, row_tag, schema, mode)
-    )
-    return spark.createDataFrame(rdd, schema)
+    paths = resolve_paths(path)
+    splits = plan_annotated_splits(paths, row_tag, partition_bytes, spark=spark)
+    return _read_xml_rdd_splits(spark, splits, row_tag, schema, mode)

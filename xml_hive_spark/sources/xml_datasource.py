@@ -31,6 +31,7 @@ AvroFromXmlSerde.scala:21-23):
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -39,7 +40,7 @@ from pyspark.sql.types import StructType
 from xml_hive_spark.reader import (
     DEFAULT_PARTITION_BYTES,
     _read_split,
-    plan_splits,
+    plan_annotated_splits,
     resolve_paths,
 )
 
@@ -49,6 +50,10 @@ class XmlInputPartition(InputPartition):
     path: str
     start: int
     end: int
+    # incoming lexer state + row-tag depth from the two-phase split
+    # reconciliation (reader.py phase A/B); (TEXT, 0) at a record boundary
+    state: str = "TEXT"
+    depth: int = 0
 
 
 def _opt(options, *names, default=None):
@@ -91,15 +96,19 @@ class XmlHiveDataSource(DataSource):
 class XmlHiveReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self._schema = schema
-        raw_paths = _opt(options, "paths") or _opt(options, "path")
-        if not raw_paths:
-            raise ValueError("xmlhive: no input path given")
-        self._paths = (
-            raw_paths.split("\n") if "\n" in raw_paths else resolve_paths(raw_paths)
-        )
         self._row_tag = _opt(options, "rowTag", "rowtag")
         if not self._row_tag:
             raise ValueError("xmlhive: rowTag option is required")
+        # pre-annotated splits from read_xml (phase A ran as a Spark job)
+        raw_splits = _opt(options, "splits")
+        self._splits = json.loads(raw_splits) if raw_splits else None
+        if self._splits is None:
+            raw_paths = _opt(options, "paths") or _opt(options, "path")
+            if not raw_paths:
+                raise ValueError("xmlhive: no input path given")
+            self._paths = (
+                raw_paths.split("\n") if "\n" in raw_paths else resolve_paths(raw_paths)
+            )
         self._partition_bytes = int(
             _opt(options, "partitionBytes", "partitionbytes", default=DEFAULT_PARTITION_BYTES)
         )
@@ -108,10 +117,15 @@ class XmlHiveReader(DataSourceReader):
             raise ValueError(f"xmlhive: invalid mode {self._mode!r}")
 
     def partitions(self):
-        parts = [
-            XmlInputPartition(p, a, b)
-            for p, a, b in plan_splits(self._paths, self._partition_bytes)
-        ]
+        if self._splits is not None:
+            splits = self._splits
+        else:
+            # bare .format("xmlhive") use: phase A runs driver-side (the
+            # scale path is read_xml, which distributes it as a Spark job)
+            splits = plan_annotated_splits(
+                self._paths, self._row_tag, self._partition_bytes
+            )
+        parts = [XmlInputPartition(*s) for s in splits]
         # Spark requires at least one partition (all-empty inputs would
         # otherwise surface as read(None) on the executor)
         return parts or [XmlInputPartition("", 0, 0)]
@@ -120,7 +134,8 @@ class XmlHiveReader(DataSourceReader):
         if partition is None or partition.end <= partition.start:
             return
         yield from _read_split(
-            (partition.path, partition.start, partition.end),
+            (partition.path, partition.start, partition.end,
+             partition.state, partition.depth),
             self._row_tag,
             self._schema,
             self._mode,
