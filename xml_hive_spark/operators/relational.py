@@ -948,7 +948,8 @@ def explode_positional(spark: SparkSession, sf: str) -> DataFrame:
     "json_functions",
     oracle="""
 SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-       count(*) AS n, round(sum(value), 2) AS sum_value
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY CAST(json_extract_string(props, '$.k') AS INTEGER)
 """,
@@ -965,7 +966,7 @@ def json_functions(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("k_val")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dsum("value").alias("sum_value"),
         )
     )
 
@@ -1054,21 +1055,31 @@ def pandas_udf_scalar(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "grouped_agg_pandas_udf",
     oracle="""
-SELECT c_nationkey, round(avg(c_acctbal), 4) AS mean_bal
+SELECT c_nationkey,
+       sum(floor(c_acctbal * 1048576.0)) / 1048576.0 / count(*) AS mean_bal
 FROM customer GROUP BY c_nationkey
 """,
     tags=("udf", "pandas", "agg"),
 )
 def grouped_agg_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
-    """Grouped-aggregate pandas UDF (Hive UDAF surface)."""
+    """Grouped-aggregate pandas UDF (Hive UDAF surface).
+
+    Determinism: pandas Series.mean() uses pairwise summation whose
+    rounding depends on arrival order; quantizing addends with
+    floor(x * 2^20) makes the integer sum associative so the mean is
+    bit-identical across engines (same convention as
+    apply_in_pandas_centered)."""
+    import math
+
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def mean_bal(bal: pd.Series) -> float:
-        return float(bal.mean())
+        q = sum(math.floor(x * 1048576.0) for x in bal)
+        return q / 1048576.0 / len(bal)
 
     cust = t(spark, sf, "customer")
     return cust.groupBy("c_nationkey").agg(
-        F.round(mean_bal("c_acctbal"), 4).alias("mean_bal")
+        mean_bal("c_acctbal").alias("mean_bal")
     )

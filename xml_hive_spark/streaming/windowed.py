@@ -75,7 +75,9 @@ def run_streaming_event_counts(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("availableNow drain did not finish within 120s")
     return spark.table(name)
 
 
@@ -111,5 +113,7 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("availableNow drain did not finish within 120s")
     return spark.table(name)
