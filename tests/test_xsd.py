@@ -187,3 +187,55 @@ class TestReferenceParity:
             ("LastName", "string", True),
             ("Age", "int", False),
         ]
+
+
+class TestPerNodeNamespaceScope:
+    """Prefix shadowing: an inner element redeclares a prefix bound to a
+    different URI on an ancestor. Resolution must use the DECLARING node's
+    scope (reference: per-node splitType, XMLToAvroSchema.scala:312-313,
+    318-327) — a document-level map mis-resolves the outer reference."""
+
+    XSD = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           xmlns:p="urn:outer" targetNamespace="urn:outer">
+  <xs:complexType name="OuterType">
+    <xs:sequence>
+      <!-- p: resolves to urn:outer here -->
+      <xs:element name="outer_child" type="p:LeafType"/>
+      <xs:sequence xmlns:p="urn:inner">
+        <!-- p: SHADOWED to urn:inner for this subtree -->
+        <xs:element name="inner_child" type="p:LeafType"/>
+      </xs:sequence>
+    </xs:sequence>
+  </xs:complexType>
+  <xs:complexType name="LeafType">
+    <xs:sequence>
+      <xs:element name="v" type="xs:int"/>
+    </xs:sequence>
+  </xs:complexType>
+</xs:schema>"""
+
+    XSD_INNER = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           targetNamespace="urn:inner">
+  <xs:complexType name="LeafType">
+    <xs:sequence>
+      <xs:element name="s" type="xs:string"/>
+    </xs:sequence>
+  </xs:complexType>
+</xs:schema>"""
+
+    def test_shadowed_prefix_resolves_per_scope(self):
+        from xml_hive_spark.xsd import XsdGraph
+
+        g = XsdGraph()
+        g.parse_source(self.XSD)
+        g.parse_source(self.XSD_INNER)
+        ot = g.complex_types[("urn:outer", "OuterType")]
+        refs = {e.name: e.type_ref for e in ot.elements}
+        assert refs["outer_child"] == ("urn:outer", "LeafType")
+        assert refs["inner_child"] == ("urn:inner", "LeafType")
+        # end-to-end: the two children get the *different* leaf structs
+        st = g.struct_for("OuterType", "urn:outer")
+        assert st["outer_child"].dataType.fieldNames() == ["v"]
+        assert st["inner_child"].dataType.fieldNames() == ["s"]

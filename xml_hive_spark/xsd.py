@@ -179,23 +179,32 @@ class XsdGraph:
         return graph
 
     def parse_source(self, xsd_text: str) -> None:
-        root = ET.fromstring(xsd_text)
+        root, scopes = _parse_with_scopes(xsd_text)
         if _local(root.tag) != "schema":
             raise ValueError("not an XSD document (root must be xs:schema)")
         tns = root.get("targetNamespace", "")
-        nsmap = _nsmap_of(xsd_text)
-        for child in root:
-            tag = _local(child.tag)
-            if tag == "complexType":
-                self._parse_complex_type(child, child.get("name"), tns, nsmap)
-            elif tag == "simpleType":
-                self._parse_simple_type(child, child.get("name"), tns, nsmap)
-            elif tag == "element":
-                elm = self._parse_element(child, None, tns, nsmap)
-                self.root_elements[(tns, elm.name)] = elm
+        # scopes are keyed by element identity; keep the tree alive while
+        # the walk runs so ids stay unique
+        self._scopes, self._scope_root = scopes, root
+        try:
+            for child in root:
+                tag = _local(child.tag)
+                if tag == "complexType":
+                    self._parse_complex_type(child, child.get("name"), tns)
+                elif tag == "simpleType":
+                    self._parse_simple_type(child, child.get("name"), tns)
+                elif tag == "element":
+                    elm = self._parse_element(child, None, tns)
+                    self.root_elements[(tns, elm.name)] = elm
+        finally:
+            self._scopes, self._scope_root = None, None
+
+    def _ns(self, node: ET.Element) -> dict[str, str]:
+        """The prefix→URI map in effect at ``node`` (per-node scope)."""
+        return self._scopes.get(id(node), {}) if self._scopes else {}
 
     def _parse_complex_type(
-        self, node: ET.Element, name: str | None, tns: str, nsmap: dict[str, str]
+        self, node: ET.Element, name: str | None, tns: str
     ) -> tuple[str, str]:
         if name is None:
             raise ValueError("anonymous complexType must be named by caller")
@@ -204,9 +213,9 @@ class XsdGraph:
         for child in node:
             tag = _local(child.tag)
             if tag in ("sequence", "all"):
-                self._parse_sequence(child, ct, tns, nsmap)
+                self._parse_sequence(child, ct, tns)
             elif tag == "attribute":
-                ct.attributes.append(self._parse_attribute(child, tns, nsmap))
+                ct.attributes.append(self._parse_attribute(child, tns))
             elif tag == "simpleContent":
                 # extension base → _Value + extension attributes
                 # (reference: XMLToAvroSchema.scala:256,268-273)
@@ -214,11 +223,11 @@ class XsdGraph:
                     if _local(ext.tag) == "extension":
                         base = ext.get("base")
                         if base:
-                            ct.simple_content_base = _split_type(base, nsmap, tns)
+                            ct.simple_content_base = _split_type(base, self._ns(ext), tns)
                         for a in ext:
                             if _local(a.tag) == "attribute":
                                 ct.attributes.append(
-                                    self._parse_attribute(a, tns, nsmap)
+                                    self._parse_attribute(a, tns)
                                 )
             elif tag == "choice":
                 # parity: reference walks only sequence/all
@@ -229,31 +238,31 @@ class XsdGraph:
         return (tns, name)
 
     def _parse_sequence(
-        self, seq: ET.Element, ct: XsdComplexType, tns: str, nsmap: dict[str, str]
+        self, seq: ET.Element, ct: XsdComplexType, tns: str
     ) -> None:
         for child in seq:
             tag = _local(child.tag)
             if tag == "element":
-                ct.elements.append(self._parse_element(child, seq, tns, nsmap))
+                ct.elements.append(self._parse_element(child, seq, tns))
             elif tag in ("sequence", "all"):
                 # nested sequence flattened into the same record
                 # (reference: XMLToAvroSchema.scala:247-249)
-                self._parse_sequence(child, ct, tns, nsmap)
+                self._parse_sequence(child, ct, tns)
 
     def _parse_attribute(
-        self, node: ET.Element, tns: str, nsmap: dict[str, str]
+        self, node: ET.Element, tns: str
     ) -> XsdAttribute:
         name = node.get("name") or ""
         type_s = node.get("type", "string")
         return XsdAttribute(
             name=name,
-            type_ref=_split_type(type_s, nsmap, tns),
+            type_ref=_split_type(type_s, self._ns(node), tns),
             # use != "required" → nullable (XMLToAvroSchema.scala:101-114)
             required=node.get("use") == "required",
         )
 
     def _parse_simple_type(
-        self, node: ET.Element, name: str | None, tns: str, nsmap: dict[str, str]
+        self, node: ET.Element, name: str | None, tns: str
     ) -> tuple[str, str]:
         if name is None:
             raise ValueError("anonymous simpleType must be named by caller")
@@ -263,7 +272,7 @@ class XsdGraph:
             if _local(child.tag) == "restriction":
                 base = child.get("base")
                 if base:
-                    base_ref = _split_type(base, nsmap, tns)
+                    base_ref = _split_type(base, self._ns(child), tns)
                 for facet in child:
                     if _local(facet.tag) == "enumeration":
                         v = facet.get("value")
@@ -280,7 +289,6 @@ class XsdGraph:
         node: ET.Element,
         enclosing_seq: ET.Element | None,
         tns: str,
-        nsmap: dict[str, str],
     ) -> XsdElement:
         name = node.get("name") or ""
         # cardinality with fallback to the enclosing sequence
@@ -297,7 +305,7 @@ class XsdGraph:
 
         type_s = node.get("type")
         if type_s is not None:
-            type_ref = _split_type(type_s, nsmap, tns)
+            type_ref = _split_type(type_s, self._ns(node), tns)
         else:
             # anonymous inline type → synthesize "<name>Type"
             # (reference: XMLToAvroSchema.scala:287-297)
@@ -306,9 +314,9 @@ class XsdGraph:
             for child in node:
                 tag = _local(child.tag)
                 if tag == "complexType":
-                    type_ref = self._parse_complex_type(child, synth, tns, nsmap)
+                    type_ref = self._parse_complex_type(child, synth, tns)
                 elif tag == "simpleType":
-                    type_ref = self._parse_simple_type(child, synth, tns, nsmap)
+                    type_ref = self._parse_simple_type(child, synth, tns)
             if type_ref is None:
                 type_ref = (XS_NS, "string")
         return XsdElement(
@@ -464,18 +472,48 @@ def _split_type(type_s: str, nsmap: dict[str, str], tns: str) -> tuple[str, str]
     return (nsmap.get("", tns), type_s)
 
 
-def _nsmap_of(xsd_text: str) -> dict[str, str]:
-    """Collect prefix→URI declarations from the document.
+_NS_MISSING = object()
 
-    ElementTree drops xmlns declarations from attributes, so pull them via
-    the pull-parser's start-ns events. Single scope map (document-level) —
-    sufficient for the reference's fixtures; per-node scope shadowing is a
-    documented non-goal.
-    """
+
+def _parse_with_scopes(
+    xsd_text: str,
+) -> tuple[ET.Element, dict[int, dict[str, str]]]:
+    """Parse the document and record each element's *effective* prefix→URI
+    map, honoring per-node scope and shadowing (reference resolves
+    prefixes against the declaring node's scope —
+    XMLToAvroSchema.scala:312-313, splitType :318-327).
+
+    ElementTree drops xmlns declarations from attributes, so they are
+    captured via the pull-parser's start-ns events and folded along the
+    element stack."""
     import io
 
-    nsmap: dict[str, str] = {}
-    for event, payload in ET.iterparse(io.StringIO(xsd_text), events=("start-ns",)):
-        prefix, uri = payload
-        nsmap[prefix] = uri
-    return nsmap
+    scopes: dict[int, dict[str, str]] = {}
+    current: dict[str, str] = {}
+    pending: list[tuple[str, str]] = []
+    undo_stack: list[list[tuple[str, object]]] = []
+    root: ET.Element | None = None
+    for event, payload in ET.iterparse(
+        io.StringIO(xsd_text), events=("start", "end", "start-ns")
+    ):
+        if event == "start-ns":
+            pending.append(payload)
+        elif event == "start":
+            undo: list[tuple[str, object]] = []
+            for pfx, uri in pending:
+                undo.append((pfx, current.get(pfx, _NS_MISSING)))
+                current[pfx] = uri
+            pending = []
+            undo_stack.append(undo)
+            scopes[id(payload)] = dict(current)
+            if root is None:
+                root = payload
+        else:  # end — restore the enclosing scope
+            for pfx, old in reversed(undo_stack.pop()):
+                if old is _NS_MISSING:
+                    current.pop(pfx, None)
+                else:
+                    current[pfx] = old  # type: ignore[assignment]
+    if root is None:
+        raise ValueError("empty XSD document")
+    return root, scopes
