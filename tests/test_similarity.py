@@ -60,3 +60,49 @@ class TestIVF:
                 assert abs(r.cos_sim - brute_cos[(r.qid, r.nid)]) < 1e-9
         # probing 3 of 10 lists must still recover part of the true top-5
         assert len(ivf_set & set(brute_cos)) > 0
+
+
+class TestEmbeddingDedupLSH:
+    def test_recall_and_exactness_vs_numpy_ground_truth(self, spark, sf_dir):
+        """dedup_embedding_cosine (banded LSH candidates + exact verify):
+        every emitted pair must truly exceed the threshold (no false
+        positives, cosine exact to 1e-9), and recall vs the exact
+        all-pairs set must meet the banding construction's bound."""
+        import numpy as np
+
+        rows = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        ids = np.array([r.vec_id for r in rows])
+        m = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+        nrm = np.linalg.norm(m, axis=1)
+        cos = (m @ m.T) / np.outer(nrm, nrm)
+        iu = np.triu_indices(len(ids), k=1)
+        truth = {
+            (int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))): cos[i, j]
+            for i, j in zip(*iu)
+            if cos[i, j] > 0.25
+        }
+
+        got = all_queries()["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+        got_pairs = {(r.id_a, r.id_b): r.cos_sim for r in got}
+
+        # no false positives; exact cosine on everything returned
+        for (a, b), c in got_pairs.items():
+            assert (a, b) in truth, f"false positive pair {(a, b)}"
+            assert abs(c - truth[(a, b)]) < 1e-9
+
+        # recall: theory gives ~0.93 at cos=0.25 rising toward 1 for
+        # nearer pairs; assert a conservative floor
+        recall = len(got_pairs) / max(1, len(truth))
+        assert recall >= 0.6, f"recall {recall:.3f} over {len(truth)} true pairs"
+
+    def test_no_cartesian_or_allpairs_join(self, spark, sf_dir):
+        """The plan must contain no CartesianProduct and no non-equi-only
+        self-join: candidates come from the (band, bucket) equi-join."""
+        df = all_queries()["dedup_embedding_cosine"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
