@@ -80,3 +80,18 @@ def test_no_cartesian_products(spark, sf_dir, name):
     """No operator may degrade to an unbounded cross product."""
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
+
+
+def test_ntile_no_global_single_partition_sort(spark, sf_dir):
+    """Global ntile must not collapse the full table into one task: the
+    row_number window over customer is hash-partitioned by the coarse
+    bucket; single-partition exchanges may only feed the domain-sized
+    histogram prefix-sum and the scalar total count."""
+    plan = plan_of(spark, sf_dir, "window_ntile")
+    assert "ntile(" not in plan
+    win_lines = [
+        l for l in plan.splitlines() if "Window" in l and "row_number" in l
+    ]
+    assert len(win_lines) == 1
+    assert "windowspecdefinition(cb#" in win_lines[0]  # partitioned spec
+    assert plan.count("Exchange SinglePartition") <= 2

@@ -686,10 +686,46 @@ GROUP BY quartile
     tags=("window", "ntile"),
 )
 def window_ntile(spark: SparkSession, sf: str) -> DataFrame:
-    cust = t(spark, sf, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    """Exact global ntile(4) WITHOUT a whole-table single-partition sort
+    (`Window.orderBy` with no partitionBy collapses the table to one
+    task — the scale-killer flagged in round 1).
+
+    Two-pass formulation, every step partition-parallel or domain-bounded:
+    1. histogram on a deterministic coarse key (floor(acctbal) — value
+       domain ~11k buckets, independent of row count);
+    2. prefix-sum the histogram for per-bucket global offsets (the only
+       single-partition window runs over the domain-sized histogram, not
+       the table);
+    3. rank locally within each coarse bucket (hash-partitioned window)
+       and add the bucket offset → exact global row number, since
+       (c_acctbal, c_custkey) is a total order;
+    4. closed-form ntile from the row number: the first N mod n tiles get
+       ceil(N/n) rows, the rest floor(N/n) — identical to SQL NTILE."""
+    cust = t(spark, sf, "customer").withColumn("cb", F.floor("c_acctbal"))
+
+    hist = cust.groupBy("cb").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("cb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        "cb", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    totals = cust.agg(F.count(F.lit(1)).alias("n_total"))
+
+    w_loc = Window.partitionBy("cb").orderBy("c_acctbal", "c_custkey")
+    ranked = (
+        cust.join(F.broadcast(offsets), "cb")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("rn", F.row_number().over(w_loc) + F.col("off"))
+    )
+    # closed-form tile assignment in exact integer arithmetic: the first
+    # r = N mod 4 tiles have big = N div 4 + 1 rows, the rest small rows
+    quartile = F.expr(
+        "CAST(IF(rn <= (n_total % 4) * (n_total DIV 4 + 1),"
+        "        (rn - 1) DIV (n_total DIV 4 + 1) + 1,"
+        "        n_total % 4 + (rn - 1 - (n_total % 4) * (n_total DIV 4 + 1))"
+        "          DIV greatest(n_total DIV 4, 1) + 1) AS INT)"
+    )
     return (
-        cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        ranked.select("c_acctbal", quartile.alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
