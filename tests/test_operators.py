@@ -46,6 +46,7 @@ def test_registry_complete():
         "agg_approx_distinct",
         "cosine_topk_ivf",
         "cosine_topk_lsh",
+        "dedup_embedding_cosine",  # LSH planes aren't SQL-expressible
         "dedup_exact_by_hash",
         "dedup_minhash_lsh",
         "dedup_simhash",

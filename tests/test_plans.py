@@ -74,6 +74,9 @@ class TestTopK:
         "asof_join",
         "dedup_exact",
         "text_fingerprint",
+        "q2_min_cost_supplier",
+        "q21_waiting_suppliers",
+        "q22_global_sales_opportunity",
     ],
 )
 def test_no_cartesian_products(spark, sf_dir, name):

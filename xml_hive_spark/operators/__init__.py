@@ -103,6 +103,7 @@ def all_queries() -> dict[str, QueryDef]:
             multimodal,
             relational,
             relational2,
+            relational3,
             similarity,
             text,
             timeseries,
