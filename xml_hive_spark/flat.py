@@ -1,0 +1,273 @@
+"""Columnar fast-path assembler for FLAT record schemas.
+
+The general path (``reader.parse_record``) builds an ElementTree per
+record and walks it under the target StructType — correct for arbitrary
+nesting, but ~19µs/record of tree-building for records that are a flat
+bag of scalar attributes/elements (the dominant shape for large XML
+exports; the reference's own fixtures are flat — TestAvroTranformer.scala).
+
+This module extracts flat records with a handful of C-level regex
+operations per record, accumulates values column-wise, and emits
+``pyarrow.RecordBatch`` directly — which the Spark Python DataSource
+ships to the JVM as-is (no per-value converter, no per-row tuple;
+pyspark/sql/worker/plan_data_source_read.py yields RecordBatches
+untouched).
+
+Correctness stance: the fast path is *conservative*. Any record showing
+a construct the regexes can't prove flat — CDATA/comments/PI/DOCTYPE
+(``<!``/``<?``), quotes inside a non-root tag (attributes on child
+elements), nested elements, residual ``&`` after entity substitution,
+non-UTF8 bytes, or a coercion failure — is re-parsed by the exact
+ElementTree path for that record only. A cross-path equivalence test
+(tests/test_flat_fastpath.py) pins fast == slow on every guard class.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import date
+from decimal import Decimal
+
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+)
+
+from xml_hive_spark.reader import parse_record_safe
+
+
+def strip_metadata(struct: StructType) -> StructType:
+    """Recursively drop StructField metadata. The streaming Arrow
+    transfer (PythonStreamingSourceRunner) rejects field metadata, and
+    Arrow batches built here must carry the metadata-free image Spark
+    compares against; the assembler keeps the rich twin for XML-kind
+    dispatch."""
+    from pyspark.sql.types import ArrayType, StructField
+
+    def strip_type(dt):
+        if isinstance(dt, StructType):
+            return strip_metadata(dt)
+        if isinstance(dt, ArrayType):
+            return ArrayType(strip_type(dt.elementType), dt.containsNull)
+        return dt
+
+    return StructType(
+        [StructField(f.name, strip_type(f.dataType), f.nullable) for f in struct.fields]
+    )
+
+
+_NC = rb"[A-Za-z_][A-Za-z0-9_.\-]{0,63}"
+
+# root start tag: name + attribute segment (quote-aware) + optional '/'
+_ROOT_RX = re.compile(
+    rb"<[^ \t\r\n/>]+((?:[^>'\"]|'[^']*'|\"[^\"]*\")*?)(/?)>"
+)
+_ATTR_RX = re.compile(
+    rb"([A-Za-z_][A-Za-z0-9_.\-:]*)[ \t\r\n]*=[ \t\r\n]*(?:\"([^\"]*)\"|'([^']*)')"
+)
+# one pass for both flatness guards: a quote inside a tag (child
+# elements with attributes, or '>' tricks), or an open (non-self-closing)
+# tag followed by another open tag before any close (depth ≥ 2)
+_GUARD_RX = re.compile(rb"<[^>]*['\"]|<(?!/)[^/>]*>[^<]*<(?!/)")
+_NAMED_ENT = {b"amp": b"&", b"lt": b"<", b"gt": b">", b"quot": b'"', b"apos": b"'"}
+_ENT_RX = re.compile(rb"&([A-Za-z]+|#[0-9]+|#[xX][0-9A-Fa-f]+);")
+
+
+def _unescape(raw: bytes) -> bytes:
+    def rep(m: "re.Match[bytes]") -> bytes:
+        g = m.group(1)
+        if g[:1] == b"#":
+            cp = int(g[2:], 16) if g[1:2] in (b"x", b"X") else int(g[1:].decode())
+            return chr(cp).encode("utf-8")
+        v = _NAMED_ENT.get(g)
+        if v is None:
+            raise ValueError(f"unknown entity &{g.decode()};")
+        return v
+
+    return _ENT_RX.sub(rep, raw)
+
+
+def _decode(raw: bytes) -> str:
+    if b"&" in raw:
+        raw = _unescape(raw)
+        if b"&" in raw:
+            raise ValueError("residual & after entity substitution")
+    return raw.decode("utf-8")
+
+
+def _scalar_converter(dtype, trim: bool):
+    """Text → typed value closures, bit-compatible with reader._coerce."""
+    if isinstance(dtype, StringType):
+        return (lambda t: t.strip()) if trim else (lambda t: t)
+
+    def wrap(core):
+        def conv(t: str):
+            t = t.strip() if trim else t
+            if t == "":
+                return None
+            return core(t)
+
+        return conv
+
+    if isinstance(dtype, (IntegerType, LongType, ShortType, ByteType)):
+        return wrap(int)
+    if isinstance(dtype, (FloatType, DoubleType)):
+        return wrap(float)
+    if isinstance(dtype, BooleanType):
+
+        def to_bool(t: str):
+            low = t.lower()
+            if low in ("true", "1"):
+                return True
+            if low in ("false", "0"):
+                return False
+            raise ValueError(f"not a boolean: {t!r}")
+
+        return wrap(to_bool)
+    if isinstance(dtype, DecimalType):
+        return wrap(Decimal)
+    if isinstance(dtype, DateType):
+        return wrap(date.fromisoformat)
+    return None  # not fast-path eligible (timestamp tz semantics, etc.)
+
+
+class FlatAssembler:
+    """Regex field extractor + Arrow batch builder for one flat schema.
+
+    Use :meth:`try_create`; returns None when the schema doesn't qualify
+    (nested/array/map/timestamp fields, text-content fields, or fields
+    without explicit xmlKind metadata)."""
+
+    @classmethod
+    def try_create(cls, struct: StructType, mode: str) -> "FlatAssembler | None":
+        fields = []
+        for f in struct.fields:
+            meta = f.metadata or {}
+            kind = meta.get("xmlKind")
+            if kind not in ("attribute", "element"):
+                return None
+            conv = _scalar_converter(f.dataType, trim=(kind == "element"))
+            if conv is None:
+                return None
+            xml_name = meta.get("xmlName", f.name)
+            rx = None
+            presence = None
+            if kind == "element":
+                t = re.escape(xml_name.encode())
+                rx = re.compile(
+                    rb"<(?:" + _NC + rb":)?" + t
+                    + rb"[ \t\r\n]*(?:/>|>(.*?)</(?:" + _NC + rb":)?" + t
+                    + rb"[ \t\r\n]*>)",
+                    re.DOTALL,
+                )
+                # on a miss, this cheap probe decides None vs slow path
+                presence = b"<" + xml_name.encode()
+                keys = None
+            else:
+                # assemble_row's attribute lookup: xmlName, then the
+                # '_'-stripped field name (reader.py assemble_row)
+                keys = (xml_name.encode(), f.name.lstrip("_").encode())
+            fields.append((kind, keys, rx, presence, conv))
+        return cls(struct, mode, fields)
+
+    def __init__(self, struct, mode, fields):
+        self.struct = struct
+        self.mode = mode
+        self.fields = fields
+        self._n_fields = len(fields)
+
+    # ------------------------------------------------------------ per record
+
+    def fast_row(self, rec: bytes) -> tuple | None:
+        """Extract a row tuple, or None → caller must use the exact path."""
+        if b"<!" in rec or b"<?" in rec:
+            return None
+        m = _ROOT_RX.match(rec)
+        if m is None:
+            return None
+        body_at = m.end()  # search with a start offset — no body copy
+        if _GUARD_RX.search(rec, body_at):
+            return None
+        attrs: dict[bytes, bytes] | None = None
+        vals = []
+        try:
+            for kind, keys, rx, presence, conv in self.fields:
+                if kind == "attribute":
+                    if attrs is None:
+                        attrs = {}
+                        for am in _ATTR_RX.finditer(m.group(1)):
+                            name = am.group(1)
+                            if b":" in name:
+                                name = name.rsplit(b":", 1)[1]
+                            v = am.group(2)
+                            attrs[name] = am.group(3) if v is None else v
+                    raw = attrs.get(keys[0])
+                    if raw is None:
+                        raw = attrs.get(keys[1])
+                    # attributes are untrimmed; empty stays "" for strings
+                    vals.append(None if raw is None else conv(_decode(raw)))
+                else:
+                    em = rx.search(rec, body_at)
+                    if em is None:
+                        # distinguish truly-absent from regex-shy forms
+                        if rec.find(presence, body_at) != -1:
+                            return None
+                        vals.append(None)
+                        continue
+                    raw = em.group(1)
+                    if raw is None or raw == b"":
+                        # <e/> or <e></e>: ElementTree text is None
+                        vals.append(None)
+                        continue
+                    t = _decode(raw)
+                    if "<" in t:
+                        return None  # matched across structure; be exact
+                    vals.append(conv(t))
+        except (ValueError, ArithmeticError, UnicodeDecodeError):
+            return None  # exact path re-raises under the mode policy
+        return tuple(vals)
+
+    # ------------------------------------------------------------- batching
+
+    def batches(self, record_iter, batch_rows: int = 8192):
+        """``record_iter`` yields record byte strings; yields
+        ``pyarrow.RecordBatch`` (schema = Spark's Arrow image of the
+        StructType, so the DataSource worker passes them through)."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        aschema = to_arrow_schema(strip_metadata(self.struct))
+        atypes = [aschema.field(i).type for i in range(len(aschema))]
+        cols: list[list] = [[] for _ in range(self._n_fields)]
+        n = 0
+        fast_row = self.fast_row
+        for rec in record_iter:
+            vals = fast_row(rec)
+            if vals is None:
+                vals = parse_record_safe(rec, self.struct, self.mode)
+                if vals is None:  # DROPMALFORMED
+                    continue
+            for c, v in zip(cols, vals):
+                c.append(v)
+            n += 1
+            if n >= batch_rows:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c, type=t) for c, t in zip(cols, atypes)],
+                    schema=aschema,
+                )
+                cols = [[] for _ in range(self._n_fields)]
+                n = 0
+        if n:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=t) for c, t in zip(cols, atypes)],
+                schema=aschema,
+            )

@@ -8,6 +8,8 @@ tests/test_reader.py)."""
 
 from __future__ import annotations
 
+import os
+import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,3 +42,104 @@ def xml_scan_books(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("genre")
     )
+
+# ------------------------------------------------------- GB-scale XML bench
+
+_N_CATS = 7
+_PAD = "lorem-ipsum-dolor-sit-amet-consectetur-adipiscing-" * 2
+
+
+def ensure_bench_xml(target_bytes: int, cache_dir: str | None = None) -> tuple[str, int]:
+    """Deterministically generate (once, cached) a multi-split XML file of
+    ~``target_bytes`` and return ``(path, n_records)``.
+
+    Record values are closed-form functions of the record index so the
+    scan's aggregate has an exactly predictable answer
+    (tests/test_xml_bench.py); comments with decoy row tags are sprinkled
+    in so the split protocol is exercised at benchmark scale, not just in
+    unit sweeps."""
+    cache_dir = cache_dir or os.path.join(tempfile.gettempdir(), "xmlhive_bench")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"scan_{target_bytes}.xml")
+    meta = path + ".meta"
+    if os.path.exists(path) and os.path.exists(meta):
+        return path, int(Path(meta).read_text())
+
+    tmp = path + ".tmp"
+    n = 0
+    with open(tmp, "w", buffering=1 << 22) as f:
+        f.write("<dataset>\n")
+        written = 11
+        i = 0
+        while written < target_bytes - 11:
+            rec = (
+                f'<rec id="{i}"><cat>c{i % _N_CATS}</cat>'
+                f"<val>{(i * 37) % 1000}</val><txt>{_PAD}{i}</txt></rec>\n"
+            )
+            if i % 100 == 0:
+                rec += f'<!-- decoy <rec id="x{i}"><val>9</val></rec> -->\n'
+            f.write(rec)
+            written += len(rec)
+            i += 1
+        f.write("</dataset>\n")
+        n = i
+    os.replace(tmp, path)
+    Path(meta).write_text(str(n))
+    return path, n
+
+
+def xml_bench_schema():
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("id", LongType(), False,
+                        metadata={"xmlKind": "attribute", "xmlName": "id"}),
+            StructField("cat", StringType(), False,
+                        metadata={"xmlKind": "element", "xmlName": "cat"}),
+            StructField("val", IntegerType(), False,
+                        metadata={"xmlKind": "element", "xmlName": "val"}),
+        ]
+    )
+
+
+def run_xml_scan_bench(
+    spark: SparkSession, target_bytes: int, partition_bytes: int = 32 * 1024 * 1024
+) -> DataFrame:
+    """Scan the generated file with byte-range splits (~target/32MiB tasks)
+    and aggregate — the end-to-end source throughput the reference's
+    InputFormat replacement is judged on. Column pruning matters: txt (the
+    bulk of every record) is never materialized into Arrow batches...
+    (the Python DataSource materializes declared schema only — txt is not
+    in the schema, so it is parsed past but never shipped to the JVM)."""
+    from xml_hive_spark.reader import read_xml
+
+    path, _ = ensure_bench_xml(target_bytes)
+    df = read_xml(
+        spark, path, "rec", schema=xml_bench_schema(), partition_bytes=partition_bytes
+    )
+    return (
+        df.groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_val"))
+        .orderBy("cat")
+    )
+
+
+@query("xml_scan_bench", tags=("xml", "source", "bench"))
+def xml_scan_bench(spark: SparkSession, sf: str) -> DataFrame:
+    """GB-scale XML source benchmark entry: file size scales with the SF
+    dir (10 GiB x sf → 1 GiB at the bench's sf0.1, ~100 MiB at the
+    driver's sf0.01 correctness run). Rows-only: DuckDB cannot read XML;
+    the exact closed-form aggregate is asserted in tests/test_xml_bench.py."""
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf)
+    frac = float(m.group(1)) if m else 0.01
+    target = int(10 * (1 << 30) * frac)
+    return run_xml_scan_bench(spark, target)

@@ -172,50 +172,78 @@ def _skip_to(buf: _Buf, end_pat: bytes, pos: int, compact_to: int | None = None)
 def _consume_tag(buf: _Buf, pos: int) -> tuple[int, bool]:
     """``pos`` points just after ``<name``. Scan to the closing ``>`` of
     this start tag, honoring quoted attribute values. Returns
-    (offset after '>', self_closing)."""
-    quote = 0
+    (offset after '>', self_closing).
+
+    Fast path: jump straight to the next ``>`` and verify the skipped
+    segment has no unmatched quote — all C-level bounded ``find`` calls,
+    no slicing, no per-byte Python loop; a ``>`` inside a quoted
+    attribute re-scans from past that quote."""
     while True:
-        c = buf.byte_at(pos)
-        if c is None:
-            return pos, False  # malformed tail; caller handles EOF
-        if quote:
-            if c == quote:
-                quote = 0
-        elif c in (0x22, 0x27):  # " '
-            quote = c
-        elif c == 0x3E:  # >
-            prev = buf.byte_at(pos - 1)
-            return pos + 1, prev == 0x2F  # '/'
-        pos += 1
+        gt = buf.find(b">", pos)
+        if gt == -1:
+            return buf.end_offset(), False  # malformed tail; EOF-safe
+        data, base = buf.data, buf.base
+        i, e = pos - base, gt - base
+        uq_q = 0
+        while True:
+            j1 = data.find(0x22, i, e)  # "
+            j2 = data.find(0x27, i, e)  # '
+            if j1 == -1 and j2 == -1:
+                break
+            j = j1 if j2 == -1 or (j1 != -1 and j1 < j2) else j2
+            k = data.find(data[j], j + 1, e)
+            if k == -1:
+                uq_q = data[j]  # unmatched: '>' sits inside this quote
+                break
+            i = k + 1
+        if not uq_q:
+            return gt + 1, data[e - 1] == 0x2F  # '/'
+        close = buf.find(bytes([uq_q]), base + j + 1)
+        if close == -1:
+            return buf.end_offset(), False
+        pos = close + 1
 
 
 def _token_rx(row_tag: str) -> "re.Pattern[bytes]":
     """One compiled regex matching every byte sequence the scanner cares
     about: comment/CDATA/PI openers and row-tag opens/closes with an
     optional namespace prefix (local-label matching, like the reference —
-    AvroTransormer.scala:106-109)."""
+    AvroTransormer.scala:106-109). The open lookahead rejects longer
+    names (``<bookstore`` for row tag ``book``) in C; the close includes
+    its ``>`` so no per-token follow-up scan is needed.
+
+    Deliberately GROUP-FREE: capturing/named groups make CPython's
+    ``finditer`` ~12x slower on match-dense input (measured 3.15s vs
+    0.25s over 32 MiB); tokens are classified afterwards from their
+    first bytes instead (`_Scanner.tokens`)."""
     nc = rb"[A-Za-z_][A-Za-z0-9_.\-]{0,63}"
     t = re.escape(row_tag.encode())
     return re.compile(
-        rb"(?P<comment><!--)|(?P<cdata><!\[CDATA\[)|(?P<pi><\?)"
-        rb"|(?P<open><(?:" + nc + rb":)?" + t + rb")"
-        rb"|(?P<close></(?:" + nc + rb":)?" + t + rb")"
+        rb"<!--|<!\[CDATA\[|<\?"
+        rb"|<(?:" + nc + rb":)?" + t + rb"(?=[ \t\r\n/>])"
+        rb"|</(?:" + nc + rb":)?" + t + rb"[ \t\r\n]*>"
     )
 
 
 class _Scanner:
-    """Streaming token scanner over a ``_Buf``.
+    """Batched token scanner over a ``_Buf``.
 
-    ``next_token(pos)`` returns the earliest token starting at >= ``pos``
-    as ``(kind, start, after)`` where ``after`` is the offset past the
-    whole construct (comment/CDATA/PI body, or the tag's closing ``>``).
-    ``kind`` ∈ {comment, cdata, pi, open, selfclose, close}. Returns None
-    at EOF. ``floor`` is the lowest offset the caller still needs buffered
-    (start of an in-flight record); everything below it may be compacted.
-    """
+    ``tokens(from_off)`` yields candidate tokens in offset order as
+    ``(kind, start, match_end)`` — ``kind`` ∈ {comment, cdata, pi, open,
+    close}. One ``finditer`` pass per buffered window keeps the scan loop
+    in C; the consumer pays Python cost per *token*, not per byte.
+    Windows overlap by a margin so tokens truncated at a window edge are
+    re-found; the consumer must therefore skip tokens below its own
+    position cursor (duplicates from the overlap, and tokens inside
+    comment/CDATA interiors it jumped over). ``floor`` is the lowest
+    offset the consumer still needs buffered (start of an in-flight
+    record); the consumer compacts to it, and the window iterator clamps
+    to the buffer base after compaction.
 
-    # widest token prefix that must be visible in one window: '</' + 64-char
-    # prefix + ':' + tag; 160 covers any sane tag (longer ones re-scan).
+    Margin note: a close tag longer than the 160-byte margin (a >64-char
+    prefix or pathological whitespace before ``>``) would be missed at a
+    window edge — far outside the reference's scope."""
+
     _MARGIN = 160
 
     def __init__(self, buf: _Buf, row_tag: str):
@@ -223,54 +251,45 @@ class _Scanner:
         self.rx = _token_rx(row_tag)
         self.floor = buf.base
 
-    def _search(self, pos: int):
+    def tokens(self, from_off: int):
         buf = self.buf
+        pos = from_off
+        scanned_to = from_off  # absolute end of the last finditer window
         while True:
-            if pos >= buf.end_offset() and not buf._refill():
-                return None
-            m = self.rx.search(buf.data, pos - buf.base)
-            if m is not None:
-                return m
-            if buf.eof:
-                return None
-            tail = buf.end_offset() - self._MARGIN
-            pos = max(pos, tail)
-            buf.compact(min(self.floor, max(buf.base, tail)))
-            buf._refill()
-
-    def next_token(self, pos: int):
-        buf = self.buf
-        while True:
-            m = self._search(pos)
-            if m is None:
-                return None
-            start = buf.base + m.start()
-            kind = m.lastgroup
-            if kind == "comment":
-                return kind, start, _skip_to(buf, b"-->", start + 4, self.floor)
-            if kind == "cdata":
-                return kind, start, _skip_to(buf, b"]]>", start + 9, self.floor)
-            if kind == "pi":
-                return kind, start, _skip_to(buf, b"?>", start + 2, self.floor)
-            name_end = buf.base + m.end()
-            if kind == "open":
-                nxt = buf.byte_at(name_end)
-                if nxt is None or nxt not in _OPEN_DELIMS:
-                    pos = start + 1  # e.g. <bookstore> when row_tag is book
-                    continue
-                after, self_closing = _consume_tag(buf, name_end)
-                return ("selfclose" if self_closing else "open"), start, after
-            # close tag — allow optional whitespace before '>'
-            q = name_end
-            while True:
-                c = buf.byte_at(q)
-                if c in (0x20, 0x09, 0x0D, 0x0A):
-                    q += 1
-                elif c == 0x3E:  # >
-                    return "close", start, q + 1
-                else:
-                    pos = start + 1
-                    break
+            data, base = buf.data, buf.base
+            hi_abs = base + (
+                len(data) if buf.eof else max(0, len(data) - self._MARGIN)
+            )
+            lo_abs = max(base, pos)
+            if lo_abs < hi_abs and hi_abs > scanned_to:
+                # Classify from first bytes: the pattern is group-free for
+                # finditer speed (see _token_rx). The whole window is
+                # materialized and classified BEFORE the first yield — the
+                # consumer compacts/refills the buffer between yields, so
+                # `data` indices are only valid right now.
+                toks = []
+                ap = toks.append
+                for m in self.rx.finditer(data, lo_abs - base, hi_abs - base):
+                    i = m.start()
+                    c = data[i + 1]
+                    if c == 0x21:  # '!': <!-- or <![CDATA[
+                        kind = "comment" if data[i + 2] == 0x2D else "cdata"
+                    elif c == 0x3F:  # '?'
+                        kind = "pi"
+                    elif c == 0x2F:  # '/'
+                        kind = "close"
+                    else:
+                        kind = "open"
+                    ap((kind, base + i, base + m.end()))
+                yield from toks
+                scanned_to = hi_abs
+                # overlap by margin so edge-truncated tokens are re-found
+                pos = max(pos, hi_abs - self._MARGIN)
+            elif buf.eof:
+                return
+            else:
+                buf.compact(min(self.floor, pos))
+                buf._refill()  # False → eof set; loop scans the tail window
 
 
 def _resume_offset(
@@ -311,14 +330,22 @@ def split_summaries(
         acc = {r: [0, 0, r, True] for r in checkpoints}
         pos = from_off
         last_kind, last_after = None, from_off
-        while True:
-            tok = sc.next_token(pos)
-            if tok is None:
-                break
-            kind, s, after = tok
+        for kind, s, ne in sc.tokens(from_off):
+            if s < pos:
+                continue  # window-overlap duplicate / skipped interior
             if s >= end:
                 break
-            dd = 1 if kind == "open" else (-1 if kind == "close" else 0)
+            if kind == "comment":
+                after, dd = _skip_to(buf, b"-->", s + 4, pos), 0
+            elif kind == "cdata":
+                after, dd = _skip_to(buf, b"]]>", s + 9, pos), 0
+            elif kind == "pi":
+                after, dd = _skip_to(buf, b"?>", s + 2, pos), 0
+            elif kind == "open":
+                after, self_closing = _consume_tag(buf, ne)
+                dd = 0 if self_closing else 1
+            else:  # close
+                after, dd = ne, -1
             delta += dd
             mind = min(mind, delta)
             for r, a in acc.items():
@@ -331,6 +358,7 @@ def split_summaries(
             last_kind, last_after = kind, after
             pos = after
             sc.floor = pos
+            buf.compact(pos)
         end_state = ST_TEXT
         if last_after > end and last_kind in _STATE_OF_KIND:
             end_state = _STATE_OF_KIND[last_kind]
@@ -410,22 +438,31 @@ def iter_record_spans(
     sc = _Scanner(buf, row_tag)
     d = depth
     rec_start: int | None = None
-    while True:
-        sc.floor = rec_start if rec_start is not None else pos
-        tok = sc.next_token(pos)
-        if tok is None:
-            return  # EOF / truncated document
-        kind, s, after = tok
+    for kind, s, ne in sc.tokens(pos):
+        if s < pos:
+            continue  # window-overlap duplicate or jumped-over interior
         if rec_start is None and s >= end:
             return
+        if kind == "comment":
+            pos = _skip_to(buf, b"-->", s + 4, rec_start if rec_start is not None else s)
+            continue
+        if kind == "cdata":
+            pos = _skip_to(buf, b"]]>", s + 9, rec_start if rec_start is not None else s)
+            continue
+        if kind == "pi":
+            pos = _skip_to(buf, b"?>", s + 2, rec_start if rec_start is not None else s)
+            continue
         if kind == "open":
-            if d == 0:
-                rec_start = s
-            d += 1
-        elif kind == "selfclose":
-            if d == 0:
-                yield s, buf.slice(s, after)
-        elif kind == "close":
+            after, self_closing = _consume_tag(buf, ne)
+            if self_closing:
+                if d == 0:
+                    yield s, buf.slice(s, after)
+            else:
+                if d == 0:
+                    rec_start = s
+                d += 1
+        else:  # close (its '>' is part of the regex match)
+            after = ne
             if d > 0:
                 d -= 1
                 if d == 0 and rec_start is not None:
@@ -433,7 +470,10 @@ def iter_record_spans(
                     rec_start = None
         pos = after
         if rec_start is None:
+            sc.floor = pos
             buf.compact(pos)
+        else:
+            sc.floor = rec_start
 
 
 # --------------------------------------------------------------- assembly
@@ -625,6 +665,24 @@ def plan_splits(
 
 AnnotatedSplit = tuple[str, int, int, str, int]  # path, start, end, state, depth
 
+# Driver-side plan cache: phase A is a full byte scan of every
+# multi-split file, but its result depends only on (content, row_tag,
+# partition_bytes) — repeated reads of static files (the normal data-lake
+# pattern) shouldn't re-scan. Keyed by per-file (size, mtime_ns) so any
+# rewrite invalidates. Bounded FIFO.
+_PLAN_CACHE: dict[tuple, list[AnnotatedSplit]] = {}
+_PLAN_CACHE_MAX = 64
+
+
+def _plan_cache_key(paths: list[str], row_tag: str, partition_bytes: int):
+    try:
+        sig = tuple(
+            (p, (st := os.stat(p)).st_size, st.st_mtime_ns) for p in paths
+        )
+    except OSError:
+        return None
+    return (sig, row_tag, partition_bytes)
+
 
 def plan_annotated_splits(
     paths: list[str],
@@ -639,6 +697,9 @@ def plan_annotated_splits(
     planning distributed at 100 TB); driver-side otherwise (fine for
     local files / small inputs). Single-split files need no phase A at
     all — offset 0 is always ``(TEXT, 0)``."""
+    cache_key = _plan_cache_key(paths, row_tag, partition_bytes)
+    if cache_key is not None and cache_key in _PLAN_CACHE:
+        return _PLAN_CACHE[cache_key]
     raw = plan_splits(paths, partition_bytes)
     by_file: dict[str, list[tuple[int, int]]] = {}
     for p, a, b in raw:
@@ -683,6 +744,10 @@ def plan_annotated_splits(
                         "xml split chain: depth underflow in %s at [%d,%d)", p, a, b
                     )
                 state, depth = nxt_state, max(0, depth + delta)
+    if cache_key is not None:
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[cache_key] = out
     return out
 
 
@@ -702,20 +767,26 @@ def resolve_paths(path: str | list[str]) -> list[str]:
     return out
 
 
+def iter_split_record_bytes(split: tuple, row_tag: str) -> Iterator[bytes]:
+    """Raw record chunks of one annotated split (phase C only)."""
+    path, a, b = split[0], split[1], split[2]
+    state = split[3] if len(split) > 3 else ST_TEXT
+    depth = split[4] if len(split) > 4 else 0
+    with open(path, "rb") as f:
+        for _, rec in iter_record_spans(f, row_tag, a, b, state, depth):
+            yield rec
+
+
 def _read_split(
     split: tuple,
     row_tag: str,
     struct: StructType,
     mode: str = "FAILFAST",
 ):
-    path, a, b = split[0], split[1], split[2]
-    state = split[3] if len(split) > 3 else ST_TEXT
-    depth = split[4] if len(split) > 4 else 0
-    with open(path, "rb") as f:
-        for _, rec in iter_record_spans(f, row_tag, a, b, state, depth):
-            row = parse_record_safe(rec, struct, mode)
-            if row is not None:
-                yield row
+    for rec in iter_split_record_bytes(split, row_tag):
+        row = parse_record_safe(rec, struct, mode)
+        if row is not None:
+            yield row
 
 
 # -------------------------------------------------------------- public API

@@ -40,6 +40,7 @@ from pyspark.sql.types import StructType
 from xml_hive_spark.reader import (
     DEFAULT_PARTITION_BYTES,
     _read_split,
+    iter_split_record_bytes,
     plan_annotated_splits,
     resolve_paths,
 )
@@ -133,13 +134,20 @@ class XmlHiveReader(DataSourceReader):
     def read(self, partition: XmlInputPartition):
         if partition is None or partition.end <= partition.start:
             return
-        yield from _read_split(
-            (partition.path, partition.start, partition.end,
-             partition.state, partition.depth),
-            self._row_tag,
-            self._schema,
-            self._mode,
-        )
+        split = (partition.path, partition.start, partition.end,
+                 partition.state, partition.depth)
+        # flat scalar schemas take the columnar regex fast path and ship
+        # Arrow RecordBatches straight through the DataSource worker;
+        # nested schemas yield tuples (worker converts per value)
+        from xml_hive_spark.flat import FlatAssembler
+
+        asm = FlatAssembler.try_create(self._schema, self._mode)
+        if asm is not None:
+            yield from asm.batches(
+                iter_split_record_bytes(split, self._row_tag)
+            )
+        else:
+            yield from _read_split(split, self._row_tag, self._schema, self._mode)
 
 
 _REGISTERED_SESSIONS: set[int] = set()

@@ -2,8 +2,13 @@
 
 ``readStream.format("xmlhive-stream")`` tails a directory for new XML
 files and emits their records exactly once — the streaming twin of the
-batch reader, built on Spark 4's ``SimpleDataSourceStreamReader``
-(offsets = the set of files already emitted, so replays are idempotent).
+batch reader, built on Spark 4's partition-based
+``DataSourceStreamReader``: offset planning (directory listing) runs in
+the driver's stream-runner process, but record extraction runs in
+**executor tasks**, one per byte-range split, so a burst of large landed
+files is parsed cluster-wide instead of on the driver (the
+``SimpleDataSourceStreamReader`` it replaces materialized every batch as
+a Python list driver-side — VERDICT r01 "What's wrong" #4).
 
 The reference has no streaming surface at all (batch ``InputFormat``
 only, AvroFromXmlInputFormat.scala:15); this is extension scope
@@ -17,42 +22,47 @@ Usage::
               .option("rowTag", "book")
               .option("path", "/landing/dir")
               .load())
+
+Exactly-once contract: the offset is the cumulative set of emitted files
+with their size at emit time ``{"files": json({path: size})}``. A batch
+is the file-set difference ``end - start``; reads are bounded to the
+recorded size, so appends after emit are ignored (landing dirs are
+append-new-files). ``partitions(start, end)`` is a pure function of the
+two offsets plus file bytes, so checkpoint recovery replans the same
+batch deterministically.
 """
 
 from __future__ import annotations
 
 import json
 import os
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
-    SimpleDataSourceStreamReader,
+    DataSourceStreamReader,
+    InputPartition,
 )
 from pyspark.sql.types import StructType
 
-from xml_hive_spark.reader import _read_split
+from xml_hive_spark.flat import FlatAssembler, strip_metadata
+from xml_hive_spark.reader import (
+    DEFAULT_PARTITION_BYTES,
+    _read_split,
+    chain_splits,
+    iter_split_record_bytes,
+)
 from xml_hive_spark.sources.xml_datasource import _opt
 from xml_hive_spark.xsd import xsd_to_struct
 
 
-def _strip_metadata(struct: StructType) -> StructType:
-    """Drop field metadata recursively. The streaming Arrow transfer
-    (PythonStreamingSourceRunner.readArrowRecordBatches) asserts schema
-    equality in a way that rejects StructField metadata, so the schema
-    Spark sees must be metadata-free; the reader keeps a metadata-rich
-    twin for XML record assembly."""
-    from pyspark.sql.types import ArrayType, StructField
-
-    def strip_type(dt):
-        if isinstance(dt, StructType):
-            return _strip_metadata(dt)
-        if isinstance(dt, ArrayType):
-            return ArrayType(strip_type(dt.elementType), dt.containsNull)
-        return dt
-
-    return StructType(
-        [StructField(f.name, strip_type(f.dataType), f.nullable) for f in struct.fields]
-    )
+@dataclass
+class XmlStreamPartition(InputPartition):
+    path: str
+    start: int
+    end: int
+    state: str = "TEXT"
+    depth: int = 0
 
 
 class XmlHiveStreamDataSource(DataSource):
@@ -73,21 +83,18 @@ class XmlHiveStreamDataSource(DataSource):
             raise ValueError(
                 "xmlhive-stream: pass .schema(...) or options xsd= and sepTagType="
             )
-        return _strip_metadata(rich)
+        # the schema Spark sees must be metadata-free (streaming Arrow
+        # transfer rejects StructField metadata); assembly keeps the twin
+        return strip_metadata(rich)
 
-    def simpleStreamReader(self, schema: StructType) -> "XmlStreamReader":
+    def streamReader(self, schema: StructType) -> "XmlStreamReader":
         # prefer the XSD-derived schema (carries attribute/element kind
         # metadata) for assembly; fall back to the user schema + the
         # assembler's attribute-name heuristics
         return XmlStreamReader(self._rich_schema() or schema, self.options)
 
 
-class XmlStreamReader(SimpleDataSourceStreamReader):
-    """Offset = {"files": {path: size_at_emit}}. Each micro-batch emits
-    every complete new file exactly once; a file is re-emitted only if it
-    was never recorded (size changes after emit are ignored — landing
-    dirs are append-new-files, the standard contract for file streams)."""
-
+class XmlStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options):
         self._schema = schema
         self._dir = _opt(options, "path", "paths")
@@ -96,6 +103,14 @@ class XmlStreamReader(SimpleDataSourceStreamReader):
         self._row_tag = _opt(options, "rowTag", "rowtag")
         if not self._row_tag:
             raise ValueError("xmlhive-stream: rowTag option is required")
+        self._partition_bytes = int(
+            _opt(options, "partitionBytes", "partitionbytes",
+                 default=DEFAULT_PARTITION_BYTES)
+        )
+        self._mode = str(_opt(options, "mode", default="FAILFAST")).upper()
+        # monotone floor for latestOffset: a file deleted from the landing
+        # dir must not shrink the offset (offsets are cumulative)
+        self._known: dict[str, int] = {}
 
     # NOTE: offsets must be FLAT dicts — a nested dict value crashes
     # PythonStreamingSourceRunner.readArrowRecordBatches with a bare
@@ -120,29 +135,40 @@ class XmlStreamReader(SimpleDataSourceStreamReader):
                     continue
         return out
 
-    def read(self, start: dict):
-        seen = json.loads(start.get("files", "{}"))
-        current = self._list()
-        new_files = [p for p in current if p not in seen]
-        if not new_files:
-            return iter([]), start  # unchanged offset → no batch planned
-        rows = []
-        for p in new_files:
-            rows.extend(
-                _read_split((p, 0, current[p]), self._row_tag, self._schema)
-            )
-            seen[p] = current[p]
-        return iter(rows), {"files": json.dumps(seen, sort_keys=True)}
+    def latestOffset(self) -> dict:
+        for p, size in self._list().items():
+            if p not in self._known:
+                self._known[p] = size
+        return {"files": json.dumps(self._known, sort_keys=True)}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        # deterministic replay for recovery: emit files in end but not start
+    def partitions(self, start: dict, end: dict):
         seen = json.loads(start.get("files", "{}"))
         target = json.loads(end.get("files", "{}"))
-        rows = []
+        parts: list[XmlStreamPartition] = []
         for p, size in target.items():
-            if p not in seen and os.path.exists(p):
-                rows.extend(_read_split((p, 0, size), self._row_tag, self._schema))
-        return iter(rows)
+            if p in seen or size <= 0 or not os.path.exists(p):
+                continue
+            pb = self._partition_bytes
+            n = max(1, (size + pb - 1) // pb)
+            step = (size + n - 1) // n
+            bounds = [min(i * step, size) for i in range(n + 1)]
+            # phase A+B boundary reconciliation (driver-side: new files
+            # only, one extra byte scan for multi-split files)
+            ann = chain_splits(lambda p=p: open(p, "rb"), bounds, self._row_tag)
+            parts += [XmlStreamPartition(p, a, b, st, d) for a, b, st, d in ann]
+        return parts
+
+    def read(self, partition: XmlStreamPartition):
+        split = (partition.path, partition.start, partition.end,
+                 partition.state, partition.depth)
+        asm = FlatAssembler.try_create(self._schema, self._mode)
+        if asm is not None:
+            yield from asm.batches(iter_split_record_bytes(split, self._row_tag))
+        else:
+            yield from _read_split(split, self._row_tag, self._schema, self._mode)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-describing; nothing to clean up
 
 
 def register_stream(spark) -> None:
@@ -151,12 +177,13 @@ def register_stream(spark) -> None:
     (observed: ModuleNotFoundError in python_streaming_source_runner), so
     the whole module chain the stream touches is pickled BY VALUE via
     cloudpickle — the runner needs no importable xml_hive_spark."""
+    import xml_hive_spark.flat as _flat_mod
     import xml_hive_spark.reader as _reader_mod
     import xml_hive_spark.sources.xml_datasource as _ds_mod
     import xml_hive_spark.sources.xml_stream as _stream_mod
     import xml_hive_spark.xsd as _xsd_mod
     from pyspark import cloudpickle
 
-    for m in (_stream_mod, _ds_mod, _reader_mod, _xsd_mod):
+    for m in (_stream_mod, _ds_mod, _reader_mod, _xsd_mod, _flat_mod):
         cloudpickle.register_pickle_by_value(m)
     spark.dataSource.register(XmlHiveStreamDataSource)
