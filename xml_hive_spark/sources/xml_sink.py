@@ -52,11 +52,13 @@ def avro_available(spark) -> bool:
 
 def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Avro object-container sink (the reference's test sink,
-    TestAvroTranformer.scala:53-66). Requires the spark-avro module on the
-    classpath (``--packages org.apache.spark:spark-avro_2.13:<ver>``)."""
-    if not avro_available(df.sparkSession):
-        raise RuntimeError(
-            "spark-avro module not on the classpath; add "
-            "org.apache.spark:spark-avro to spark.jars.packages"
-        )
-    df.write.format("avro").mode(mode).save(path)
+    TestAvroTranformer.scala:53-66). Uses the spark-avro module when it is
+    on the classpath; otherwise falls back to the pure-Python OCF writer
+    (sources/avro_ocf.py) — same container format, written by executor
+    tasks, readable by any Avro implementation."""
+    if avro_available(df.sparkSession):
+        df.write.format("avro").mode(mode).save(path)
+        return
+    from xml_hive_spark.sources.avro_ocf import write_avro_ocf
+
+    write_avro_ocf(df, path, mode=mode)
