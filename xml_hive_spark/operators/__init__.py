@@ -104,6 +104,7 @@ def all_queries() -> dict[str, QueryDef]:
             relational,
             relational2,
             relational3,
+            relational4,
             similarity,
             text,
             timeseries,

@@ -1,0 +1,402 @@
+"""Tier-B relational surface, part 4: the remaining TPC-H query shapes —
+Q7 (bidirectional nation-pair volume), Q8 (market share ratio), Q9
+(profit with computed cost), Q11 (group value vs global-threshold
+scalar), Q13 (outer-join histogram), Q15 (argmax-by-scalar view), Q19
+(disjunctive pushdown predicates).
+
+The driver's tables omit ``partsupp`` and several comment/phone columns
+(TESTDATA.md), so Q9/Q11/Q13 bind their reference shapes to available
+columns — the decorrelation/plan shape is the point, not catalog trivia.
+Determinism follows the repo convention: money sums via decimal-cast
+addends (``dsum``), ratios as divisions of bit-identical doubles, no
+final rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xml_hive_spark.operators import dsum, query, t
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    tags=("join", "tpch"),
+)
+def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7: trade volume between a nation pair, both directions,
+    by year. Plan shape: the two nation dims broadcast into the
+    supplier/customer sides; the nation-pair disjunction is applied
+    AFTER both joins (it spans both sides), while the shipdate range
+    pushes into the lineitem scan."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sup = t(spark, sf, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk")
+    )
+    cust = t(spark, sf, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t(spark, sf, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+WITH all_nations AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(sum(CAST(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0.0 END
+                AS DECIMAL(30,6))) AS DOUBLE)
+       / CAST(sum(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS mkt_share
+FROM all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's volume in a part
+    segment, by order year. The share is a division of two decimal-sum
+    doubles (both order-independent), so the ratio is bit-stable. All
+    dims broadcast; the only big shuffles are lineitem→orders and
+    orders→customer."""
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    region = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cust = (
+        t(spark, sf, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("c_rk"))
+        .select("c_custkey")
+    )
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    sup = t(spark, sf, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk")
+    ).select("s_suppkey", "nation")
+    part = t(spark, sf, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t(spark, sf, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                dsum(
+                    F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(
+                        0.0
+                    )
+                )
+                / dsum("volume")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle="""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity
+                AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q9_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9: profit by supplier nation and order year over a part-name
+    segment. The driver tables have no partsupp, so supply cost is
+    computed as 10% of retail price — same join/agg shape, same
+    per-row-arithmetic-then-decimal-sum determinism."""
+    part = t(spark, sf, "part").filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    nat = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    sup = t(spark, sf, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("s_nk")
+    ).select("s_suppkey", "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t(spark, sf, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t(spark, sf, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS value
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_2', 'NATION_12', 'NATION_22')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value
+FROM pv, (SELECT CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) * 0.0001
+              AS threshold FROM pv) th
+WHERE value > threshold
+ORDER BY value DESC, l_partkey
+""",
+    tags=("agg", "subquery", "tpch"),
+)
+def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11: per-part inventory value within a nation group,
+    keeping parts above a fraction of the GLOBAL total — an uncorrelated
+    scalar aggregate reused against its own grouped input. The per-part
+    aggregate is computed once, the 1-row total broadcasts into the
+    filter (no second scan of lineitem)."""
+    nat = t(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_2", "NATION_12", "NATION_22")
+    )
+    sup = t(spark, sf, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    pv = (
+        t(spark, sf, "lineitem")
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    th = pv.agg((dsum("value") * F.lit(0.0001)).alias("threshold"))
+    return (
+        pv.crossJoin(F.broadcast(th))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("join", "outer", "agg", "tpch"),
+)
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13: order-count histogram over ALL customers — the outer
+    join keeps zero-order customers (count(o_orderkey) skips the null),
+    then a second, much smaller aggregation histograms the counts. Two
+    shuffles, each on the natural key; the second input is one row per
+    customer, so the histogram shuffle is tiny."""
+    cust = t(spark, sf, "customer").select("c_custkey")
+    orders = t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    tags=("join", "subquery", "agg", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — a
+    grouped view consumed twice (once for the argmax scalar, once for
+    the equality filter). The revenue aggregate is computed once and
+    reused; the 1-row max broadcasts. Equality compares two decimal-sum
+    doubles produced by the same pipeline — exact in both engines."""
+    rev = (
+        t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(
+            F.broadcast(t(spark, sf, "supplier")),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+    tags=("join", "filter", "tpch"),
+)
+def q19_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19: disjunctive brand/size/quantity predicates across the
+    join — the classic OR-of-ANDs pushdown test. Catalyst extracts the
+    common l_quantity/p_size bounds below the join (seen as
+    PushedFilters on both scans) and evaluates the residual disjunction
+    after it; part is broadcast."""
+    li = t(spark, sf, "lineitem")
+    part = t(spark, sf, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
