@@ -45,6 +45,7 @@ def test_registry_complete():
     assert rows_only == [
         "agg_approx_distinct",
         "cosine_topk_ivf",
+        "cosine_topk_ivf_kmeans",  # iterative Lloyd's — not SQL-expressible
         "cosine_topk_lsh",
         "dedup_embedding_cosine",  # LSH planes aren't SQL-expressible
         "dedup_exact_by_hash",

@@ -61,6 +61,36 @@ class TestIVF:
         # probing 3 of 10 lists must still recover part of the true top-5
         assert len(ivf_set & set(brute_cos)) > 0
 
+    def test_ivf_kmeans_recall_and_agreement(self, spark, sf_dir):
+        """The k-means-trained quantizer must behave like the label-list
+        variant: full top-5 per query, exact cosines on shared pairs,
+        nonzero recall of the true top-5 from nprobe=4 of k=16 lists."""
+        brute = all_queries()["cosine_topk_bruteforce"].fn(spark, sf_dir).collect()
+        ivf = all_queries()["cosine_topk_ivf_kmeans"].fn(spark, sf_dir).collect()
+        brute_cos = {(r.qid, r.nid): r.cos_sim for r in brute}
+        by_q = {}
+        for r in ivf:
+            by_q.setdefault(r.qid, []).append(r.rank)
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+        assert set(by_q) == {r.qid for r in brute}
+        for r in ivf:
+            if (r.qid, r.nid) in brute_cos:
+                assert abs(r.cos_sim - brute_cos[(r.qid, r.nid)]) < 1e-9
+        assert len({(r.qid, r.nid) for r in ivf} & set(brute_cos)) > 0
+
+    def test_kmeans_training_is_deterministic_and_converging(self, spark, sf_dir):
+        import numpy as np
+
+        from xml_hive_spark.operators import t as load
+        from xml_hive_spark.operators.similarity import train_kmeans_centroids
+
+        emb = load(spark, sf_dir, "embeddings")
+        c1 = train_kmeans_centroids(emb, k=8, iters=2)
+        c2 = train_kmeans_centroids(emb, k=8, iters=2)
+        assert np.array_equal(c1, c2)  # seeded init + deterministic aggs
+        assert c1.shape == (8, 64)
+        assert np.isfinite(c1).all()
+
 
 class TestEmbeddingDedupLSH:
     def test_recall_and_exactness_vs_numpy_ground_truth(self, spark, sf_dir):

@@ -110,7 +110,7 @@ def xml_bench_schema():
 
 
 def run_xml_scan_bench(
-    spark: SparkSession, target_bytes: int, partition_bytes: int = 32 * 1024 * 1024
+    spark: SparkSession, target_bytes: int, partition_bytes: int | None = None
 ) -> DataFrame:
     """Scan the generated file with byte-range splits (~target/32MiB tasks)
     and aggregate — the end-to-end source throughput the reference's
@@ -121,6 +121,13 @@ def run_xml_scan_bench(
     from xml_hive_spark.reader import read_xml
 
     path, _ = ensure_bench_xml(target_bytes)
+    if partition_bytes is None:
+        # even task waves: split count = a multiple of the core count
+        # (33 tasks on 32 slots = a straggler wave that serializes one
+        # full task at the end), floored so tiny files still multi-split
+        slots = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        size = os.path.getsize(path)
+        partition_bytes = max(4 * 1024 * 1024, -(-size // slots))
     df = read_xml(
         spark, path, "rec", schema=xml_bench_schema(), partition_bytes=partition_bytes
     )
