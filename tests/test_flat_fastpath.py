@@ -123,6 +123,57 @@ def test_batches_roundtrip():
     assert flat == slow_rows
 
 
+def test_template_learns_and_matches_uniform_records():
+    from xml_hive_spark.flat import _Template
+
+    st = _schema()
+    asm = FlatAssembler.try_create(st, "FAILFAST")
+    sample = b'<r id="1"><name>aa</name><junk>zz</junk><score>2.5</score><n>7</n><ok>true</ok></r>'
+    assert asm.fast_row(sample) is not None
+    tmpl = _Template.learn(sample, asm.fields)
+    assert tmpl is not None
+    # same layout, different values (incl. entities) → template extract
+    twin = b'<r id="42"><name>b &amp; c</name><junk>other</junk><score>-1.25</score><n>0</n><ok>0</ok></r>'
+    got = tmpl.extract(twin)
+    assert got == parse_record_safe(twin, st, "FAILFAST")
+    # structural difference → template REJECTS (never mis-extracts)
+    assert tmpl.extract(b'<r id="1"><name>x</name></r>') is None
+    assert tmpl.extract(
+        b'<r id="1" extra="e"><name>a</name><junk>z</junk><score>1</score><n>1</n><ok>1</ok></r>'
+    ) is None
+    assert tmpl.extract(
+        b'<r id="1"><name>a<b>c</b></name><junk>z</junk><score>1</score><n>1</n><ok>1</ok></r>'
+    ) is None
+    # empty element text in the twin → None like ElementTree
+    empty = b'<r id="9"><name></name><junk></junk><score>1.0</score><n>3</n><ok>false</ok></r>'
+    assert tmpl.extract(empty) == parse_record_safe(empty, st, "FAILFAST")
+
+
+def test_batches_with_mixed_layouts_equals_slow_path():
+    """A stream where most records share one layout (template path) and
+    oddballs interleave (guards/fallbacks) must equal the exact path
+    record-for-record — order preserved."""
+    st = _schema()
+    asm = FlatAssembler.try_create(st, "DROPMALFORMED")
+    uniform = [
+        f'<r id="{i}"><name>n{i}</name><score>{i}.5</score><n>{i}</n><ok>{"true" if i % 2 else "false"}</ok></r>'.encode()
+        for i in range(50)
+    ]
+    stream = []
+    for i, u in enumerate(uniform):
+        stream.append(u)
+        if i % 7 == 0:
+            stream.append(RECORDS[i % len(RECORDS)])
+    out = list(asm.batches(iter(stream), batch_rows=16))
+    flat = [tuple(col[i].as_py() for col in b.columns)
+            for b in out for i in range(b.num_rows)]
+    slow = [
+        r for r in (parse_record_safe(rec, st, "DROPMALFORMED") for rec in stream)
+        if r is not None
+    ]
+    assert flat == slow
+
+
 def test_nested_schema_not_eligible():
     from pyspark.sql.types import ArrayType
 

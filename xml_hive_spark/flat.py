@@ -98,9 +98,12 @@ def _unescape(raw: bytes) -> bytes:
 
 def _decode(raw: bytes) -> str:
     if b"&" in raw:
+        # every original '&' must start a recognized entity (a decoded
+        # '&amp;' legitimately leaves '&' in the OUTPUT, so compare
+        # counts before substituting rather than scanning after)
+        if len(_ENT_RX.findall(raw)) != raw.count(b"&"):
+            raise ValueError("stray & (not an XML entity)")
         raw = _unescape(raw)
-        if b"&" in raw:
-            raise ValueError("residual & after entity substitution")
     return raw.decode("utf-8")
 
 
@@ -138,6 +141,134 @@ def _scalar_converter(dtype, trim: bool):
     if isinstance(dtype, DateType):
         return wrap(date.fromisoformat)
     return None  # not fast-path eligible (timestamp tz semantics, etc.)
+
+
+class _Template:
+    """Learned whole-record pattern: one ``fullmatch`` extracts every
+    schema field of a record that shares the sample's exact markup
+    layout (tag order, attribute set, whitespace) with only text/attr
+    VALUES varying.
+
+    Built from a sample that already passed ``fast_row``'s flatness
+    guards, so the sample's structure is proven flat; every text node
+    becomes ``[^<]*`` and every root-attribute value ``[^<quote>]*`` —
+    all anchored by literal segments, so matching is linear with no
+    backtracking blowup. Any record whose structure differs AT ALL
+    (extra attribute, missing element, comment, nesting, different
+    whitespace) simply fails the fullmatch and takes the general path —
+    the template can reject, never mis-extract. Captured values still
+    go through the same converters and entity handling as ``fast_row``.
+    """
+
+    __slots__ = ("rx", "base_vals", "groups")
+
+    @classmethod
+    def learn(cls, sample: bytes, fields) -> "_Template | None":
+        m = _ROOT_RX.match(sample)
+        if m is None:
+            return None
+        body_at = m.end()
+        seg_a, seg_b = m.span(1)  # root attribute segment
+
+        # --- schema value spans -------------------------------------
+        # (start, end, field_idx, conv, is_elem, quote_byte)
+        spans: list[tuple] = []
+        base_vals: list = [None] * len(fields)
+        attr_spans: dict[bytes, tuple[int, int, int]] = {}
+        for am in _ATTR_RX.finditer(sample, seg_a, seg_b):
+            name = am.group(1)
+            if b":" in name:
+                name = name.rsplit(b":", 1)[1]
+            g = 2 if am.group(2) is not None else 3
+            attr_spans[name] = (*am.span(g), 0x22 if g == 2 else 0x27)
+        claimed: set[bytes] = set()
+        for fi, (kind, keys, rx, presence, conv) in enumerate(fields):
+            if kind == "attribute":
+                hit = None
+                for k in keys:
+                    if k in attr_spans and k not in claimed:
+                        hit = k
+                        break
+                if hit is None:
+                    continue  # absent in sample → constant None
+                claimed.add(hit)
+                a, b, q = attr_spans[hit]
+                spans.append((a, b, fi, conv, False, q))
+            else:
+                em = rx.search(sample, body_at)
+                if em is None:
+                    continue  # absent → constant None (presence change
+                    # alters the byte layout → fullmatch fails → fallback)
+                if em.group(1) is None:
+                    continue  # self-closing in sample → constant None
+                a, b = em.span(1)
+                spans.append((a, b, fi, conv, True, 0))
+
+        # --- non-schema variable spans (text nodes, other attrs) -----
+        schema_iv = [(s[0], s[1]) for s in spans]
+
+        def overlaps(a, b):
+            return any(not (b <= x or y <= a) for x, y in schema_iv)
+
+        wild: list[tuple[int, int, int]] = []  # (a, b, quote|0)
+        for tm in re.finditer(rb">([^<]*)(?=<)", sample, ):
+            a, b = tm.span(1)
+            if not overlaps(a, b):
+                wild.append((a, b, 0))
+        for name, (a, b, q) in attr_spans.items():
+            if name not in claimed and not overlaps(a, b):
+                wild.append((a, b, q))
+
+        # --- assemble the pattern -------------------------------------
+        marks = sorted(
+            [(a, b, fi, conv, is_e, q, True) for a, b, fi, conv, is_e, q in spans]
+            + [(a, b, -1, None, False, q, False) for a, b, q in wild]
+        )
+        pat = bytearray()
+        groups: list[tuple[int, object, bool]] = []
+        pos = 0
+        gi = 0
+        for a, b, fi, conv, is_e, q, capture in marks:
+            if a < pos:
+                return None  # overlapping spans — give up, stay safe
+            pat += re.escape(sample[pos:a])
+            charclass = b"[^<]*" if not q else (
+                b'[^"]*' if q == 0x22 else b"[^']*"
+            )
+            if capture:
+                gi += 1
+                pat += b"(" + charclass + b")"
+                groups.append((fi, conv, is_e))
+            else:
+                pat += b"(?:" + charclass + b")"
+            pos = b
+        pat += re.escape(sample[pos:])
+        try:
+            rx = re.compile(bytes(pat))
+        except re.error:
+            return None
+        self = cls.__new__(cls)
+        self.rx = rx
+        self.base_vals = base_vals
+        self.groups = groups
+        return self
+
+    def extract(self, rec: bytes) -> tuple | None:
+        m = self.rx.fullmatch(rec)
+        if m is None:
+            return None
+        vals = list(self.base_vals)
+        try:
+            for gi, (fi, conv, is_elem) in enumerate(self.groups, start=1):
+                raw = m.group(gi)
+                if is_elem and raw == b"":
+                    continue  # <e></e>: ElementTree text is None
+                if b"<" in raw:
+                    return None  # invalid-in-place markup; be exact
+                vals[fi] = conv(_decode(raw))
+        except (ValueError, ArithmeticError, UnicodeDecodeError):
+            return None
+        return tuple(vals)
 
 
 class FlatAssembler:
@@ -250,8 +381,19 @@ class FlatAssembler:
         cols: list[list] = [[] for _ in range(self._n_fields)]
         n = 0
         fast_row = self.fast_row
+        # whole-record template: learned from the first few records that
+        # pass the flatness guards; extracts all fields in ONE fullmatch
+        # for the (dominant) uniform-layout case, rejects into the
+        # per-field path on any structural difference
+        tmpl: _Template | None = None
+        learn_budget = 8
         for rec in record_iter:
-            vals = fast_row(rec)
+            vals = tmpl.extract(rec) if tmpl is not None else None
+            if vals is None:
+                vals = fast_row(rec)
+                if vals is not None and tmpl is None and learn_budget > 0:
+                    learn_budget -= 1
+                    tmpl = _Template.learn(rec, self.fields)
             if vals is None:
                 vals = parse_record_safe(rec, self.struct, self.mode)
                 if vals is None:  # DROPMALFORMED
