@@ -54,6 +54,7 @@ def test_registry_complete():
         "multimodal_decode_stub",
         "multimodal_frame_sample",
         "sample_deterministic",
+        "streaming_sessionize",  # arbitrary-state streaming — no SQL twin
         "streaming_window_counts",
         "xml_scan_bench",  # DuckDB can't read XML; exact aggregate pinned in test_xml_bench
         "xml_scan_books",

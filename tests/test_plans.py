@@ -77,12 +77,43 @@ class TestTopK:
         "q2_min_cost_supplier",
         "q21_waiting_suppliers",
         "q22_global_sales_opportunity",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_type_profit",
+        "q13_customer_distribution",
+        "q19_discounted_revenue",
     ],
 )
 def test_no_cartesian_products(spark, sf_dir, name):
     """No operator may degrade to an unbounded cross product."""
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_partially_pushed(spark, sf_dir):
+    """Q19's OR-of-ANDs: Catalyst must still push the extracted common
+    bounds into both scans (l_quantity / p_size ranges survive below the
+    join) and broadcast the part side."""
+    plan = plan_of(spark, sf_dir, "q19_discounted_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [" in plan
+    assert "Or(" in plan or "GreaterThanOrEqual(l_quantity" in plan
+
+
+def test_q7_nation_dims_broadcast(spark, sf_dir):
+    """Q7 joins nation twice (supplier and customer side); both must ride
+    broadcasts, and the pair disjunction must not force a cartesian."""
+    plan = plan_of(spark, sf_dir, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_then_two_keyed_aggs(spark, sf_dir):
+    """Q13: left-outer join preserved (zero-order customers survive) and
+    both aggregations are partial+final hash aggregates."""
+    plan = plan_of(spark, sf_dir, "q13_customer_distribution")
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
 
 
 def test_ntile_no_global_single_partition_sort(spark, sf_dir):

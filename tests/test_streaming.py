@@ -44,3 +44,42 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     )
     # dedup must remove something, and can't go below the true distinct
     assert n_distinct <= len(rows) < n_events
+
+
+def test_stateful_sessionize_matches_batch_twin(spark, sf_dir):
+    """applyInPandasWithState sessionization: every emitted session must
+    equal its session_window batch twin field-for-field, and the
+    event-time timeouts must actually flush sessions (nonzero output
+    covering the old part of the stream)."""
+    from xml_hive_spark.streaming.stateful import (
+        batch_sessions_twin,
+        run_streaming_sessionize,
+    )
+
+    streamed = run_streaming_sessionize(spark, sf_dir).collect()
+    assert len(streamed) > 0  # timeouts fired across micro-batches
+    twin = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.sum_value_q)
+        for r in batch_sessions_twin(spark, sf_dir).collect()
+    }
+    # no invented or distorted session: exact subset of the batch twin
+    for r in streamed:
+        assert twin[(r.user_id, r.session_start_us)] == (
+            r.session_end_us,
+            r.n_events,
+            r.sum_value_q,
+        )
+    # no duplicates (exactly-once emission per closed session)
+    keys = [(r.user_id, r.session_start_us) for r in streamed]
+    assert len(keys) == len(set(keys))
+    # coverage: sessions that ended a gap before the second file's start
+    # (i.e. before the watermark the engine definitely reached) are ALL out
+    ends = sorted(v[0] for v in twin.values())
+    horizon = ends[len(ends) // 3]  # conservative: first file's range
+    gap_us = 30 * 60 * 1_000_000
+    expected_old = {
+        k for k, v in twin.items() if v[0] + gap_us < horizon
+    }
+    emitted = set(keys)
+    missing = expected_old - emitted
+    assert not missing, f"{len(missing)} old sessions never flushed"

@@ -1,0 +1,228 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+Spark's built-in ``session_window`` covers windowed aggregation; this
+operator demonstrates the ARBITRARY-state surface (the reference has no
+streaming at all — extension scope like streaming/windowed.py): per-user
+session state lives in the state store, events extend or close sessions,
+and event-time timeouts flush sessions once the watermark passes their
+gap horizon. State per key is O(1) (start, last-seen, count, quantized
+sum) — bounded regardless of stream length, the property that matters at
+100 TB/day.
+
+Determinism harness: the finite events table is range-split by event
+time into N files whose modification times force the file source to
+process them in time order (``maxFilesPerTrigger=1`` → N micro-batches,
+watermark advancing between batches, so event-time timeouts actually
+fire). The batch twin is ``session_window``; equality on the flushed
+prefix is asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from xml_hive_spark.operators import query
+from xml_hive_spark.streaming.windowed import _EVENTS_RAW
+
+_GAP_MIN = 30
+_Q = 1048576.0  # 2^20 addend quantization (IEEE-exact, order-independent)
+
+OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value_q", LongType()),
+    ]
+)
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("sum_q", LongType()),
+    ]
+)
+
+
+def _sessionize_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    gap_us = _GAP_MIN * 60 * 1_000_000
+    user_id = key[0]
+    closed: list[tuple[int, int, int, int]] = []
+
+    if state.exists:
+        start_us, last_us, n, sum_q = state.get
+    else:
+        start_us = last_us = -1
+        n = sum_q = 0
+
+    if state.hasTimedOut:
+        # watermark passed last_us + gap: the open session is final
+        if n:
+            closed.append((start_us, last_us, n, sum_q))
+        state.remove()
+    else:
+        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        if len(rows):
+            rows = rows.sort_values("ts")
+            ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
+            vals = rows["value"].to_numpy()
+            import math
+
+            for t, v in zip(ts_us, vals):
+                q = math.floor(float(v) * _Q)
+                if n == 0:
+                    start_us = last_us = int(t)
+                    n, sum_q = 1, q
+                elif t - last_us > gap_us:
+                    closed.append((start_us, last_us, n, sum_q))
+                    start_us = last_us = int(t)
+                    n, sum_q = 1, q
+                else:
+                    last_us = int(t)
+                    n += 1
+                    sum_q += q
+            state.update((start_us, last_us, n, sum_q))
+            # event-time timeout: fire when watermark passes the gap
+            state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+
+    if closed:
+        yield pd.DataFrame(
+            [(user_id, a, b, c, d) for a, b, c, d in closed],
+            columns=[f.name for f in OUT_SCHEMA.fields],
+        )
+
+
+def stage_ordered_event_files(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> str:
+    """Range-split events by event time into ``n_files`` parquet files
+    with ascending modification times, so the file stream source replays
+    them in time order (one per micro-batch) and the watermark advances
+    between batches. Pure test/demo scaffolding — a real deployment's
+    landing dir already arrives in time order."""
+    from xml_hive_spark.operators import t as load
+
+    out = tempfile.mkdtemp(prefix="xmlhive-sessions-")
+    # staged ts = unix MICROS as long (the stream schema reads it back
+    # with timestamp_micros — parquet timestamp logical types would not
+    # round-trip through the LongType stream schema)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    bounds = ev.approxQuantile(
+        "ts", [i / n_files for i in range(1, n_files)], 0.001
+    )
+    lo = None
+    for i in range(n_files):
+        hi = bounds[i] if i < len(bounds) else None
+        part = ev
+        if lo is not None:
+            part = part.filter(F.col("ts") >= int(lo))
+        if hi is not None:
+            part = part.filter(F.col("ts") < int(hi))
+        pdir = os.path.join(out, f"chunk={i}")
+        part.coalesce(1).write.parquet(pdir)
+        lo = hi
+        for root, _, files in os.walk(pdir):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1_000_000 + i, 1_000_000 + i))
+    return out
+
+
+def run_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: staged time-ordered files → one micro-batch per file →
+    watermark → applyInPandasWithState sessionization → availableNow
+    drain into a memory sink."""
+    staged = stage_ordered_event_files(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)  # ts: long (staged micros)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
+    sessions = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            OUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="xmlhive-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("availableNow drain did not finish within 180s")
+    return spark.table(name)
+
+
+@query("streaming_sessionize", tags=("streaming", "stateful", "session"))
+def streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry entry (rows-only: arbitrary-state streaming isn't
+    SQL-expressible; equality with the batch session_window twin on the
+    watermark-flushed prefix is asserted in tests/test_streaming.py)."""
+    return run_streaming_sessionize(spark, sf)
+
+
+def batch_sessions_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch equivalent via Spark's built-in session_window, mapped
+    to the operator's output vocabulary (session_window's end = last
+    event + gap, so subtract the gap back)."""
+    from xml_hive_spark.operators import t as load
+
+    ev = load(spark, sf_dir, "events")
+    gap_us = _GAP_MIN * 60 * 1_000_000
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{_GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * F.lit(_Q)).cast("long")).alias(
+                "sum_value_q"
+            ),
+        )
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("w.start"))).alias("session_start_us"),
+            (F.unix_micros(F.col("w.end")) - F.lit(gap_us)).alias("session_end_us"),
+            "n_events",
+            "sum_value_q",
+        )
+    )
