@@ -151,10 +151,13 @@ class _Buf:
         return self.data[off - self.base]
 
     def slice(self, a: int, b: int) -> bytes:
-        while b > self.end_offset():
+        while b > self.base + len(self.data):
             if not self._refill():
                 break
-        return bytes(self.data[a - self.base : b - self.base])
+        # one copy: a bytearray slice would copy to a bytearray first and
+        # bytes() again; the view is dropped immediately (no export kept
+        # across later resizes)
+        return bytes(memoryview(self.data)[a - self.base : b - self.base])
 
     def compact(self, keep_from: int) -> None:
         drop = keep_from - self.base
@@ -215,12 +218,21 @@ def _token_rx(row_tag: str) -> "re.Pattern[bytes]":
     Deliberately GROUP-FREE: capturing/named groups make CPython's
     ``finditer`` ~12x slower on match-dense input (measured 3.15s vs
     0.25s over 32 MiB); tokens are classified afterwards from their
-    first bytes instead (`_Scanner.tokens`)."""
+    first/last bytes instead (`_Scanner.tokens`).
+
+    The open tag has two alternatives, tried in order: a COMPLETE start
+    tag (quote-aware attribute run through its ``>``— saves a Python
+    ``_consume_tag`` call per record), then the bare ``<name`` prefix
+    for tags the full form can't prove safe (a quote containing ``<``
+    ``>``, or a tag truncated at the scan-window edge — the bare form
+    still matches there, so no token is ever lost)."""
     nc = rb"[A-Za-z_][A-Za-z0-9_.\-]{0,63}"
     t = re.escape(row_tag.encode())
+    name = rb"<(?:" + nc + rb":)?" + t
     return re.compile(
         rb"<!--|<!\[CDATA\[|<\?"
-        rb"|<(?:" + nc + rb":)?" + t + rb"(?=[ \t\r\n/>])"
+        rb"|" + name + rb"(?:[ \t\r\n](?:[^<>'\"]|\"[^<>\"]*\"|'[^<>']*')*)?/?>"
+        rb"|" + name + rb"(?=[ \t\r\n/>])"
         rb"|</(?:" + nc + rb":)?" + t + rb"[ \t\r\n]*>"
     )
 
@@ -279,7 +291,13 @@ class _Scanner:
                     elif c == 0x2F:  # '/'
                         kind = "close"
                     else:
-                        kind = "open"
+                        e = m.end()
+                        if data[e - 1] == 0x3E:  # complete start tag
+                            kind = (
+                                "selfclose" if data[e - 2] == 0x2F else "opentag"
+                            )
+                        else:
+                            kind = "open"  # bare <name; consumer finishes
                     ap((kind, base + i, base + m.end()))
                 yield from toks
                 scanned_to = hi_abs
@@ -341,6 +359,10 @@ def split_summaries(
                 after, dd = _skip_to(buf, b"]]>", s + 9, pos), 0
             elif kind == "pi":
                 after, dd = _skip_to(buf, b"?>", s + 2, pos), 0
+            elif kind == "opentag":
+                after, dd = ne, 1
+            elif kind == "selfclose":
+                after, dd = ne, 0
             elif kind == "open":
                 after, self_closing = _consume_tag(buf, ne)
                 dd = 0 if self_closing else 1
@@ -452,8 +474,11 @@ def iter_record_spans(
         if kind == "pi":
             pos = _skip_to(buf, b"?>", s + 2, rec_start if rec_start is not None else s)
             continue
-        if kind == "open":
-            after, self_closing = _consume_tag(buf, ne)
+        if kind in ("open", "opentag", "selfclose"):
+            if kind == "open":
+                after, self_closing = _consume_tag(buf, ne)
+            else:
+                after, self_closing = ne, kind == "selfclose"
             if self_closing:
                 if d == 0:
                     yield s, buf.slice(s, after)
