@@ -52,7 +52,9 @@ def test_registry_complete():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "multimodal_decode_stub",
+        "multimodal_feature_extract",
         "multimodal_frame_sample",
+        "multimodal_resize_stub",
         "sample_deterministic",
         "streaming_sessionize",  # arbitrary-state streaming — no SQL twin
         "streaming_window_counts",

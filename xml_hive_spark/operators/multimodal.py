@@ -150,3 +150,104 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("frame_idx")
     )
+
+
+FEATURE_DIM = 16
+
+
+def extract_byte_features(df: DataFrame, id_col: str = "doc_id",
+                          bin_col: str = "payload") -> DataFrame:
+    """Feature-extraction stage: a REAL (not stubbed) 16-bin byte
+    histogram per payload, L2-normalized — the generic content signature
+    that works on any binary modality. One numpy bincount per payload
+    inside an Arrow batch; output is the standard ``array<float>``
+    embedding shape, so it feeds the similarity/IVF operators directly."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for payload in pdf[bin_col]:
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                h = np.bincount(a >> 4, minlength=FEATURE_DIM).astype(np.float64)
+                n = np.linalg.norm(h)
+                vecs.append((h / n if n else h).astype(np.float32).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "features": vecs})
+
+    return df.mapInPandas(feats, schema="doc_id long, features array<float>")
+
+
+@query("multimodal_feature_extract", tags=("multimodal", "binary", "features"))
+def multimodal_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary → feature-vector pipeline, aggregated to a per-corpus
+    centroid of the first 4 dimensions (quantized for stability).
+    Deterministic end to end — rows-only check, exactness pinned in
+    tests/test_multimodal_extra.py against a numpy reference."""
+    docs = t(spark, sf, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    fv = extract_byte_features(with_payload)
+    q20 = lambda c: F.floor(c.cast("double") * F.lit(1048576.0)).cast("long")  # noqa: E731
+    return fv.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            (F.sum(q20(F.element_at("features", i + 1))) ).alias(f"qsum_d{i}")
+            for i in range(4)
+        ],
+    )
+
+
+RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, mean_px double, corner_px long"
+
+
+def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8,
+                  id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """Resize stage: decode (stubbed — no codec libs in this container;
+    the deterministic fake expands payload bytes into a pixel grid) then
+    a REAL average-pool resize to ``out_w × out_h`` in numpy. Swapping
+    the fake grid for ``PIL.Image.open`` output changes nothing outside
+    the marked line."""
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "out_w": [], "out_h": [], "mean_px": [],
+                    "corner_px": []}
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                side = max(int(len(raw) ** 0.5), out_w)
+                # STUB decode: tile payload bytes into a side×side grid
+                # (real: np.asarray(PIL.Image.open(io.BytesIO(payload))))
+                img = np.resize(raw, (side, side)).astype(np.float64)
+                # real average-pool resize
+                ys = np.linspace(0, side, out_h + 1).astype(int)
+                xs = np.linspace(0, side, out_w + 1).astype(int)
+                pooled = np.array(
+                    [[img[ys[i]:ys[i+1], xs[j]:xs[j+1]].mean()
+                      for j in range(out_w)] for i in range(out_h)]
+                )
+                rows["doc_id"].append(did)
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["mean_px"].append(float(np.floor(pooled.mean() * 1048576.0)))
+                rows["corner_px"].append(int(pooled[0, 0]))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+@query("multimodal_resize_stub", tags=("multimodal", "binary", "resize"))
+def multimodal_resize_stub(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-resize pipeline over binary payloads (stub decode + real
+    pooling), aggregated per output shape. Deterministic → rows-only."""
+    docs = t(spark, sf, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    rs = resize_images(with_payload)
+    return (
+        rs.groupBy("out_w", "out_h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("mean_px").cast("long").alias("qsum_mean_px"),
+            F.sum("corner_px").alias("sum_corner"),
+        )
+        .orderBy("out_w")
+    )
