@@ -369,10 +369,14 @@ class FlatAssembler:
 
     # ------------------------------------------------------------- batching
 
-    def batches(self, record_iter, batch_rows: int = 8192):
+    def batches(self, record_iter, batch_rows: int = 8192, predicate=None):
         """``record_iter`` yields record byte strings; yields
         ``pyarrow.RecordBatch`` (schema = Spark's Arrow image of the
-        StructType, so the DataSource worker passes them through)."""
+        StructType, so the DataSource worker passes them through).
+
+        ``predicate`` (pushed-filter conjunction, pushdown.py) is applied
+        to each extracted row tuple before it is appended — filtered
+        records never reach Arrow or the JVM."""
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -398,6 +402,8 @@ class FlatAssembler:
                 vals = parse_record_safe(rec, self.struct, self.mode)
                 if vals is None:  # DROPMALFORMED
                     continue
+            if predicate is not None and not predicate(vals):
+                continue
             for c, v in zip(cols, vals):
                 c.append(v)
             n += 1

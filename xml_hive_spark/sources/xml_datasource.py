@@ -97,6 +97,7 @@ class XmlHiveDataSource(DataSource):
 class XmlHiveReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self._schema = schema
+        self._pushed = []  # compiled tri-valued predicates (pushdown.py)
         self._row_tag = _opt(options, "rowTag", "rowtag")
         if not self._row_tag:
             raise ValueError("xmlhive: rowTag option is required")
@@ -116,6 +117,24 @@ class XmlHiveReader(DataSourceReader):
         self._mode = str(_opt(options, "mode", default="FAILFAST")).upper()
         if self._mode not in ("FAILFAST", "DROPMALFORMED", "PERMISSIVE"):
             raise ValueError(f"xmlhive: invalid mode {self._mode!r}")
+
+    def pushFilters(self, filters):
+        """Spark 4.1 filter pushdown: accept predicates we can evaluate
+        with exact SQL semantics on top-level scalar fields (the
+        reference filters only after full deserialization in Hive —
+        SURVEY.md §4.1); everything else goes back to Spark. Accepted
+        filters run executor-side BEFORE rows enter an Arrow batch, so
+        filtered records never cross the Python→JVM boundary."""
+        from xml_hive_spark.sources.pushdown import compile_filter
+
+        unsupported = []
+        for f in filters:
+            pred = compile_filter(f, self._schema)
+            if pred is None:
+                unsupported.append(f)
+            else:
+                self._pushed.append(pred)
+        return unsupported
 
     def partitions(self):
         if self._splits is not None:
@@ -140,14 +159,20 @@ class XmlHiveReader(DataSourceReader):
         # Arrow RecordBatches straight through the DataSource worker;
         # nested schemas yield tuples (worker converts per value)
         from xml_hive_spark.flat import FlatAssembler
+        from xml_hive_spark.sources.pushdown import compile_conjunction
 
+        keep = compile_conjunction(self._pushed)
         asm = FlatAssembler.try_create(self._schema, self._mode)
         if asm is not None:
             yield from asm.batches(
-                iter_split_record_bytes(split, self._row_tag)
+                iter_split_record_bytes(split, self._row_tag), predicate=keep
             )
-        else:
+        elif keep is None:
             yield from _read_split(split, self._row_tag, self._schema, self._mode)
+        else:
+            for row in _read_split(split, self._row_tag, self._schema, self._mode):
+                if keep(row):
+                    yield row
 
 
 _REGISTERED_SESSIONS: set[int] = set()
@@ -182,5 +207,9 @@ def register(spark) -> None:
     key = id(spark)
     if key not in _REGISTERED_SESSIONS:
         ship_package(spark)
+        # a reader that implements pushFilters() is rejected outright when
+        # the conf is off, so any session reading this source needs it on
+        # (get_spark sets it too; this covers externally-built sessions)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(XmlHiveDataSource)
         _REGISTERED_SESSIONS.add(key)
