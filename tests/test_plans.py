@@ -129,3 +129,25 @@ def test_ntile_no_global_single_partition_sort(spark, sf_dir):
     assert len(win_lines) == 1
     assert "windowspecdefinition(cb#" in win_lines[0]  # partitioned spec
     assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_vocab_topk_partial_agg_and_heap(spark, sf_dir):
+    """Vocabulary build: the shuffle must carry (word, partial_count)
+    pairs (map-side combine), and the top-k must be per-partition heaps
+    (TakeOrderedAndProject), never a global sort."""
+    plan = plan_of(spark, sf_dir, "vocab_topk")
+    assert "partial_count" in plan
+    assert plan.index("Exchange") > plan.index("partial_count") or \
+        plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    """Sequence packing: one hash-partitioned shuffle on lang for the
+    running-sum window; the post-window aggregate must not re-shuffle on
+    a finer key than it needs (lang,seq_id ⊃ lang so AQE may reuse)."""
+    plan = plan_of(spark, sf_dir, "pack_sequences")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    # token counting stays in codegen: no Python evaluation anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -107,6 +107,7 @@ def all_queries() -> dict[str, QueryDef]:
             relational4,
             similarity,
             text,
+            textprep,
             timeseries,
             xmlio,
         )

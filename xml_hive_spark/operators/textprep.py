@@ -1,0 +1,164 @@
+"""Text-preparation operators for LLM training-data pipelines
+(BASELINE.md north_star) over the ``documents`` table: cleaning /
+normalization, corpus vocabulary building, and token-budget sequence
+packing. Complements ``text.py`` (per-document stats) with the
+corpus-level transforms a pretraining pipeline runs before
+tokenization.
+
+All three are pure built-in-function plans (JVM-side, codegen'd):
+
+- cleaning is a per-row columnar pass, zero shuffles;
+- vocabulary is explode → hash-agg (partial+final, so the shuffle
+  carries (word, partial_count) pairs — vocabulary-sized, not
+  corpus-sized) → TakeOrdered top-k;
+- packing is one window shuffle on the language key: each document is
+  assigned to a training sequence by its running token count, the
+  streaming-friendly FIFO formulation (greedy first-fit packing is
+  inherently sequential; the running-sum form is the one that
+  parallelizes — one pass, no driver loop — and is what large-scale
+  pipelines actually ship).
+
+Cross-engine determinism: token counts are integers, so every
+aggregate here is exact; tie-breaks in the vocabulary top-k are pinned
+by (count DESC, word ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xml_hive_spark.operators import query, t
+
+# one training sequence holds this many whitespace tokens
+_PACK_BUDGET = 512
+
+
+@query(
+    "text_clean_normalize",
+    oracle=r"""
+SELECT doc_id,
+       substring(clean, 1, 48)                       AS prefix,
+       CAST(length(clean) AS BIGINT)                 AS clean_chars,
+       CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_words
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS clean
+  FROM documents
+) ORDER BY doc_id
+""",
+    tags=("text", "llm-prep"),
+)
+def text_clean_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Markup strip + whitespace collapse + case fold — the first stage
+    of every pretraining text pipeline. Spark ``regexp_replace`` is
+    global by default; DuckDB needs the explicit ``'g'`` flag."""
+    docs = t(spark, sf, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "<[^>]*>", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.substring(clean, 1, 48).alias("prefix"),
+            F.length(clean).cast("bigint").alias("clean_chars"),
+            F.size(F.split(clean, " ")).cast("bigint").alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "vocab_topk",
+    oracle=r"""
+SELECT word, CAST(count(*) AS BIGINT) AS freq
+FROM (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+  FROM documents
+) WHERE word <> ''
+GROUP BY word
+ORDER BY freq DESC, word ASC
+LIMIT 50
+""",
+    tags=("text", "llm-prep", "agg"),
+)
+def vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary: whitespace-token frequencies, top 50.
+
+    Scale shape: explode feeds a partial+final hash-agg, so the shuffle
+    moves one (word, count) pair per distinct word per task — bounded
+    by vocabulary size, not corpus size; the top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    docs = t(spark, sf, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+SELECT lang,
+       CAST(floor((cum_tokens - n_tok) / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT)    AS n_docs,
+       CAST(sum(n_tok) AS BIGINT)  AS seq_tokens
+FROM (
+  SELECT lang, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM (
+    SELECT doc_id, lang,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+    FROM documents
+  )
+)
+GROUP BY lang, seq_id
+ORDER BY lang, seq_id
+""",
+    tags=("text", "llm-prep", "window"),
+)
+def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing: assign documents (in doc_id order
+    within each language) to training sequences of ~{budget} whitespace
+    tokens by their exclusive running token count — the parallel FIFO
+    formulation of greedy packing (one window shuffle on ``lang``; a
+    first-fit bin packer is a sequential driver loop and cannot scale).
+    A document lands in the sequence its preceding cumulative count
+    falls in, so sequences can overflow by at most one document — the
+    standard streaming-packing tradeoff."""
+    docs = t(spark, sf, "documents")
+    n_tok = F.size(F.split(F.col("text"), r"\s+")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select("doc_id", "lang", n_tok.alias("n_tok")).withColumn(
+        "cum_tokens", F.sum("n_tok").over(w)
+    )
+    return (
+        staged.withColumn(
+            "seq_id",
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tok")) / float(_PACK_BUDGET)
+            ).cast("bigint"),
+        )
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+        )
+        .orderBy("lang", "seq_id")
+    )
