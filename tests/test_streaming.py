@@ -83,3 +83,23 @@ def test_stateful_sessionize_matches_batch_twin(spark, sf_dir):
     emitted = set(keys)
     missing = expected_old - emitted
     assert not missing, f"{len(missing)} old sessions never flushed"
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Watermarked stream-stream attribution join: the availableNow drain
+    over the finite events table must emit exactly the batch join's rows
+    (inner joins emit eagerly — no rows withheld at end of stream), with
+    no duplicates from state replay."""
+    from xml_hive_spark.streaming.joins import (
+        batch_join_twin,
+        run_streaming_stream_join,
+    )
+
+    cols = ("user_id", "view_id", "purchase_id")
+    streamed = [tuple(r[c] for c in cols)
+                for r in run_streaming_stream_join(spark, sf_dir).collect()]
+    batch = [tuple(r[c] for c in cols)
+             for r in batch_join_twin(spark, sf_dir).collect()]
+    assert len(batch) > 0  # the attribution window actually matches pairs
+    assert len(streamed) == len(set(streamed))  # exactly-once emission
+    assert sorted(streamed) == sorted(batch)

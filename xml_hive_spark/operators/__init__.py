@@ -111,7 +111,7 @@ def all_queries() -> dict[str, QueryDef]:
             timeseries,
             xmlio,
         )
-        from xml_hive_spark.streaming import stateful, windowed  # noqa: F401
+        from xml_hive_spark.streaming import joins, stateful, windowed  # noqa: F401
 
         _LOADED = True
     return REGISTRY

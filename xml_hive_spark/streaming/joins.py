@@ -1,0 +1,103 @@
+"""Stream-stream join with event-time bounds (attribution join).
+
+The missing Structured Streaming operator family after windowed aggs,
+watermarked dedup, and arbitrary-state sessionization: two unbounded
+streams joined on a key plus an event-time range. The canonical use is
+attribution — purchases joined to the views that preceded them within
+an attribution window.
+
+Scale shape: both sides are watermarked, so the state store holds only
+rows inside the watermark horizon (view state is dropped once
+``purchase_ts`` can no longer land in ``[view_ts, view_ts + window]``)
+— bounded state regardless of stream length. The join itself
+hash-partitions both streams on ``user_id``: one shuffle per side,
+identical to the batch plan, and matches emit as they arrive (inner
+join emits eagerly; it never waits for the watermark).
+
+Determinism: with an ``availableNow`` drain over a finite input the
+emitted set is exactly the batch join's result, which
+tests/test_streaming.py asserts. The reference has no streaming at all
+(batch ``InputFormat`` only, AvroFromXmlInputFormat.scala:15) —
+extension scope, like the rest of streaming/.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xml_hive_spark.operators import query
+from xml_hive_spark.streaming.windowed import streaming_events
+
+_ATTRIBUTION = "30 minutes"
+
+
+def _sides(views: DataFrame, purchases: DataFrame):
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            f"""
+            user_id = p_user_id AND
+            purchase_ts >= view_ts AND
+            purchase_ts <= view_ts + interval {_ATTRIBUTION}
+            """
+        ),
+        "inner",
+    )
+    return joined.select(
+        "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts", "amount"
+    )
+
+
+def run_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution join as a real streaming query, drained availableNow."""
+    out = _sides(streaming_events(spark, sf_dir), streaming_events(spark, sf_dir))
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="xmlhive-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("availableNow drain did not finish within 120s")
+    return spark.table(name)
+
+
+def batch_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same attribution join in batch — the equality oracle."""
+    from xml_hive_spark.operators import t
+
+    ev = t(spark, sf_dir, "events")
+    return _sides(ev, ev)
+
+
+@query("streaming_stream_join", tags=("streaming", "join"))
+def streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry entry (rows-only; batch equality in tests/test_streaming.py)."""
+    return run_streaming_stream_join(spark, sf)
