@@ -33,6 +33,9 @@ from xml_hive_spark.operators import query, t
 # one training sequence holds this many whitespace tokens
 _PACK_BUDGET = 512
 
+# document chunking: words per training chunk
+_CHUNK_WORDS = 20
+
 
 @query(
     "text_clean_normalize",
@@ -161,4 +164,59 @@ def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("seq_tokens"),
         )
         .orderBy("lang", "seq_id")
+    )
+
+
+@query(
+    "doc_chunks_udtf",
+    oracle=f"""
+SELECT doc_id,
+       CAST(c.chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(words[(c.chunk_idx*{_CHUNK_WORDS}+1):(c.chunk_idx*{_CHUNK_WORDS}+{_CHUNK_WORDS})], ' ')
+           AS chunk_text,
+       CAST(least({_CHUNK_WORDS}, len(words) - c.chunk_idx*{_CHUNK_WORDS}) AS INTEGER)
+           AS n_words
+FROM (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words
+  FROM documents
+), LATERAL (
+  SELECT unnest(generate_series(0,
+      CAST(ceil(len(words) / {_CHUNK_WORDS}.0) AS BIGINT) - 1)) AS chunk_idx
+) c
+ORDER BY doc_id, chunk_idx
+""",
+    tags=("text", "llm-prep", "udtf"),
+)
+def doc_chunks_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """Document chunking as a native Python UDTF (Spark 4 ``@udtf``,
+    Arrow-optimized): each document expands to fixed-size word chunks —
+    the tokenize-and-chunk stage ahead of sequence packing, and the
+    genuine table-function surface (Hive UDTF ≙ LATERAL table function;
+    ``apply_in_pandas_centered`` covers the grouped-map cousin).
+
+    Scale shape: the UDTF is a per-row expansion — no shuffle, no
+    state; Arrow moves whole batches across the Python boundary. Python
+    ``str.split()`` (drops empty tokens) is mirrored in the oracle by
+    ``list_filter(string_split_regex(...), w -> w <> '')``."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "doc_id bigint, chunk_idx int, chunk_text string, n_words int"
+    ), useArrow=True)
+    class ChunkDoc:
+        def eval(self, doc_id, text):
+            words = (text or "").split()
+            for i in range(0, len(words), _CHUNK_WORDS):
+                piece = words[i : i + _CHUNK_WORDS]
+                yield doc_id, i // _CHUNK_WORDS, " ".join(piece), len(piece)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    t(spark, sf, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.chunk_text, c.n_words
+        FROM documents d, LATERAL chunk_doc(d.doc_id, d.text) c
+        ORDER BY doc_id, chunk_idx
+        """
     )
