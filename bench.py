@@ -53,14 +53,16 @@ def main() -> None:
     spark = get_spark(app_name="xml-hive-spark-bench")
     registry = all_queries()
 
-    # untimed warm pass: JIT/codegen compilation, parquet footer cache,
-    # Arrow/Python worker startup — report steady-state engine throughput
-    for name in HEADLINE:
-        registry[name].fn(spark, sf_dir).count()
-
+    # untimed warm run immediately before each timed run: JIT/codegen
+    # compilation, parquet footer cache, Arrow/Python worker startup —
+    # report steady-state engine throughput. Warming per query (not one
+    # global pass) keeps the warm state adjacent: a dozen intervening
+    # queries recycle Python worker pools and JIT state, which showed up
+    # as 1.5-2s of non-engine noise on the Python-heavy entries.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qd = registry[name]
+        qd.fn(spark, sf_dir).count()  # warm
         t0 = time.perf_counter()
         n = qd.fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)

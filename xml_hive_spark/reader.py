@@ -709,6 +709,38 @@ def _plan_cache_key(paths: list[str], row_tag: str, partition_bytes: int):
     return (sig, row_tag, partition_bytes)
 
 
+def _plan_disk_path(cache_key) -> "Path":
+    """Cross-process plan cache location. A fresh driver re-reading a
+    static file shouldn't repeat phase A (a full byte-scan of every
+    split); on a cluster this artifact lives in the catalog/metastore —
+    locally it's a content-keyed JSON under the temp dir."""
+    import hashlib
+    import tempfile
+
+    blob = json.dumps(cache_key, sort_keys=True).encode()
+    d = Path(tempfile.gettempdir()) / "xmlhive_plan_cache"
+    return d / (hashlib.sha256(blob).hexdigest() + ".json")
+
+
+def _plan_disk_load(cache_key) -> "list[AnnotatedSplit] | None":
+    try:
+        raw = json.loads(_plan_disk_path(cache_key).read_bytes())
+        return [(p, a, b, st, d) for p, a, b, st, d in raw]
+    except (OSError, ValueError):
+        return None
+
+
+def _plan_disk_store(cache_key, plan: list) -> None:
+    try:
+        path = _plan_disk_path(cache_key)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(f".tmp{os.getpid()}")
+        tmp.write_text(json.dumps(plan))
+        tmp.replace(path)  # atomic publish — concurrent writers race safely
+    except OSError:
+        pass  # cache is best-effort; planning still succeeded
+
+
 def plan_annotated_splits(
     paths: list[str],
     row_tag: str,
@@ -725,6 +757,9 @@ def plan_annotated_splits(
     cache_key = _plan_cache_key(paths, row_tag, partition_bytes)
     if cache_key is not None and cache_key in _PLAN_CACHE:
         return _PLAN_CACHE[cache_key]
+    if cache_key is not None and (disk := _plan_disk_load(cache_key)) is not None:
+        _PLAN_CACHE[cache_key] = disk
+        return disk
     raw = plan_splits(paths, partition_bytes)
     by_file: dict[str, list[tuple[int, int]]] = {}
     for p, a, b in raw:
@@ -773,6 +808,8 @@ def plan_annotated_splits(
         if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
             _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         _PLAN_CACHE[cache_key] = out
+        if need:  # only multi-split plans are worth persisting
+            _plan_disk_store(cache_key, out)
     return out
 
 
