@@ -160,19 +160,54 @@ def exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
+def minhash_signatures_with_sets(
+    hashed: DataFrame, num_perm: int = 32
+) -> DataFrame:
+    """One-pass signature build: the k min-aggregates AND the hashed
+    shingle set (``collect_set``) in a single hash-agg, so the expensive
+    map side (text scan → shingle UDF → hash → partial aggs) runs once
+    and Catalyst's ReuseExchange serves every downstream consumer —
+    banding and both verify sides — from the same shuffle files.
+    Input: (id, shh) with 8-byte hashed shingles."""
+    aggs = [
+        F.min(F.xxhash64("shh", F.lit(i))).alias(f"m{i}") for i in range(num_perm)
+    ]
+    return hashed.groupBy("id").agg(*aggs, F.collect_set("shh").alias("shs"))
+
+
 @query("dedup_minhash_lsh", tags=("dedup", "minhash", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4 rows, ~0.6 Jaccard threshold) near-dup
     candidate pairs, verified with exact shingle Jaccard.
 
+    Scale shape: shingles are hashed to 8 bytes before anything shuffles
+    (the verify join used to move shingle STRINGS); signatures and
+    shingle sets come out of ONE aggregation (ReuseExchange — the
+    shingle UDF and partial aggs execute once, not once per consumer);
+    verification intersects two bounded arrays per candidate pair
+    (``array_intersect``) instead of re-joining exploded shingle rows.
+
     Not SQL-expressible (seeded xxhash64 permutations) → rows-only check;
     tests/test_dedup.py validates recall on planted near-duplicates."""
     docs = t(spark, sf, "documents")
-    sh = shingles(docs)
-    sig = minhash_signatures(sh, num_perm=32)
+    hashed = shingles(docs).select("id", F.xxhash64("sh").alias("shh"))
+    sig = minhash_signatures_with_sets(hashed, num_perm=32)
     pairs = lsh_candidate_pairs(sig, bands=8, rows=4)
-    return exact_jaccard(pairs, sh).filter(F.col("jaccard") >= 0.5).orderBy(
-        "id_a", "id_b"
+    sa = sig.select(F.col("id").alias("id_a"), F.col("shs").alias("sa"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("shs").alias("sb"))
+    n_inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                n_inter / (F.size("sa") + F.size("sb") - n_inter), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
     )
 
 
