@@ -151,3 +151,15 @@ def test_pack_sequences_single_window_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # token counting stays in codegen: no Python evaluation anywhere
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    """Hive-partitioned layout: a lang predicate must land in
+    PartitionFilters (directory-level pruning — at scale, unselected
+    partitions are never listed or read), not just PushedFilters."""
+    plan = plan_of(spark, sf_dir, "partitioned_write_roundtrip")
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines, plan
+    assert "lang" in part_lines[0]
+    # the partition column predicate is fully handled by pruning
+    assert "isnotnull(lang" in part_lines[0] or "(lang" in part_lines[0]

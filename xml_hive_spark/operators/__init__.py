@@ -106,6 +106,7 @@ def all_queries() -> dict[str, QueryDef]:
             relational3,
             relational4,
             similarity,
+            storage,
             text,
             textprep,
             timeseries,
