@@ -400,3 +400,42 @@ def q19_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       [quantile_cont(l_quantity, 0.25), quantile_cont(l_quantity, 0.5),
+        quantile_cont(l_quantity, 0.75)] AS qty_quartiles,
+       quantile_cont(l_extendedprice, 0.9) AS price_p90,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT percentiles (Hive's ``percentile`` UDAF surface): linear
+    interpolation at (n-1)·q, the same definition as DuckDB
+    ``quantile_cont`` — measured bit-identical on this data, so it is
+    oracle-checked rather than rows-only like ``approx_percentile``.
+
+    Scale note: exact percentiles sort each group's values inside the
+    aggregation buffer — fine for bounded groups; at unbounded-group
+    100 TB scale the swap is ``approx_percentile`` (t-digest-style
+    bounded sketch), the same exact→sketch trade documented for
+    count-distinct (SCALE.md)."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"
+            ).alias("qty_quartiles"),
+            F.expr("percentile(l_extendedprice, 0.9D)").alias("price_p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

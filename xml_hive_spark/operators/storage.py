@@ -76,3 +76,78 @@ def partitioned_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _roundtrip_dir(fmt: str, sf: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"xmlhive_rt_{fmt}_{abs(hash(sf)) % 10**8}"
+    )
+
+
+@query(
+    "csv_roundtrip",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang ORDER BY lang
+""",
+    tags=("source", "sink", "csv"),
+)
+def csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV sink → CSV source round-trip (header + explicit schema on
+    read — schema inference at 100 TB means reading everything twice).
+    The text column exercises quoting/escaping; the oracle aggregates
+    the original table, so any row lost or mangled in the round-trip
+    breaks the hash."""
+    out = _roundtrip_dir("csv", sf)
+    docs = t(spark, sf, "documents")
+    docs.write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(out)
+    back = (
+        spark.read.schema(docs.schema)
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(out)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "json_roundtrip",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_words
+FROM documents
+GROUP BY source ORDER BY source
+""",
+    tags=("source", "sink", "json"),
+)
+def json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines sink → source round-trip with explicit schema on read;
+    the standard interchange format for document corpora. Word counts on
+    the round-tripped text prove string fidelity through JSON escaping."""
+    out = _roundtrip_dir("json", sf)
+    docs = t(spark, sf, "documents")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(docs.schema).json(out)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), r"\s+")).cast("bigint")).alias(
+                "total_words"
+            ),
+        )
+        .orderBy("source")
+    )
