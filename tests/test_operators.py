@@ -46,6 +46,7 @@ def test_registry_complete():
         "agg_approx_distinct",
         "cosine_topk_ivf",
         "cosine_topk_ivf_kmeans",  # iterative Lloyd's — not SQL-expressible
+        "cosine_topk_ivf_pq",  # sampled PQ training — not SQL-expressible
         "cosine_topk_lsh",
         "dedup_embedding_cosine",  # LSH planes aren't SQL-expressible
         "dedup_exact_by_hash",
@@ -57,6 +58,7 @@ def test_registry_complete():
         "multimodal_resize_stub",
         "sample_deterministic",
         "streaming_sessionize",  # arbitrary-state streaming — no SQL twin
+        "streaming_stream_join",  # two-stream watermark join — no SQL twin
         "streaming_window_counts",
         "xml_scan_bench",  # DuckDB can't read XML; exact aggregate pinned in test_xml_bench
         "xml_scan_books",

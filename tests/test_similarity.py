@@ -136,3 +136,39 @@ class TestEmbeddingDedupLSH:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPQ:
+    def test_pq_recall_and_exact_rerank(self, spark, sf_dir):
+        """IVF-PQ: ADC shortlist + exact re-rank must recover most of the
+        brute-force top-5, and every emitted cos_sim must equal the exact
+        value (re-rank computes true cosine, so PQ error may only affect
+        WHICH candidates surface, never their reported scores)."""
+        from xml_hive_spark.operators import all_queries
+
+        brute = all_queries()["cosine_topk_bruteforce"].fn(spark, sf_dir).collect()
+        pq = all_queries()["cosine_topk_ivf_pq"].fn(spark, sf_dir).collect()
+        truth = {}
+        for r in brute:
+            truth.setdefault(r.qid, set()).add(r.nid)
+        exact_cos = {(r.qid, r.nid): r.cos_sim for r in brute}
+        got = {}
+        for r in pq:
+            got.setdefault(r.qid, set()).add(r.nid)
+            if (r.qid, r.nid) in exact_cos:
+                assert abs(r.cos_sim - exact_cos[(r.qid, r.nid)]) < 1e-9
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        total = sum(len(v) for v in truth.values())
+        recall = hits / total
+        # 16 codewords x 16 subspaces on near-random 64-dim vectors: the
+        # 10x shortlist + exact re-rank recovers well over half of top-5
+        assert recall >= 0.5, f"PQ recall {recall:.3f}"
+
+    def test_pq_training_deterministic(self, spark, sf_dir):
+        from xml_hive_spark.operators import t
+        from xml_hive_spark.operators.similarity import train_pq_codebooks
+
+        emb = t(spark, sf_dir, "embeddings")
+        b1 = train_pq_codebooks(emb)
+        b2 = train_pq_codebooks(emb)
+        assert (b1 == b2).all()

@@ -423,3 +423,144 @@ def cosine_topk_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+# ------------------------------------------------- product quantization (PQ)
+
+_PQ_M = 16         # subspaces (64-dim → 16 × 4-dim subvectors)
+_PQ_K = 16         # codewords per subspace → 4 bits/code, 16 codes/vector
+_PQ_SAMPLE = 2048  # training sample size (driver-side, bounded)
+_PQ_SHORTLIST = 50  # ADC candidates per query fed to exact re-rank
+
+
+def train_pq_codebooks(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64, seed: int = 23
+):
+    """Train per-subspace codebooks on a bounded, deterministic sample
+    (smallest seeded xxhash64 of vec_id — the standard
+    train-on-a-sample regime: PQ codebooks need thousands of vectors,
+    not the corpus, so only sample × dim floats reach the driver).
+    Vectors are L2-normalized first so ADC inner products approximate
+    cosine. Returns numpy (M, K, dim/M)."""
+    import numpy as np
+
+    rows = (
+        emb.select(vec_col, F.xxhash64(F.col("vec_id"), F.lit(seed)).alias("h"))
+        .orderBy("h")
+        .limit(_PQ_SAMPLE)
+        .collect()
+    )
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    sub = dim // _PQ_M
+    books = np.empty((_PQ_M, _PQ_K, sub))
+    for m in range(_PQ_M):
+        xs = x[:, m * sub : (m + 1) * sub]
+        cb = xs[:_PQ_K].copy()  # deterministic init: first K sample rows
+        for _ in range(5):  # Lloyd on the sample, numpy-local
+            d = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for k in range(_PQ_K):
+                pts = xs[a == k]
+                if len(pts):
+                    cb[k] = pts.mean(axis=0)
+        books[m] = cb
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str, books) -> DataFrame:
+    """Add ``codes`` (array<int>, M entries of 0..K-1): nearest codeword
+    per subspace of the L2-normalized vector. 16 codes replace 256 bytes
+    of floats — the compression that lets a 100 TB corpus's index live
+    in memory (production packs them into binary; int array keeps the
+    demo inspectable)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    sub = books.shape[2]
+
+    @pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(x), _PQ_M), dtype=np.int32)
+        for m in range(_PQ_M):
+            xs = x[:, m * sub : (m + 1) * sub]
+            # ||xs - cb||² argmin via the expanded form: one matmul
+            d = (xs**2).sum(1)[:, None] - 2 * xs @ books[m].T + (
+                books[m] ** 2
+            ).sum(1)[None, :]
+            out[:, m] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return df.withColumn("codes", enc(F.col(vec_col)))
+
+
+@query("cosine_topk_ivf_pq", tags=("similarity", "ann", "pq"))
+def cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ-compressed ANN with asymmetric distance + exact re-rank: the
+    corpus is product-quantized to M=16 4-bit codes; each query
+    precomputes an (M × K) inner-product lookup table against the
+    codebooks (ADC); candidate scoring is then 16 table lookups per
+    vector — a JVM higher-order fold over the broadcast table, no
+    Python in the scan — and only the ADC shortlist gets its true
+    embeddings joined back for exact cosine re-ranking to top-5.
+
+    Scale shape: the scan reads 16 4-bit codes (not 64 floats) per vector,
+    the ADC table is a broadcast of q × 256 doubles, and re-rank
+    touches a 50-vector shortlist per query. Composes with the IVF coarse
+    quantizer (probe lists first, then ADC within lists) — kept
+    exhaustive-ADC here so the recall test isolates PQ error.
+    Rows-only driver check (sampled k-means training isn't
+    SQL-expressible); recall vs brute force in tests/test_similarity.py."""
+    import numpy as np
+
+    emb = t(spark, sf, "embeddings")
+    books = train_pq_codebooks(emb)
+    coded = pq_encode(emb.select("vec_id", "embedding"), "embedding", books)
+
+    q_rows = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    sub = books.shape[2]
+    probe = []
+    for r in q_rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        # ADC table: T[m][k] = <q_sub_m, codebook[m][k]>, flattened M*K
+        tbl = [
+            float(np.dot(v[m * sub : (m + 1) * sub], books[m][k]))
+            for m in range(_PQ_M)
+            for k in range(_PQ_K)
+        ]
+        probe.append((int(r.vec_id), r.embedding, tbl))
+    probed = F.broadcast(
+        spark.createDataFrame(probe, "qid int, qe array<float>, tbl array<double>")
+    )
+
+    cand = probed.crossJoin(
+        coded.select(F.col("vec_id").alias("nid"), F.col("codes"))
+    ).filter(F.col("qid") != F.col("nid"))
+    # fold over the M codes: acc + tbl[m*K + codes[m]] (1-based element_at)
+    adc = F.expr(
+        f"aggregate(sequence(0, {_PQ_M - 1}), 0D,"
+        f" (acc, m) -> acc + element_at(tbl, m * {_PQ_K} + element_at(codes, m + 1) + 1))"
+    )
+    w_adc = Window.partitionBy("qid").orderBy(F.col("adc").desc(), "nid")
+    shortlist = (
+        cand.select("qid", "qe", "nid", adc.alias("adc"))
+        .withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= _PQ_SHORTLIST)
+        .drop("r", "adc")
+    )
+    n = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+    cos = F.round(
+        _dot(F.col("qe"), F.col("ne")) / (_norm(F.col("qe")) * _norm(F.col("ne"))), 4
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
+    return (
+        shortlist.join(n, "nid")
+        .select("qid", "nid", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
