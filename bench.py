@@ -36,6 +36,9 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "text_token_stats",
     "text_fingerprint",
+    # LLM-prep corpus transforms (round 2)
+    "vocab_topk",
+    "pack_sequences",
     # GB-scale XML source scan (1 GiB at sf0.1): the engine's raison
     # d'être — file generated once and cached under $TMPDIR/xmlhive_bench
     "xml_scan_bench",
