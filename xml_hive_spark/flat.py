@@ -369,10 +369,14 @@ class FlatAssembler:
 
     # ------------------------------------------------------------- batching
 
-    def batches(self, record_iter, batch_rows: int = 8192, predicate=None):
+    def batches(self, record_iter, batch_rows: int = 32768, predicate=None):
         """``record_iter`` yields record byte strings; yields
         ``pyarrow.RecordBatch`` (schema = Spark's Arrow image of the
         StructType, so the DataSource worker passes them through).
+
+        32k-row batches measured ~14% faster end-to-end than 8k on the
+        1 GiB bench (fewer pa.array calls + fewer worker→JVM frames);
+        memory per batch stays a few MB for flat scalar schemas.
 
         ``predicate`` (pushed-filter conjunction, pushdown.py) is applied
         to each extracted row tuple before it is appended — filtered
