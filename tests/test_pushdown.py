@@ -203,3 +203,20 @@ def test_reader_accepts_and_returns_by_reference(tmp_path):
     # flat path yields Arrow batches; count rows across shapes
     n = sum(b.num_rows if hasattr(b, "num_rows") else 1 for b in rows)
     assert n == 1  # only the name='alpha' record survived the scan
+
+
+def test_date_typed_filters_compile_and_compare():
+    """Rich-types reader schemas carry DateType fields; date literals
+    from Spark arrive as datetime.date and must compare correctly."""
+    from datetime import date
+
+    from pyspark.sql.types import DateType
+
+    sch = StructType([StructField("d", DateType(), True)])
+    p = compile_filter(GreaterThan(("d",), date(2024, 1, 15)), sch)
+    assert p((date(2024, 2, 1),)) is True
+    assert p((date(2024, 1, 1),)) is False
+    assert p((None,)) is None
+    q = compile_filter(In(("d",), (date(2024, 1, 1), date(2024, 1, 2))), sch)
+    assert q((date(2024, 1, 2),)) is True
+    assert q((date(2024, 3, 3),)) is False
