@@ -104,3 +104,19 @@ def test_hash_dedup_equals_text_dedup(spark, sf_dir):
     a = sorted((r.keep_id, r.n_copies) for r in by_text.collect())
     b = sorted((r.keep_id, r.n_copies) for r in by_hash.collect())
     assert a == b
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation on a crafted graph: a 7-node chain (worst
+    case for per-hop propagation), a triangle, and an isolated edge —
+    labels must converge to each component's minimum node id."""
+    from xml_hive_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10, 16)]       # 10-16 connected
+    tri = [(2, 5), (5, 9), (2, 9)]                    # {2,5,9}
+    pair = [(100, 42)]                                # {42,100}
+    edges = spark.createDataFrame(chain + tri + pair, "src long, dst long")
+    got = {r.id: r.lbl for r in connected_components(edges).collect()}
+    assert {got[i] for i in range(10, 17)} == {10}
+    assert got[2] == got[5] == got[9] == 2
+    assert got[42] == got[100] == 42

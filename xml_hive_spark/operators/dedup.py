@@ -11,7 +11,7 @@ fan-out is bounded by bucket size, not corpus size.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xml_hive_spark.operators import query, t
@@ -388,4 +388,117 @@ def dedup_exact_by_hash(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
         .select("keep_id", "n_copies")
+    )
+
+
+# ------------------------------------------- dedup cluster formation (graph)
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 16
+) -> DataFrame:
+    """Distributed connected components by min-label propagation:
+    every node starts labeled with itself; each iteration joins labels
+    across edges (both directions) and keeps the per-node minimum,
+    until a fixpoint. Returns (id, lbl) with lbl = the component's
+    smallest node id.
+
+    Scale shape: per iteration — one join of the (symmetrized) edge
+    list with the label table and one min hash-agg, both
+    hash-partitioned on node id; ``localCheckpoint`` truncates lineage
+    each round (iterative plans otherwise double in depth and
+    re-execute history; on a cluster the durable variant is
+    ``checkpoint`` to the DFS). The driver loop moves one scalar
+    (the changed-count) per iteration, never data. Iteration count is
+    graph diameter — for dedup graphs (near-clique clusters plus short
+    bridges) that's single digits, not corpus size."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"), "lbl")
+        )
+        nxt = (
+            labels.union(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            nxt.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "id")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "dedup_cluster_components",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang, n_chars // 50 AS bucket FROM documents
+),
+islands AS (
+  SELECT lang, bucket,
+         bucket - CAST(row_number() OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT)
+             AS island
+  FROM (SELECT DISTINCT lang, bucket FROM b)
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS cluster_rep,
+       CAST(count(*) AS BIGINT)    AS n_docs
+FROM b JOIN islands USING (lang, bucket)
+GROUP BY lang, island
+ORDER BY cluster_rep
+""",
+    tags=("dedup", "graph", "components"),
+)
+def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup cluster formation: after candidate pairing, the final step
+    of corpus dedup is grouping pairwise matches into clusters and
+    electing one representative — transitive closure, which SQL alone
+    can't express for arbitrary graphs. Here the match graph is
+    deterministic (same (lang, n_chars DIV 50) bucket = duplicate
+    clique; adjacent non-empty buckets within a language = near-dup
+    bridge), so components are provably the per-language maximal runs
+    of occupied buckets — which IS SQL-expressible (gaps-and-islands),
+    giving the iterative distributed algorithm a full value oracle:
+    the DuckDB CTE derives the same clusters analytically."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", "lang", (F.col("n_chars") / 50).cast("bigint").alias("bucket")
+    )
+    # clique edges: each doc to its bucket's minimum doc
+    bmin = docs.groupBy("lang", "bucket").agg(F.min("doc_id").alias("rep"))
+    clique = (
+        docs.join(bmin, ["lang", "bucket"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("src"), F.col("rep").alias("dst"))
+    )
+    # bridge edges: bucket rep to the next occupied bucket's rep (lead
+    # window per language) when exactly adjacent
+    w = Window.partitionBy("lang").orderBy("bucket")
+    bridges = (
+        bmin.withColumn("nxt_bucket", F.lead("bucket").over(w))
+        .withColumn("nxt_rep", F.lead("rep").over(w))
+        .filter(F.col("nxt_bucket") == F.col("bucket") + 1)
+        .select(F.col("rep").alias("src"), F.col("nxt_rep").alias("dst"))
+    )
+    comp = connected_components(clique.union(bridges))
+    return (
+        comp.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.col("lbl").cast("bigint").alias("cluster_rep"),
+            F.col("n_docs").cast("bigint"),
+        )
+        .orderBy("cluster_rep")
     )

@@ -439,3 +439,40 @@ def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "variant_json_access",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("json", "variant"),
+)
+def variant_json_access(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` ingests the JSON once into the binary variant
+    encoding and ``variant_get`` path-extracts with a target type —
+    the modern replacement for repeated ``get_json_object`` string
+    re-parsing (each get_json_object call re-parses the whole string;
+    variant parses once and navigates a binary tree). Oracle via
+    DuckDB ``json_extract`` on the same paths."""
+    from pyspark.sql.functions import parse_json, variant_get
+
+    ev = t(spark, sf, "events")
+    k = variant_get(parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
