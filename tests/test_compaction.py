@@ -1,0 +1,45 @@
+"""Small-files control — the operational 100 TB concern the reference
+never faces (Hive hands it whole files): a naive parallel write emits
+one file per task regardless of size; the compaction pattern is
+repartition to a target file count (or partition columns) plus
+``maxRecordsPerFile`` as the upper bound."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+
+def _parquet_files(d: str) -> list[Path]:
+    return [p for p in Path(d).rglob("*.parquet") if p.is_file()]
+
+
+def test_repartition_controls_file_count(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    naive = str(tmp_path / "naive")
+    docs.repartition(16).write.mode("overwrite").parquet(naive)
+    assert len(_parquet_files(naive)) == 16  # one file per task
+
+    compacted = str(tmp_path / "compacted")
+    docs.repartition(2).write.mode("overwrite").parquet(compacted)
+    assert len(_parquet_files(compacted)) == 2
+
+    # both layouts hold identical data
+    a = spark.read.parquet(naive).count()
+    b = spark.read.parquet(compacted).count()
+    assert a == b == docs.count()
+
+
+def test_max_records_per_file_caps_file_size(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    out = str(tmp_path / "capped")
+    (
+        docs.repartition(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 100)
+        .parquet(out)
+    )
+    files = _parquet_files(out)
+    # one writer task, but the record cap splits output into ceil(n/100)
+    assert len(files) == -(-n // 100)
+    assert spark.read.parquet(out).count() == n
