@@ -43,3 +43,24 @@ def test_registry_entries_execute(spark, sf_dir):
     assert len(fe) == 1 and fe[0].n > 0
     rs = reg["multimodal_resize_stub"].fn(spark, sf_dir).collect()
     assert len(rs) == 1 and rs[0].n > 0
+
+
+def test_arrow_chunking_reassembles_exactly(spark, sf_dir):
+    """mapInArrow chunking must be lossless: concatenating each doc's
+    chunks in chunk_idx order reproduces the original payload bytes."""
+    from pyspark.sql import functions as F
+
+    from xml_hive_spark.operators import t
+    from xml_hive_spark.operators.multimodal import chunk_payloads_arrow
+
+    docs = t(spark, sf_dir, "documents").limit(50)
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    orig = {r.doc_id: bytes(r.payload) for r in payloads.collect()}
+    got: dict[int, list] = {}
+    for r in chunk_payloads_arrow(payloads).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, bytes(r.chunk)))
+    assert set(got) == set(orig)
+    for doc_id, pieces in got.items():
+        joined = b"".join(c for _, c in sorted(pieces))
+        assert joined == orig[doc_id]
+        assert all(len(c) <= 128 for _, c in pieces)

@@ -251,3 +251,85 @@ def multimodal_resize_stub(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("out_w")
     )
+
+
+CHUNK_SCHEMA = "doc_id long, chunk_idx int, chunk binary, n_bytes int"
+
+
+def chunk_payloads_arrow(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload",
+    chunk_bytes: int = 128,
+) -> DataFrame:
+    """Fixed-size payload chunking via ``mapInArrow`` — the multipart
+    layout stage for blob upload/storage. Unlike the pandas stages this
+    one never materializes a pandas object: record batches come in and
+    go out as Arrow, with Python touching only the buffer slices it
+    emits. Batch-granular fan-out: one input batch → one output batch
+    of all its chunks."""
+    import pyarrow as pa
+
+    def chunker(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            ids = batch.column(0)
+            payloads = batch.column(1)
+            out_id, out_idx, out_chunk, out_n = [], [], [], []
+            for i in range(batch.num_rows):
+                buf = payloads[i].as_py()
+                pid = ids[i].as_py()
+                if buf is None:
+                    continue
+                for ci, off in enumerate(range(0, max(len(buf), 1), chunk_bytes)):
+                    piece = buf[off : off + chunk_bytes]
+                    out_id.append(pid)
+                    out_idx.append(ci)
+                    out_chunk.append(piece)
+                    out_n.append(len(piece))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_idx, pa.int32()),
+                    pa.array(out_chunk, pa.binary()),
+                    pa.array(out_n, pa.int32()),
+                ],
+                names=["doc_id", "chunk_idx", "chunk", "n_bytes"],
+            )
+
+    return df.mapInArrow(chunker, schema=CHUNK_SCHEMA)
+
+
+@query(
+    "multimodal_chunk_arrow",
+    oracle="""
+SELECT CAST(c.chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(least(128, len - c.chunk_idx * 128)) AS BIGINT) AS total_bytes
+FROM (
+  SELECT octet_length(CAST(text AS BLOB)) AS len FROM documents
+), LATERAL (
+  SELECT unnest(generate_series(0,
+      CAST(ceil(len / 128.0) AS BIGINT) - 1)) AS chunk_idx
+) c
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("multimodal", "binary", "mapinarrow"),
+)
+def multimodal_chunk_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk binary payloads into 128-byte parts Arrow-natively and
+    aggregate the layout (chunks per index, bytes per index). The
+    chunk sizes are pure arithmetic over payload lengths, so DuckDB
+    derives the identical layout analytically — a full value oracle
+    for a mapInArrow operator; byte-exact reassembly is pinned in
+    tests/test_multimodal_extra.py."""
+    docs = t(spark, sf, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    chunks = chunk_payloads_arrow(with_payload)
+    return (
+        chunks.groupBy("chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("chunk_idx")
+    )
