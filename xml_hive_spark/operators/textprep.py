@@ -220,3 +220,66 @@ def doc_chunks_udtf(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY doc_id, chunk_idx
         """
     )
+
+
+@query(
+    "quality_filter_verdicts",
+    oracle=r"""
+SELECT lang, verdict, CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT lang,
+         CASE
+           WHEN n_words < 10 THEN 'too_short'
+           WHEN n_words > 400 THEN 'too_long'
+           WHEN alpha_ratio < 0.6 THEN 'low_alpha'
+           WHEN dup_word_ratio > 0.5 THEN 'repetitive'
+           ELSE 'keep'
+         END AS verdict
+  FROM (
+    SELECT lang,
+           len(string_split_regex(text, '\s+')) AS n_words,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+           1.0 - CAST(len(list_distinct(string_split_regex(lower(text), '\s+')))
+                      AS DOUBLE) / len(string_split_regex(text, '\s+'))
+               AS dup_word_ratio
+    FROM documents
+  )
+)
+GROUP BY lang, verdict
+ORDER BY lang, verdict
+""",
+    tags=("text", "llm-prep", "filter"),
+)
+def quality_filter_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus quality filtering with reject reasons — the triage stage
+    of a pretraining pipeline (Gopher/C4-style rules): length bounds,
+    alphabetic ratio, and repeated-word ratio, each doc labeled with
+    the FIRST failing rule (rule order is part of the contract).
+    Per-row columnar pass + one aggregate; every rule is a built-in
+    string/array function, fully SQL-oracled."""
+    docs = t(spark, sf, "documents")
+    n_words = F.size(F.split(F.col("text"), r"\s+"))
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
+        / F.length(F.col("text"))
+    )
+    dup_word_ratio = 1.0 - (
+        F.size(F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))).cast(
+            "double"
+        )
+        / n_words
+    )
+    verdict = (
+        F.when(n_words < 10, "too_short")
+        .when(n_words > 400, "too_long")
+        .when(alpha_ratio < 0.6, "low_alpha")
+        .when(dup_word_ratio > 0.5, "repetitive")
+        .otherwise("keep")
+    )
+    return (
+        docs.select("lang", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "verdict")
+    )
