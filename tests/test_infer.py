@@ -1,0 +1,96 @@
+"""Sampled schema inference (infer.py): reading XML with no XSD at all —
+a capability the reference lacks entirely (xml.schema.location is
+mandatory there). Inferred reads must agree with XSD-declared reads on
+the shared fixtures, and the type lattice must be conservative."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructType,
+)
+
+from xml_hive_spark.infer import infer_xml_schema
+
+FIXTURES = Path(__file__).resolve().parent / "fixtures"
+
+
+class TestInferenceShapes:
+    def test_books_fixture_types(self):
+        s = infer_xml_schema(FIXTURES / "books" / "data.xml", "book")
+        by_name = {f.name: f for f in s.fields}
+        assert by_name["id"].metadata.get("xmlKind") == "attribute"
+        assert isinstance(by_name["id"].dataType, StringType)
+        assert isinstance(by_name["price"].dataType, DoubleType)
+        assert isinstance(by_name["author"].dataType, StringType)
+        # publish_date parses as neither bool/long/double → string
+        assert isinstance(by_name["publish_date"].dataType, StringType)
+        # repeated <tag> elements → array
+        assert isinstance(by_name["tag"].dataType, ArrayType)
+        assert isinstance(by_name["tag"].dataType.elementType, StringType)
+
+    def test_lattice_and_nesting(self, tmp_path):
+        p = tmp_path / "x.xml"
+        p.write_bytes(b"""<root>
+          <r n="1"><flag>true</flag><num>3</num><mix>7</mix>
+             <inner depth="2"><leaf>9.5</leaf></inner></r>
+          <r n="2"><flag>false</flag><num>4.5</num><mix>hello</mix>
+             <inner depth="3"><leaf>1</leaf></inner></r>
+        </root>""")
+        s = infer_xml_schema(p, "r")
+        by_name = {f.name: f for f in s.fields}
+        assert isinstance(by_name["flag"].dataType, BooleanType)
+        assert isinstance(by_name["num"].dataType, DoubleType)  # long∨double
+        assert isinstance(by_name["mix"].dataType, StringType)  # long∨string
+        assert isinstance(by_name["n"].dataType, LongType)
+        inner = by_name["inner"].dataType
+        assert isinstance(inner, StructType)
+        inner_by = {f.name: f for f in inner.fields}
+        assert isinstance(inner_by["depth"].dataType, LongType)
+        assert isinstance(inner_by["leaf"].dataType, DoubleType)
+
+    def test_simple_content_value(self, tmp_path):
+        p = tmp_path / "s.xml"
+        p.write_bytes(b'<root><m unit="kg">12.5</m><m unit="kg">3</m></root>')
+        s = infer_xml_schema(p, "m")
+        by_name = {f.name: f for f in s.fields}
+        assert isinstance(by_name["unit"].dataType, StringType)
+        assert isinstance(by_name["_Value"].dataType, DoubleType)
+
+    def test_no_records_raises(self, tmp_path):
+        p = tmp_path / "e.xml"
+        p.write_bytes(b"<root><other/></root>")
+        with pytest.raises(ValueError, match="no <r> records"):
+            infer_xml_schema(p, "r")
+
+
+def test_inferred_read_matches_xsd_read(spark):
+    """End to end: read the books fixture twice — XSD-declared and
+    schema-free (inferred) — and compare shared scalar columns row by
+    row. Types may widen (float→double) but values must agree."""
+    from pyspark.sql import functions as F
+
+    from xml_hive_spark.reader import read_xml
+    from xml_hive_spark.xsd import xsd_to_struct
+
+    data = str(FIXTURES / "books" / "data.xml")
+    declared = read_xml(
+        spark, data, "book",
+        schema=xsd_to_struct(str(FIXTURES / "books" / "schema.xsd"), "bookType"),
+    )
+    inferred = read_xml(spark, data, "book")  # no schema, no xsd
+    cols = ["author", "title", "genre", "publish_date"]
+    a = sorted(tuple(r) for r in declared.select(*cols).collect())
+    b = sorted(tuple(r) for r in inferred.select(*cols).collect())
+    assert a == b and len(a) > 0
+    # numeric column agrees as double
+    pa = sorted(r[0] for r in declared.select(F.col("price").cast("double")).collect())
+    pb = sorted(r[0] for r in inferred.select(F.col("price").cast("double")).collect())
+    assert pa == pb

@@ -14,6 +14,7 @@ relational operator to Hive. Here the equivalent split is:
 - ``xml_hive_spark.streaming`` — Structured Streaming surface
 """
 
+from xml_hive_spark.infer import infer_xml_schema  # noqa: F401
 from xml_hive_spark.session import get_spark  # noqa: F401
 from xml_hive_spark.xsd import XsdGraph, xsd_to_struct  # noqa: F401
 

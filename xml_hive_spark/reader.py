@@ -876,11 +876,18 @@ def read_xml(
     ``spark.read.format("xmlhive")`` options.
     """
     if schema is None:
-        if xsd is None or sep_tag_type is None:
-            raise ValueError("provide schema=, or xsd= and sep_tag_type=")
-        from xml_hive_spark.xsd import xsd_to_struct
+        if xsd is not None and sep_tag_type is not None:
+            from xml_hive_spark.xsd import xsd_to_struct
 
-        schema = xsd_to_struct(xsd, sep_tag_type, ns, rich_types=rich_types)
+            schema = xsd_to_struct(xsd, sep_tag_type, ns, rich_types=rich_types)
+        else:
+            # no XSD: sampled inference (infer.py) — the reference can't
+            # read schema-less XML at all (xml.schema.location required,
+            # AvroTransormer.scala:35,57)
+            from xml_hive_spark.infer import infer_xml_schema
+
+            log.info("read_xml: no schema/XSD given; inferring from a sample")
+            schema = infer_xml_schema(path, row_tag)
 
     paths = resolve_paths(path)
     splits = plan_annotated_splits(paths, row_tag, partition_bytes, spark=spark)
