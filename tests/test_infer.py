@@ -94,3 +94,25 @@ def test_inferred_read_matches_xsd_read(spark):
     pa = sorted(r[0] for r in declared.select(F.col("price").cast("double")).collect())
     pb = sorted(r[0] for r in inferred.select(F.col("price").cast("double")).collect())
     assert pa == pb
+
+
+def test_datasource_bare_inference(spark, tmp_path):
+    """format('xmlhive') with only rowTag + path: the DataSource's
+    schema() falls back to sampled inference."""
+    from xml_hive_spark.sources.xml_datasource import register
+
+    p = tmp_path / "d.xml"
+    p.write_bytes(
+        b"<root>"
+        + b"".join(b'<r k="%d"><v>%d.5</v></r>' % (i, i) for i in range(20))
+        + b"</root>"
+    )
+    register(spark)
+    df = (
+        spark.read.format("xmlhive")
+        .option("rowTag", "r")
+        .option("path", str(p))
+        .load()
+    )
+    assert df.schema.simpleString() == "struct<k:bigint,v:double>"
+    assert df.count() == 20

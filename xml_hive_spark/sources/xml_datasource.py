@@ -79,8 +79,22 @@ class XmlHiveDataSource(DataSource):
         xsd = _opt(self.options, "xsd")
         sep_type = _opt(self.options, "sepTagType", "septagtype")
         if not xsd or not sep_type:
+            # no XSD: sampled inference (infer.py), like JSON/CSV
+            # inferSchema — the reference mandates an XSD here
+            row_tag = _opt(self.options, "rowTag", "rowtag")
+            raw_paths = _opt(self.options, "paths") or _opt(self.options, "path")
+            if row_tag and raw_paths:
+                from xml_hive_spark.infer import infer_xml_schema
+
+                paths = (
+                    raw_paths.split("\n")
+                    if "\n" in raw_paths
+                    else resolve_paths(raw_paths)
+                )
+                return infer_xml_schema(paths, row_tag)
             raise ValueError(
-                "xmlhive: pass .schema(...) or options xsd= and sepTagType="
+                "xmlhive: pass .schema(...), options xsd= and sepTagType=, "
+                "or rowTag= and path= for sampled inference"
             )
         return xsd_to_struct(
             xsd,
