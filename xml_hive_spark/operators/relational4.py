@@ -476,3 +476,53 @@ def variant_json_access(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+SELECT o_custkey, o_orderdate,
+       CAST(count(*) OVER w AS BIGINT) AS n_30d,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)
+           AS spend_30d
+FROM (
+  SELECT o_custkey, o_orderdate, o_totalprice,
+         date_diff('day', DATE '1992-01-01', o_orderdate) AS day
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderdate
+""",
+    tags=("window", "range-frame"),
+)
+def window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE window frame — the value-based frame type the ROWS-frame
+    queries (running_sum, moving_avg) don't exercise: per customer, the
+    rolling 30-day order count and spend. RANGE frames include all
+    peers of the current order-by value, so same-day orders see
+    identical frames and the result is deterministic without a
+    tie-break; one shuffle on the partition key, like every keyed
+    window."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf, "orders").withColumn(
+        "day", F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            F.count(F.lit(1)).over(w).alias("n_30d"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .over(w)
+            .cast("double")
+            .alias("spend_30d"),
+        )
+        .orderBy("o_custkey", "o_orderdate")
+    )
