@@ -526,3 +526,44 @@ def window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderdate")
     )
+
+
+@query(
+    "window_value_functions",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER w AS first_spend,
+       last_value(o_totalprice)  OVER w AS last_spend,
+       nth_value(o_totalprice, 2) OVER w AS second_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_orderkey
+""",
+    tags=("window", "value-functions"),
+)
+def window_value_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full-
+    partition frame — the value-function family lag/lead doesn't cover.
+    The frame must be UNBOUNDED on both sides: last_value over the
+    default frame (up to current row) is the current row, the classic
+    window-frame gotcha both engines share. (o_orderdate, o_orderkey) ordering
+    makes every value deterministic under ties."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    o = t(spark, sf, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.first("o_totalprice").over(w).alias("first_spend"),
+            F.last("o_totalprice").over(w).alias("last_spend"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_spend"),
+        )
+        .orderBy("o_orderkey")
+    )
