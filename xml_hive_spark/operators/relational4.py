@@ -567,3 +567,73 @@ def window_value_functions(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "explode_outer_empty_arrays",
+    oracle=r"""
+SELECT lang,
+       CAST(count(*) AS BIGINT)   AS n_rows,
+       CAST(count(num) AS BIGINT) AS n_nums
+FROM (
+  SELECT lang,
+         unnest(CASE WHEN len(nums) = 0 THEN [NULL] ELSE nums END) AS num
+  FROM (
+    SELECT lang, regexp_extract_all(text, '[0-9]+', 0) AS nums
+    FROM documents
+  )
+)
+GROUP BY lang ORDER BY lang
+""",
+    tags=("array", "lateral", "outer"),
+)
+def explode_outer_empty_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    """``explode_outer`` — the null-preserving lateral: documents with
+    no numeric tokens still produce one (null) row, so the per-language
+    row count equals document count plus extra matches, never silently
+    dropping empty-array rows the way plain explode does. The oracle
+    emulates outer semantics by substituting ``[NULL]`` for empty
+    lists before unnest."""
+    docs = t(spark, sf, "documents")
+    nums = F.expr("regexp_extract_all(text, '[0-9]+', 0)")
+    return (
+        docs.select("lang", F.explode_outer(nums).alias("num"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("num").alias("n_nums"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+SELECT coalesce(l_returnflag, '∅') AS rf,
+       coalesce(l_linestatus, '∅') AS ls,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, rf, ls
+""",
+    tags=("agg", "rollup", "grouping"),
+)
+def agg_grouping_id(spark: SparkSession, sf: str) -> DataFrame:
+    """``grouping_id()`` disambiguates rollup subtotal NULLs from data
+    NULLs — the bitmask (one bit per rollup column, 1 = aggregated
+    away) that makes rollup output machine-consumable. Spark's
+    grouping_id() and DuckDB's GROUPING(a, b) compute the same mask."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("∅")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("∅")).alias("ls"),
+            F.col("gid").cast("bigint"),
+            F.col("n").cast("bigint"),
+        )
+        .orderBy("gid", "rf", "ls")
+    )
