@@ -637,3 +637,37 @@ def agg_grouping_id(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("gid", "rf", "ls")
     )
+
+
+@query(
+    "array_higher_order",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(ws, w -> length(w) > 4)) AS INTEGER) AS n_long,
+       array_to_string(list_slice(list_transform(ws, w -> upper(w)), 1, 3), ',')
+           AS first3_upper,
+       list_sort(ws)[1] AS first_sorted
+FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+ORDER BY doc_id
+""",
+    tags=("array", "higher-order"),
+)
+def array_higher_order(spark: SparkSession, sf: str) -> DataFrame:
+    """The lambda higher-order functions as a dedicated entry: filter,
+    transform, slice, array_sort — all expression-level (no shuffle, no
+    Python), the idiomatic way to process repeated XML elements
+    in-place instead of explode→aggregate round trips. ASCII word data
+    keeps both engines' binary string sort identical."""
+    docs = t(spark, sf, "documents")
+    ws = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.filter(ws, lambda w: F.length(w) > 4)).alias("n_long"),
+            F.array_join(
+                F.slice(F.transform(ws, F.upper), 1, 3), ","
+            ).alias("first3_upper"),
+            F.element_at(F.array_sort(ws), 1).alias("first_sorted"),
+        )
+        .orderBy("doc_id")
+    )
