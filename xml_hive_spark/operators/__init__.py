@@ -92,10 +92,79 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 _LOADED = False
 
+# Driver-window rotation (round 3). The verify driver snapshots correctness
+# for only the FIRST 50 registry entries (dict order); rounds 1-2 checked a
+# nearly identical window, leaving 65 queries with local-gate-only coverage.
+# This list pins the round-3 window to 50 oracled, never-driver-checked
+# queries. Rotation plan (see README "Correctness rotation"): round 4 should
+# promote the remaining never-checked entries (set_intersect_all,
+# set_except_all, json_construction, date_arithmetic, the rows-only
+# XML/ANN/streaming entries, plus anything added in round 3) and re-seat a
+# sample of previously green queries.
+_DRIVER_WINDOW = [
+    # TPC-H shapes never driver-checked (13)
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_heavy_supplier_chain",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    # relational surface (oracled, never checked)
+    "scalar_subquery_ratio",
+    "pivot_status_counts",
+    "unpivot_part_metrics",
+    "conditional_functions",
+    "string_predicates",
+    "sort_within_partitions",
+    "apply_in_pandas_centered",
+    "from_json_struct",
+    "map_functions",
+    "salted_join_agg",
+    "agg_percentiles",
+    "variant_json_access",
+    "window_range_frame",
+    "window_value_functions",
+    "explode_outer_empty_arrays",
+    "agg_grouping_id",
+    "array_higher_order",
+    # similarity / embeddings
+    "cosine_topk_bruteforce",
+    "embedding_label_centroids",
+    # storage round-trips
+    "partitioned_write_roundtrip",
+    "csv_roundtrip",
+    "json_roundtrip",
+    # text analysis + LLM text-prep
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_fingerprint",
+    "source_stats",
+    "text_clean_normalize",
+    "vocab_topk",
+    "pack_sequences",
+    "doc_chunks_udtf",
+    "quality_filter_verdicts",
+    # time-series
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "asof_join",
+    "hypertable_rollup",
+]
+
 
 def all_queries() -> dict[str, QueryDef]:
     """Import every operator module (side effect: registration) and return
-    the full registry."""
+    the full registry, reordered so the driver's 50-entry correctness
+    window lands on :data:`_DRIVER_WINDOW`."""
     global _LOADED
     if not _LOADED:
         from xml_hive_spark.operators import (  # noqa: F401
@@ -115,4 +184,9 @@ def all_queries() -> dict[str, QueryDef]:
         from xml_hive_spark.streaming import joins, stateful, windowed  # noqa: F401
 
         _LOADED = True
-    return REGISTRY
+    missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
+    if missing:  # a rename would silently shrink the checked window
+        raise KeyError(f"_DRIVER_WINDOW names not in registry: {missing}")
+    ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
+    ordered.update((n, qd) for n, qd in REGISTRY.items() if n not in ordered)
+    return ordered
