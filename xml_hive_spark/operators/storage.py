@@ -110,6 +110,9 @@ def csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         spark.read.schema(docs.schema)
         .option("header", "true")
         .option("escape", '"')
+        # quoted fields may span physical lines (documents with embedded
+        # newlines); without multiLine those rows fail to parse on read
+        .option("multiLine", "true")
         .csv(out)
     )
     return (

@@ -709,33 +709,62 @@ def _plan_cache_key(paths: list[str], row_tag: str, partition_bytes: int):
     return (sig, row_tag, partition_bytes)
 
 
+# bumped whenever the on-disk plan layout changes; a mismatched or absent
+# version field invalidates the entry instead of mis-parsing it
+_PLAN_CACHE_FORMAT = 1
+
+
 def _plan_disk_path(cache_key) -> "Path":
     """Cross-process plan cache location. A fresh driver re-reading a
     static file shouldn't repeat phase A (a full byte-scan of every
     split); on a cluster this artifact lives in the catalog/metastore —
-    locally it's a content-keyed JSON under the temp dir."""
+    locally it's a content-keyed JSON under a per-user temp dir (uid in
+    the name + mode 0700: another user on a shared host can neither
+    pre-create it to poison entries nor read plan metadata)."""
     import hashlib
     import tempfile
 
     blob = json.dumps(cache_key, sort_keys=True).encode()
-    d = Path(tempfile.gettempdir()) / "xmlhive_plan_cache"
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    d = Path(tempfile.gettempdir()) / f"xmlhive_plan_cache_{uid}"
     return d / (hashlib.sha256(blob).hexdigest() + ".json")
 
 
 def _plan_disk_load(cache_key) -> "list[AnnotatedSplit] | None":
     try:
-        raw = json.loads(_plan_disk_path(cache_key).read_bytes())
-        return [(p, a, b, st, d) for p, a, b, st, d in raw]
-    except (OSError, ValueError):
+        path = _plan_disk_path(cache_key)
+        if hasattr(os, "getuid") and path.parent.exists():
+            st = path.parent.stat()
+            if st.st_uid != os.getuid():
+                return None  # dir pre-created by someone else: don't trust
+        doc = json.loads(path.read_bytes())
+        if not isinstance(doc, dict) or doc.get("v") != _PLAN_CACHE_FORMAT:
+            return None
+        plan = []
+        for entry in doc["plan"]:
+            p, a, b, st_, d = entry  # arity check via unpack
+            if not (
+                isinstance(p, str)
+                and isinstance(a, int)
+                and isinstance(b, int)
+                and isinstance(st_, str)
+                and isinstance(d, int)
+            ):
+                return None
+            plan.append((p, a, b, st_, d))
+        return plan
+    except (OSError, ValueError, KeyError, TypeError):
         return None
 
 
 def _plan_disk_store(cache_key, plan: list) -> None:
     try:
         path = _plan_disk_path(cache_key)
-        path.parent.mkdir(parents=True, exist_ok=True)
+        path.parent.mkdir(parents=True, exist_ok=True, mode=0o700)
+        if hasattr(os, "getuid") and path.parent.stat().st_uid != os.getuid():
+            return  # foreign-owned dir: skip the cache entirely
         tmp = path.with_suffix(f".tmp{os.getpid()}")
-        tmp.write_text(json.dumps(plan))
+        tmp.write_text(json.dumps({"v": _PLAN_CACHE_FORMAT, "plan": plan}))
         tmp.replace(path)  # atomic publish — concurrent writers race safely
     except OSError:
         pass  # cache is best-effort; planning still succeeded

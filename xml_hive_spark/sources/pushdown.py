@@ -145,6 +145,10 @@ def compile_filter(f: Filter, schema: StructType) -> RowPredicate | None:
 
     if isinstance(f, EqualNullSafe):
         lit = f.value
+        if _is_nan(lit):
+            # Spark: NaN <=> NaN is TRUE; Python ==: NaN != NaN — defer,
+            # mirroring the NaN-literal deferral in the cmp path below
+            return None
 
         def null_safe_eq(row, _i=idx, _l=lit):
             v = row[_i]

@@ -78,7 +78,14 @@ class XmlHiveDataSource(DataSource):
 
         xsd = _opt(self.options, "xsd")
         sep_type = _opt(self.options, "sepTagType", "septagtype")
-        if not xsd or not sep_type:
+        if bool(xsd) != bool(sep_type):
+            # exactly one of the pair: a typo'd option must not silently
+            # swap the user's XSD for head-of-file sampled inference
+            raise ValueError(
+                "xmlhive: xsd= and sepTagType= must be passed together "
+                f"(got {'xsd' if xsd else 'sepTagType'} alone)"
+            )
+        if not xsd:
             # no XSD: sampled inference (infer.py), like JSON/CSV
             # inferSchema — the reference mandates an XSD here
             row_tag = _opt(self.options, "rowTag", "rowtag")
@@ -223,7 +230,22 @@ def register(spark) -> None:
         ship_package(spark)
         # a reader that implements pushFilters() is rejected outright when
         # the conf is off, so any session reading this source needs it on
-        # (get_spark sets it too; this covers externally-built sessions)
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        # (get_spark sets it too; this covers externally-built sessions).
+        # The conf is session-global (affects every Python DataSource), so
+        # respect an explicit user opt-out instead of silently overriding.
+        conf_key = "spark.sql.python.filterPushdown.enabled"
+        current = spark.conf.get(conf_key, None)
+        if current is None or str(current).lower() == "true":
+            spark.conf.set(conf_key, "true")
+        else:
+            import warnings
+
+            warnings.warn(
+                f"xmlhive: {conf_key} is explicitly false; respecting it. "
+                "Spark rejects readers that implement pushFilters() while "
+                "the conf is off, so xmlhive reads will fail until it is "
+                "re-enabled",
+                stacklevel=2,
+            )
         spark.dataSource.register(XmlHiveDataSource)
         _REGISTERED_SESSIONS.add(key)
