@@ -406,8 +406,9 @@ def q19_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
     "agg_percentiles",
     oracle="""
 SELECT l_returnflag,
-       [quantile_cont(l_quantity, 0.25), quantile_cont(l_quantity, 0.5),
-        quantile_cont(l_quantity, 0.75)] AS qty_quartiles,
+       quantile_cont(l_quantity, 0.25) AS qty_p25,
+       quantile_cont(l_quantity, 0.5) AS qty_p50,
+       quantile_cont(l_quantity, 0.75) AS qty_p75,
        quantile_cont(l_extendedprice, 0.9) AS price_p90,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem
@@ -422,11 +423,39 @@ def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     ``quantile_cont`` — measured bit-identical on this data, so it is
     oracle-checked rather than rows-only like ``approx_percentile``.
 
+    The quartiles come back as SCALAR columns (one ``percentile`` call
+    with an array arg, split with ``element_at`` — the sort of each
+    group's buffer happens once, not three times); the driver's
+    pandas-based canonicalizer can't hash array cells, so arrays stay
+    out of oracled results (the array-returning shape lives in
+    :func:`agg_percentiles_array` as a rows-only twin).
+
     Scale note: exact percentiles sort each group's values inside the
     aggregation buffer — fine for bounded groups; at unbounded-group
     100 TB scale the swap is ``approx_percentile`` (t-digest-style
     bounded sketch), the same exact→sketch trade documented for
     count-distinct (SCALE.md)."""
+    li = t(spark, sf, "lineitem")
+    q = F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.element_at(q, 1).alias("qty_p25"),
+            F.element_at(q, 2).alias("qty_p50"),
+            F.element_at(q, 3).alias("qty_p75"),
+            F.expr("percentile(l_extendedprice, 0.9D)").alias("price_p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_percentiles_array", tags=("agg", "percentile"))
+def agg_percentiles_array(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-returning twin of :func:`agg_percentiles` — the natural
+    Spark surface (``percentile(col, array(...))`` → ``array<double>``),
+    kept rows-only because the driver canonicalizer can't hash list
+    cells. Equality with the scalar variant is pinned in pytest."""
     li = t(spark, sf, "lineitem")
     return (
         li.groupBy("l_returnflag")
