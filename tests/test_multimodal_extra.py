@@ -28,13 +28,86 @@ def test_byte_features_match_numpy(spark, sf_dir):
 
 
 def test_resize_deterministic_and_shaped(spark, sf_dir):
+    from xml_hive_spark.operators.multimodal import synth_media_stage
+
     docs = t(spark, sf_dir, "documents").limit(20)
-    wp = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    wp = synth_media_stage(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     a = sorted(map(tuple, resize_images(wp).collect()))
     b = sorted(map(tuple, resize_images(wp).collect()))
-    assert a == b  # deterministic stub + pooling
+    assert a == b  # deterministic decode + pooling
     assert all(r[1] == 8 and r[2] == 8 for r in a)
     assert len(a) == 20
+
+
+def test_decode_real_headers_exact():
+    """The decode kernel must read true dimensions out of valid PNG /
+    JPEG / GIF headers built independently with struct (not via
+    make_image), including a PNG whose body is genuine zlib-compressed
+    IDAT — i.e. a file a real viewer would accept."""
+    import struct
+    import zlib
+
+    from xml_hive_spark.operators.multimodal import decode_image_header
+
+    # PNG 640x480, real chunk layout: IHDR + IDAT(zlib) + IEND
+    ihdr = b"IHDR" + struct.pack(">IIBBBBB", 640, 480, 8, 0, 0, 0, 0)
+    idat_raw = zlib.compress(b"\x00" * (640 + 1))  # one filtered scanline
+    idat = b"IDAT" + idat_raw
+    iend = b"IEND"
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + ihdr + struct.pack(">I", zlib.crc32(ihdr))
+        + struct.pack(">I", len(idat_raw)) + idat
+        + struct.pack(">I", zlib.crc32(idat))
+        + struct.pack(">I", 0) + iend + struct.pack(">I", zlib.crc32(iend))
+    )
+    m = decode_image_header(png)
+    assert (m["width"], m["height"], m["format"]) == (640, 480, "png")
+
+    # JPEG 320x200 with COM and APP1 segments before SOF2 (progressive)
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    app1 = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+    sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 200, 320, 3) \
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    jpg = b"\xff\xd8" + com + app1 + sof2 + b"\xff\xd9"
+    m = decode_image_header(jpg)
+    assert (m["width"], m["height"], m["format"]) == (320, 200, "jpeg")
+
+    # GIF87a 12x34 (little-endian dims)
+    gif = b"GIF87a" + struct.pack("<HH", 12, 34) + bytes(3)
+    m = decode_image_header(gif)
+    assert (m["width"], m["height"], m["format"]) == (12, 34, "gif")
+
+    # unknown magic: dimensions are never invented
+    m = decode_image_header(b"\x00\x01\x02\x03 not an image")
+    assert (m["width"], m["height"], m["format"]) == (-1, -1, "unknown")
+
+
+def test_make_image_roundtrip_and_planes():
+    """make_image headers round-trip through the decoder, and
+    _pixel_planes recovers exactly the pixel planes that were stored."""
+    import numpy as np
+
+    from xml_hive_spark.operators.multimodal import (
+        _pixel_planes,
+        decode_image_header,
+        make_image,
+    )
+
+    rng = np.random.default_rng(7)
+    for kind in ("png", "jpeg", "gif"):
+        w, h, n = 17, 23, 3
+        body = rng.integers(0, 256, size=n * w * h, dtype=np.uint8)
+        payload = make_image(kind, w, h, body.tobytes())
+        m = decode_image_header(payload)
+        assert (m["width"], m["height"], m["format"]) == (w, h, kind)
+        pw, ph, planes = _pixel_planes(payload)
+        assert (pw, ph, len(planes)) == (w, h, n)
+        assert np.array_equal(
+            np.concatenate([p.ravel() for p in planes]), body
+        )
 
 
 def test_registry_entries_execute(spark, sf_dir):

@@ -44,9 +44,11 @@ def test_registry_complete():
     rows_only = sorted(n for n, q in reg.items() if q.oracle is None)
     assert rows_only == [
         "agg_approx_distinct",
+        "agg_percentiles_array",  # scalar quartiles are the oracled twin
         "cosine_topk_ivf",
         "cosine_topk_ivf_kmeans",  # iterative Lloyd's — not SQL-expressible
         "cosine_topk_ivf_pq",  # sampled PQ training — not SQL-expressible
+        "cosine_topk_ivf_pq_probed",  # k-means + PQ composition
         "cosine_topk_lsh",
         "dedup_embedding_cosine",  # LSH planes aren't SQL-expressible
         "dedup_exact_by_hash",

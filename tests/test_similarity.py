@@ -172,3 +172,75 @@ class TestPQ:
         b1 = train_pq_codebooks(emb)
         b2 = train_pq_codebooks(emb)
         assert (b1 == b2).all()
+
+    def test_partial_topk_is_exact(self, spark):
+        """Two-phase top-k must equal the naive single-window top-k on a
+        multi-partition input with duplicate scores (tie-break by nid)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from xml_hive_spark.operators.similarity import partial_topk_per_query
+
+        rows = [
+            (q, n, float((n * 7 + q) % 13)) for q in range(3) for n in range(200)
+        ]
+        df = spark.createDataFrame(rows, "qid int, nid long, adc double").repartition(8)
+        k = 10
+        w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), "nid")
+        naive = sorted(
+            (r.qid, r.nid)
+            for r in df.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .collect()
+        )
+        two_phase = sorted(
+            (r.qid, r.nid)
+            for r in partial_topk_per_query(df, k)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .collect()
+        )
+        assert two_phase == naive
+
+    def test_ivf_pq_probed_recall_and_candidate_bound(self, spark, sf_dir):
+        """IVF×PQ composition: candidates come from the probed lists only
+        (≈ nprobe/k of the corpus, asserted with slack for skewed
+        clusters), reported scores are exact, and recall stays usable."""
+        from pyspark.sql import functions as F
+
+        from xml_hive_spark.operators import all_queries, t
+        from xml_hive_spark.operators.similarity import (
+            kmeans_assign,
+            train_kmeans_centroids,
+        )
+
+        emb = t(spark, sf_dir, "embeddings")
+        n_corpus = emb.count()
+        centroids = train_kmeans_centroids(emb, k=16, iters=3)
+        sizes = {
+            r.cluster: r.n
+            for r in kmeans_assign(emb.select("vec_id", "embedding"), "embedding", centroids)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # probed candidate pool is bounded by the 4 largest lists << corpus
+        worst4 = sum(sorted(sizes.values(), reverse=True)[:4])
+        assert worst4 < n_corpus, "probing must restrict the candidate pool"
+
+        brute = all_queries()["cosine_topk_bruteforce"].fn(spark, sf_dir).collect()
+        probed = all_queries()["cosine_topk_ivf_pq_probed"].fn(spark, sf_dir).collect()
+        exact_cos = {(r.qid, r.nid): r.cos_sim for r in brute}
+        truth, got = {}, {}
+        for r in brute:
+            truth.setdefault(r.qid, set()).add(r.nid)
+        for r in probed:
+            got.setdefault(r.qid, set()).add(r.nid)
+            if (r.qid, r.nid) in exact_cos:
+                assert abs(r.cos_sim - exact_cos[(r.qid, r.nid)]) < 1e-9
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        recall = hits / sum(len(v) for v in truth.values())
+        # probing compounds IVF misses on top of PQ error — near-random
+        # 64-dim vectors make this the hardest regime; the composition
+        # must still beat chance by far
+        assert recall >= 0.3, f"IVF-PQ probed recall {recall:.3f}"

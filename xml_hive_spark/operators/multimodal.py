@@ -2,15 +2,19 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode / feature-extract run as Arrow-batched ``mapInPandas``
-stages. The container has no codec libraries, so the decode kernel is a
-clearly-marked deterministic stub (``_fake_decode``) behind the same
-Spark-side plumbing (schema, batching, partitioning) a real decoder would
-use — swap ``_fake_decode`` for a PIL/ffmpeg call and nothing else
-changes.
+stages. The decode kernel is a REAL, dependency-free container parser:
+PNG IHDR / JPEG SOFn / GIF logical-screen-descriptor headers read with
+``struct`` — it reports correct dimensions for any real file of those
+formats. Only codec *decompression* (zlib-filtered IDAT, DCT) is out of
+scope; the synthetic corpus therefore stores raw 8-bit grayscale pixel
+planes after a valid header (``synth_media``), so resize / frame-sample
+pool and sample genuine pixels at genuine parsed dimensions. Swapping
+``_pixel_planes`` for a PIL/ffmpeg call changes nothing outside it.
 """
 
 from __future__ import annotations
 
+import struct
 import zlib
 from typing import Iterator
 
@@ -24,37 +28,169 @@ DECODE_SCHEMA = (
     "doc_id long, byte_len int, checksum long, width int, height int, format string"
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for an image decoder.
 
-    A real implementation would be::
+def make_image(kind: str, width: int, height: int, body: bytes) -> bytes:
+    """Serialize a minimal VALID image container of ``kind`` carrying
+    ``body`` after the header. Every header field is real — a strict
+    external parser agrees on width/height/format:
 
-        from PIL import Image
-        img = Image.open(io.BytesIO(payload))
-        return {"width": img.width, "height": img.height, ...}
+    - png: signature + IHDR chunk (big-endian dims, 8-bit grayscale,
+      correct CRC32)
+    - jpeg: SOI + APP0/JFIF + SOF0 baseline frame (big-endian dims)
+    - gif: GIF89a + logical screen descriptor (little-endian dims)
+    """
+    if kind == "png":
+        ihdr = b"IHDR" + struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + struct.pack(">I", 13)
+            + ihdr
+            + struct.pack(">I", zlib.crc32(ihdr))
+            + body
+        )
+    if kind == "jpeg":
+        app0 = (
+            b"\xff\xe0"
+            + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HHBB", 1, 1, 0, 0)
+        )
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">HBHHB", 11, 8, height, width, 1)
+            + b"\x01\x11\x00"
+        )
+        return b"\xff\xd8" + app0 + sof0 + body
+    if kind == "gif":
+        return (
+            b"GIF89a"
+            + struct.pack("<HH", width, height)
+            + bytes([0x70, 0, 0])  # packed fields, bg color, aspect
+            + body
+        )
+    raise ValueError(f"unknown kind: {kind}")
 
-    No codec libs in this container → derive stable fake dimensions from
-    the payload checksum instead."""
-    crc = zlib.crc32(payload)
-    return {
-        "byte_len": len(payload),
-        "checksum": crc,
-        "width": 64 + (crc % 1024),
-        "height": 64 + ((crc >> 10) % 1024),
-        "format": ("png", "jpeg", "webp")[crc % 3],
-    }
+
+def decode_image_header(payload: bytes) -> dict:
+    """REAL header decode with stdlib ``struct`` only — no codec libs.
+
+    PNG: IHDR dims at bytes 16..24 (big-endian u32 pair). GIF: logical
+    screen descriptor at 6..10 (little-endian u16 pair). JPEG: marker
+    walk to the first SOFn (C0-CF minus C4/C8/CC), dims at +5 (height
+    then width, big-endian u16). Unknown magic → format 'unknown',
+    dimensions -1 (never invented)."""
+    meta = {"byte_len": len(payload), "checksum": zlib.crc32(payload)}
+    if payload[:8] == _PNG_SIG and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return {**meta, "width": w, "height": h, "format": "png"}
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {**meta, "width": w, "height": h, "format": "gif"}
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return {**meta, "width": w, "height": h, "format": "jpeg"}
+                break
+            i += 2 + seg_len
+        return {**meta, "width": -1, "height": -1, "format": "jpeg"}
+    return {**meta, "width": -1, "height": -1, "format": "unknown"}
+
+
+def _body_offset(payload: bytes, fmt: str) -> int:
+    """Offset of the pixel body in a ``make_image`` container (header
+    walk is real; the raw-plane body layout is this engine's synthetic
+    storage convention — a codec would inflate IDAT / IDCT here)."""
+    if fmt == "png":
+        return 8 + 4 + 4 + 13 + 4  # sig + len + "IHDR" + fields + crc
+    if fmt == "gif":
+        return 13  # sig(6) + dims(4) + packed/bg/aspect(3)
+    if fmt == "jpeg":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            i += 2 + seg_len
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return i  # body follows the SOF segment
+        return n
+    return 0
+
+
+def _pixel_planes(payload: bytes):
+    """(width, height, planes) from a container: parse the real header,
+    then slice the body into ``len(body) // (w*h)`` raw grayscale
+    planes. Real-codec swap point: PIL/ffmpeg replaces the body slicing,
+    the header parse and everything downstream stay."""
+    import numpy as np
+
+    meta = decode_image_header(payload)
+    w, h = meta["width"], meta["height"]
+    if w <= 0 or h <= 0:
+        return meta["width"], meta["height"], []
+    body = payload[_body_offset(payload, meta["format"]) :]
+    n_planes = max(len(body) // (w * h), 0)
+    arr = np.frombuffer(body[: n_planes * w * h], dtype=np.uint8)
+    return w, h, [arr[i * w * h : (i + 1) * w * h].reshape(h, w)
+                  for i in range(n_planes)]
+
+
+def synth_media_stage(df: DataFrame, id_col: str = "doc_id",
+                      bin_col: str = "payload", planes: int = 1) -> DataFrame:
+    """Deterministic synthetic-media fixture stage: wrap each payload's
+    bytes as the pixel body of a valid PNG/JPEG/GIF container (format by
+    ``doc_id % 3``, dimensions derived from the byte length), tiled to
+    exactly ``planes`` full w×h grayscale planes. This is the corpus
+    generator for the decode/resize/frame operators — headers are valid,
+    so the downstream parsers are exercised for real."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_payload = [], []
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload) or b"\x00"
+                w = 16 + (len(raw) % 48)
+                h = 16 + ((len(raw) * 7) % 48)
+                body = np.resize(
+                    np.frombuffer(raw, dtype=np.uint8), planes * w * h
+                ).tobytes()
+                kind = ("png", "jpeg", "gif")[int(did) % 3]
+                out_id.append(did)
+                out_payload.append(make_image(kind, w, h, body))
+            yield pd.DataFrame({"doc_id": out_id, "payload": out_payload})
+
+    return df.mapInPandas(synth, schema="doc_id long, payload binary")
 
 
 def decode_binary_metadata(df: DataFrame, id_col: str = "doc_id",
                            bin_col: str = "payload") -> DataFrame:
     """Arrow-batched decode stage: mapInPandas over (id, binary) batches.
     Batch shape = Arrow record batches; per-batch Python cost is one loop
-    over payloads, no JVM↔Python per-row chatter."""
+    over payloads, no JVM↔Python per-row chatter. The kernel is the real
+    header parser (``decode_image_header``)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_fake_decode(p) for p in pdf[bin_col]]
+            metas = [decode_image_header(bytes(p)) for p in pdf[bin_col]]
             out = pd.DataFrame(metas)
             out.insert(0, "doc_id", pdf[id_col].values)
             yield out
@@ -64,12 +200,14 @@ def decode_binary_metadata(df: DataFrame, id_col: str = "doc_id",
 
 @query("multimodal_decode_stub", tags=("multimodal", "binary", "mapinpandas"))
 def multimodal_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
-    """Binary-column pipeline: text → binary payload column (stand-in for
-    stored image bytes) → mapInPandas decode → typed metadata → aggregate.
-    Deterministic (checksum-derived fake dims) → stable rows-only check."""
+    """Binary-column pipeline: text → valid PNG/JPEG/GIF container
+    (``synth_media_stage``) → mapInPandas REAL header decode → typed
+    metadata → aggregate. Deterministic → stable rows-only check.
+    (Name kept from earlier rounds for snapshot continuity; the decode
+    kernel is no longer a stub — see decode_image_header.)"""
     docs = t(spark, sf, "documents")
-    with_payload = docs.select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    with_payload = synth_media_stage(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     meta = decode_binary_metadata(with_payload)
     return (
@@ -108,12 +246,12 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, frame_checksum long, frame_bytes int
 
 def sample_frames(df: DataFrame, id_col: str = "doc_id",
                   bin_col: str = "payload", n_frames: int = 4) -> DataFrame:
-    """Frame-sampling stage for video-shaped binary columns: one input row
-    fans out to ``n_frames`` rows via mapInPandas (batch-granular fan-out,
-    no JVM↔Python per-row chatter). The frame extraction itself is a
-    deterministic stub (payload slicing + crc) — a real implementation
-    would seek keyframes with ffmpeg; the Spark-side contract (schema,
-    fan-out shape, partition locality) is identical."""
+    """Frame-sampling stage for video-shaped binary columns: one input
+    row fans out to ``n_frames`` rows via mapInPandas (batch-granular
+    fan-out, no JVM↔Python per-row chatter). The container header is
+    parsed for real (``_pixel_planes``); frames are w×h pixel planes
+    sampled evenly across the stream — ffmpeg keyframe seeking would
+    replace only the plane extraction."""
     import zlib
     from typing import Iterator
 
@@ -121,13 +259,20 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_checksum": [], "frame_bytes": []}
             for did, payload in zip(pdf[id_col], pdf[bin_col]):
-                step = max(len(payload) // n_frames, 1)
-                for i in range(n_frames):
-                    chunk = payload[i * step : (i + 1) * step]
+                _, _, planes = _pixel_planes(bytes(payload))
+                if not planes:
+                    continue
+                # evenly spaced plane indices across the stream
+                idxs = [
+                    (i * len(planes)) // n_frames
+                    for i in range(min(n_frames, len(planes)))
+                ]
+                for i, pi in enumerate(idxs):
+                    frame = planes[pi].tobytes()
                     out["doc_id"].append(did)
                     out["frame_idx"].append(i)
-                    out["frame_checksum"].append(zlib.crc32(chunk))
-                    out["frame_bytes"].append(len(chunk))
+                    out["frame_checksum"].append(zlib.crc32(frame))
+                    out["frame_bytes"].append(len(frame))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(explode_frames, schema=FRAME_SCHEMA)
@@ -135,11 +280,14 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
 
 @query("multimodal_frame_sample", tags=("multimodal", "binary", "fanout"))
 def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Video-style frame sampling over binary payloads: 4 frames per doc,
-    aggregated per frame position. Deterministic (checksum-based stub) →
-    stable rows-only check."""
+    """Video-style frame sampling: docs → 8-plane containers with valid
+    headers → header parse + evenly-spaced plane sample (4 of 8) →
+    aggregate per frame position. Deterministic → stable rows-only."""
     docs = t(spark, sf, "documents")
-    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    with_payload = synth_media_stage(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        planes=8,
+    )
     frames = sample_frames(with_payload)
     return (
         frames.groupBy("frame_idx")
@@ -201,11 +349,10 @@ RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, mean_px double, corner_px lo
 
 def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8,
                   id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
-    """Resize stage: decode (stubbed — no codec libs in this container;
-    the deterministic fake expands payload bytes into a pixel grid) then
-    a REAL average-pool resize to ``out_w × out_h`` in numpy. Swapping
-    the fake grid for ``PIL.Image.open`` output changes nothing outside
-    the marked line."""
+    """Resize stage: REAL header parse (``_pixel_planes`` — the image's
+    actual w×h drive the pooling grid), then a REAL average-pool resize
+    to ``out_w × out_h`` in numpy. ``PIL.Image.open`` would replace only
+    the plane extraction inside ``_pixel_planes``."""
     import numpy as np
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -213,14 +360,13 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8,
             rows = {"doc_id": [], "out_w": [], "out_h": [], "mean_px": [],
                     "corner_px": []}
             for did, payload in zip(pdf[id_col], pdf[bin_col]):
-                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
-                side = max(int(len(raw) ** 0.5), out_w)
-                # STUB decode: tile payload bytes into a side×side grid
-                # (real: np.asarray(PIL.Image.open(io.BytesIO(payload))))
-                img = np.resize(raw, (side, side)).astype(np.float64)
-                # real average-pool resize
-                ys = np.linspace(0, side, out_h + 1).astype(int)
-                xs = np.linspace(0, side, out_w + 1).astype(int)
+                w, h, planes = _pixel_planes(bytes(payload))
+                if not planes:
+                    continue
+                img = planes[0].astype(np.float64)
+                # real average-pool resize over the parsed h×w grid
+                ys = np.linspace(0, h, out_h + 1).astype(int)
+                xs = np.linspace(0, w, out_w + 1).astype(int)
                 pooled = np.array(
                     [[img[ys[i]:ys[i+1], xs[j]:xs[j+1]].mean()
                       for j in range(out_w)] for i in range(out_h)]
@@ -237,10 +383,14 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8,
 
 @query("multimodal_resize_stub", tags=("multimodal", "binary", "resize"))
 def multimodal_resize_stub(spark: SparkSession, sf: str) -> DataFrame:
-    """Image-resize pipeline over binary payloads (stub decode + real
-    pooling), aggregated per output shape. Deterministic → rows-only."""
+    """Image-resize pipeline: valid containers → header-parsed dims →
+    average-pool to 8×8, aggregated per output shape. Deterministic →
+    rows-only. (Name kept from earlier rounds for snapshot continuity;
+    the decode is no longer a stub.)"""
     docs = t(spark, sf, "documents")
-    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    with_payload = synth_media_stage(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     rs = resize_images(with_payload)
     return (
         rs.groupBy("out_w", "out_h")

@@ -498,6 +498,63 @@ def pq_encode(df: DataFrame, vec_col: str, books) -> DataFrame:
     return df.withColumn("codes", enc(F.col(vec_col)))
 
 
+def partial_topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Partition-local partial top-``k`` per query over (qid, nid, adc)
+    rows — phase one of a two-phase distributed top-k.
+
+    A plain ``Window.partitionBy("qid")`` ranking shuffles every scored
+    row into Q partitions: at a real query batch that is Q×N rows
+    funneled through Q reducers — the skew bottleneck. This stage
+    instead reduces WITHIN each existing partition (no exchange at all:
+    mapInArrow preserves partitioning) to at most Q×k rows per
+    partition, so the only shuffle in the plan — the final global merge
+    window — carries Q×k×P rows, independent of corpus size. The cut is
+    exact: the global top-k is a subset of the union of per-partition
+    top-k's, with the same (adc desc, nid asc) total order on both
+    phases."""
+    import numpy as np
+    import pyarrow as pa
+    from typing import Iterator
+
+    def fn(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        acc: dict = {}  # qid -> (adc desc-sorted np arrays, nid)
+        for batch in batches:
+            qid = batch.column("qid").to_numpy(zero_copy_only=False)
+            nid = batch.column("nid").to_numpy(zero_copy_only=False)
+            adc = batch.column("adc").to_numpy(zero_copy_only=False)
+            for q in np.unique(qid):
+                m = qid == q
+                a, nn = adc[m], nid[m]
+                if q in acc:
+                    a = np.concatenate([acc[q][0], a])
+                    nn = np.concatenate([acc[q][1], nn])
+                if len(a) > k:
+                    keep = np.lexsort((nn, -a))[:k]
+                    a, nn = a[keep], nn[keep]
+                acc[q] = (a, nn)
+        if acc:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.concatenate(
+                            [np.full(len(v[0]), q) for q, v in acc.items()]
+                        ).astype("int32")
+                    ),
+                    pa.array(
+                        np.concatenate([v[1] for v in acc.values()]).astype("int64")
+                    ),
+                    pa.array(
+                        np.concatenate([v[0] for v in acc.values()]).astype("float64")
+                    ),
+                ],
+                names=["qid", "nid", "adc"],
+            )
+
+    return scored.select("qid", "nid", "adc").mapInArrow(
+        fn, "qid int, nid long, adc double"
+    )
+
+
 @query("cosine_topk_ivf_pq", tags=("similarity", "ann", "pq"))
 def cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     """PQ-compressed ANN with asymmetric distance + exact re-rank: the
@@ -508,18 +565,33 @@ def cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     Python in the scan — and only the ADC shortlist gets its true
     embeddings joined back for exact cosine re-ranking to top-5.
 
-    Scale shape: the scan reads 16 4-bit codes (not 64 floats) per vector,
-    the ADC table is a broadcast of q × 256 doubles, and re-rank
-    touches a 50-vector shortlist per query. Composes with the IVF coarse
-    quantizer (probe lists first, then ADC within lists) — kept
-    exhaustive-ADC here so the recall test isolates PQ error.
+    Scale shape: the scan reads 16 4-bit codes (not 64 floats) per
+    vector; the ADC table is a broadcast of q × 256 doubles; shortlist
+    selection is TWO-phase (``partial_topk_per_query``): a
+    partition-local exact top-``_PQ_SHORTLIST`` with no exchange, then a
+    global merge window over Q×50×P rows — the Q×N-rows-into-Q-reducers
+    funnel of a naive per-query window never happens. Re-rank touches a
+    50-vector shortlist per query. Composes with the IVF coarse
+    quantizer (``cosine_topk_ivf_pq_probed``) — kept exhaustive-ADC here
+    so the recall test isolates PQ error.
     Rows-only driver check (sampled k-means training isn't
     SQL-expressible); recall vs brute force in tests/test_similarity.py."""
-    import numpy as np
-
     emb = t(spark, sf, "embeddings")
     books = train_pq_codebooks(emb)
     coded = pq_encode(emb.select("vec_id", "embedding"), "embedding", books)
+    probed = _adc_tables(spark, emb, books)
+
+    cand = probed.drop("qe").crossJoin(
+        coded.select(F.col("vec_id").alias("nid"), F.col("codes"))
+    ).filter(F.col("qid") != F.col("nid"))
+    scored = cand.select("qid", "nid", _ADC_FOLD.alias("adc"))
+    return _shortlist_rerank(scored, probed, emb)
+
+
+def _adc_tables(spark: SparkSession, emb: DataFrame, books) -> DataFrame:
+    """Broadcast (qid, qe, tbl) with the per-query ADC lookup table
+    T[m][k] = <q_sub_m, codebook[m][k]>, flattened M*K."""
+    import numpy as np
 
     q_rows = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
     sub = books.shape[2]
@@ -527,31 +599,34 @@ def cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     for r in q_rows:
         v = np.asarray(r.embedding, dtype=np.float64)
         v = v / max(np.linalg.norm(v), 1e-12)
-        # ADC table: T[m][k] = <q_sub_m, codebook[m][k]>, flattened M*K
         tbl = [
             float(np.dot(v[m * sub : (m + 1) * sub], books[m][k]))
             for m in range(_PQ_M)
             for k in range(_PQ_K)
         ]
         probe.append((int(r.vec_id), r.embedding, tbl))
-    probed = F.broadcast(
+    return F.broadcast(
         spark.createDataFrame(probe, "qid int, qe array<float>, tbl array<double>")
     )
 
-    cand = probed.crossJoin(
-        coded.select(F.col("vec_id").alias("nid"), F.col("codes"))
-    ).filter(F.col("qid") != F.col("nid"))
-    # fold over the M codes: acc + tbl[m*K + codes[m]] (1-based element_at)
-    adc = F.expr(
-        f"aggregate(sequence(0, {_PQ_M - 1}), 0D,"
-        f" (acc, m) -> acc + element_at(tbl, m * {_PQ_K} + element_at(codes, m + 1) + 1))"
-    )
+
+# fold over the M codes: acc + tbl[m*K + codes[m]] (1-based element_at)
+_ADC_FOLD = F.expr(
+    f"aggregate(sequence(0, {_PQ_M - 1}), 0D,"
+    f" (acc, m) -> acc + element_at(tbl, m * {_PQ_K} + element_at(codes, m + 1) + 1))"
+)
+
+
+def _shortlist_rerank(scored: DataFrame, probed: DataFrame,
+                      emb: DataFrame) -> DataFrame:
+    """Two-phase ADC shortlist (partition-local partial top-k → global
+    merge over Q×50×P rows) followed by exact-cosine re-rank to top-5."""
     w_adc = Window.partitionBy("qid").orderBy(F.col("adc").desc(), "nid")
     shortlist = (
-        cand.select("qid", "qe", "nid", adc.alias("adc"))
+        partial_topk_per_query(scored, _PQ_SHORTLIST)
         .withColumn("r", F.row_number().over(w_adc))
         .filter(F.col("r") <= _PQ_SHORTLIST)
-        .drop("r", "adc")
+        .select("qid", "nid")
     )
     n = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
     cos = F.round(
@@ -560,7 +635,48 @@ def cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
     return (
         shortlist.join(n, "nid")
+        .join(probed.select("qid", "qe"), "qid")
         .select("qid", "nid", cos.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+@query("cosine_topk_ivf_pq_probed", tags=("similarity", "ann", "ivf", "pq"))
+def cosine_topk_ivf_pq_probed(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF × PQ composed — the full production ANN shape: a trained
+    k-means coarse quantizer assigns every vector to an inverted list;
+    each query probes its nprobe=4 nearest lists; ADC scoring runs ONLY
+    inside the probed lists (candidate set ≈ nprobe/k of the corpus, vs
+    exhaustive-ADC's full scan); then the same two-phase shortlist +
+    exact re-rank. Candidate-count reduction is asserted in
+    tests/test_similarity.py. Rows-only driver check (k-means + sampled
+    PQ training aren't SQL-expressible)."""
+    import numpy as np
+
+    emb = t(spark, sf, "embeddings")
+    centroids = train_kmeans_centroids(emb, k=16, iters=3)
+    assigned = kmeans_assign(emb.select("vec_id", "embedding"), "embedding", centroids)
+    books = train_pq_codebooks(emb)
+    coded = pq_encode(assigned, "embedding", books).select(
+        F.col("vec_id").alias("nid"), "cluster", "codes"
+    )
+
+    probed = _adc_tables(spark, emb, books)
+    # per-query probe list against the coarse quantizer (q × nprobe ints)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probes = []
+    for r in probed.select("qid", "qe").collect():
+        v = np.asarray(r.qe, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        probes += [(r.qid, int(c)) for c in np.argsort(-(cn @ v))[:4]]
+    probe_df = F.broadcast(spark.createDataFrame(probes, "qid int, cluster int"))
+
+    cand = (
+        probed.drop("qe")
+        .join(probe_df, "qid")
+        .join(coded, "cluster")  # broadcast side is tiny → only probed lists scanned
+        .filter(F.col("qid") != F.col("nid"))
+    )
+    scored = cand.select("qid", "nid", _ADC_FOLD.alias("adc"))
+    return _shortlist_rerank(scored, probed, emb)

@@ -41,4 +41,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Python workers import the package by reference (mapInPandas /
+    # applyInPandasWithState closures); ship it so sessions started from
+    # any cwd — not just the repo root — resolve it on every worker.
+    from xml_hive_spark.sources.xml_datasource import ship_package
+
+    ship_package(spark)
+    return spark

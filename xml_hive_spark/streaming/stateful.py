@@ -30,13 +30,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
 
 from xml_hive_spark.operators import query
-from xml_hive_spark.streaming.windowed import _EVENTS_RAW
+
+# Layout of the files staged by stage_ordered_event_files below — ts is
+# written as int64 epoch-MICROS (a plain long survives the forced stream
+# schema regardless of what logical type the source table carried).
+_STAGED_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _epoch_us(col):
+    """Epoch microseconds from either TIMESTAMP or TIMESTAMP_NTZ input.
+
+    ``unix_micros`` rejects NTZ; casting NTZ→TIMESTAMP first interprets
+    the wall-clock in the session zone (pinned to UTC in session.py), so
+    the value is exact for both layouts the driver has shipped
+    (TIMESTAMP(NANOS)→converted and timestamp[us]→NTZ)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 _GAP_MIN = 30
 _Q = 1048576.0  # 2^20 addend quantization (IEEE-exact, order-independent)
@@ -128,7 +154,7 @@ def stage_ordered_event_files(
     # round-trip through the LongType stream schema)
     ev = load(spark, sf_dir, "events").select(
         "event_id",
-        F.unix_micros("ts").alias("ts"),
+        _epoch_us("ts").alias("ts"),
         "user_id",
         "event_type",
         "value",
@@ -160,7 +186,7 @@ def run_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain into a memory sink."""
     staged = stage_ordered_event_files(spark, sf_dir)
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)  # ts: long (staged micros)
+        spark.readStream.schema(_STAGED_SCHEMA)  # ts: long (staged micros)
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
         .parquet(staged)
@@ -220,8 +246,8 @@ def batch_sessions_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            (F.unix_micros(F.col("w.start"))).alias("session_start_us"),
-            (F.unix_micros(F.col("w.end")) - F.lit(gap_us)).alias("session_end_us"),
+            _epoch_us(F.col("w.start")).alias("session_start_us"),
+            (_epoch_us(F.col("w.end")) - F.lit(gap_us)).alias("session_end_us"),
             "n_events",
             "sum_value_q",
         )

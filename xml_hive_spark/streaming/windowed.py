@@ -14,39 +14,35 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, TimestampNTZType
+
 
 from xml_hive_spark.operators import query
 
-# events.parquet schema as stored (ts is TIMESTAMP(NANOS) → read as int64
-# via the legacy conf; converted to a microsecond timestamp below)
-_EVENTS_RAW = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table as an unbounded stream (file source over the sf dir)."""
+    """events table as an unbounded stream (file source over the sf dir).
+
+    The stream schema is derived from the parquet footer via a throwaway
+    batch read (streams require an explicit schema), then the ``ts``
+    column is normalized exactly like the batch loader ``t()``: stored
+    TIMESTAMP(NANOS) arrives as int64 nanos under the legacy conf and is
+    floored to microseconds; stored timestamp[us] passes through
+    unchanged. This keeps the stream byte-identical to its batch twin
+    whichever layout the data files carry."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(schema["ts"].dataType, TimestampNTZType):
+        # watermarks reject NTZ; value-exact under the UTC session tz
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_streaming_event_counts(
