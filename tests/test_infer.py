@@ -116,3 +116,110 @@ def test_datasource_bare_inference(spark, tmp_path):
     )
     assert df.schema.simpleString() == "struct<k:bigint,v:double>"
     assert df.count() == 20
+
+
+# ------------------------------------------------- property tests (lattice)
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# tokens whose _classify result is known by construction
+_TYPED_TOKENS = {
+    "bool": ["true", "false", "True", "FALSE"],
+    "long": ["0", "42", "-7", "123456789012"],
+    "double": ["1.5", "-0.25", "1e3", "0.0"],
+    "string": ["hello", "x y", "2020-01-01", "12abc"],
+}
+_FIELDS = ["f0", "f1", "f2", "f3"]
+
+
+def _expected_lattice(kinds: set[str]) -> type:
+    """The documented unification: all-equal → that type; {long,double} →
+    double; any other mix → string; never-seen → string."""
+    if not kinds:
+        return StringType
+    if len(kinds) == 1:
+        return {
+            "bool": BooleanType,
+            "long": LongType,
+            "double": DoubleType,
+            "string": StringType,
+        }[next(iter(kinds))]
+    if kinds == {"long", "double"}:
+        return DoubleType
+    return StringType
+
+
+@st.composite
+def _typed_corpus(draw):
+    """Records over a fixed field vocabulary, each occurrence carrying a
+    token of a known classification; returns (xml bytes, field→kinds,
+    field→max occurrences per record)."""
+    n_records = draw(st.integers(2, 8))
+    kinds_seen: dict[str, set] = {f: set() for f in _FIELDS}
+    max_occ: dict[str, int] = {f: 0 for f in _FIELDS}
+    recs = []
+    for _ in range(n_records):
+        parts = ["<r>"]
+        for f in _FIELDS:
+            occ = draw(st.integers(0, 2))
+            max_occ[f] = max(max_occ[f], occ)
+            for _ in range(occ):
+                kind = draw(st.sampled_from(sorted(_TYPED_TOKENS)))
+                tok = draw(st.sampled_from(_TYPED_TOKENS[kind]))
+                kinds_seen[f].add(kind)
+                parts.append(f"<{f}>{tok}</{f}>")
+        parts.append("</r>")
+        recs.append("".join(parts))
+    xml = ("<root>" + "".join(recs) + "</root>").encode()
+    return xml, kinds_seen, max_occ
+
+
+@settings(max_examples=100, deadline=None)
+@given(corpus=_typed_corpus(), data=st.data())
+def test_inference_lattice_property(tmp_path_factory, corpus, data):
+    """For ANY seeded-random corpus: each field's inferred type is exactly
+    the lattice unification of its observed token classes, repeated
+    occurrences become arrays, and the inferred schema parses every
+    record it was inferred from without error (soundness)."""
+    from xml_hive_spark.reader import parse_record_safe
+
+    xml, kinds_seen, max_occ = corpus
+    p = tmp_path_factory.mktemp("prop") / "c.xml"
+    p.write_bytes(xml)
+    schema = infer_xml_schema(p, "r")
+    by_name = {f.name: f for f in schema.fields}
+    for f in _FIELDS:
+        if max_occ[f] == 0:
+            assert f not in by_name  # never observed → never invented
+            continue
+        dt = by_name[f].dataType
+        if max_occ[f] > 1:
+            assert isinstance(dt, ArrayType), f
+            dt = dt.elementType
+        assert isinstance(dt, _expected_lattice(kinds_seen[f])), (
+            f, kinds_seen[f], dt
+        )
+    # soundness: the inferred schema must accept its own sample
+    import io
+
+    from xml_hive_spark.reader import iter_record_spans
+
+    for _, rec in iter_record_spans(io.BytesIO(xml), "r", 0, len(xml)):
+        row = parse_record_safe(rec, schema, "FAILFAST")
+        assert row is not None
+
+
+def test_inferred_registry_query_matches_xsd_twin(spark):
+    """xml_scan_inferred (no schema, no XSD) must reproduce the
+    XSD-declared xml_scan_books aggregate on the shared columns."""
+    from xml_hive_spark.operators import all_queries
+
+    inferred = {
+        (r.genre, r.n_books, r.avg_price)
+        for r in all_queries()["xml_scan_inferred"].fn(spark, "unused").collect()
+    }
+    declared = {
+        (r.genre, r.n_books, r.avg_price)
+        for r in all_queries()["xml_scan_books"].fn(spark, "unused").collect()
+    }
+    assert inferred == declared and len(inferred) > 0

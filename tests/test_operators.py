@@ -64,6 +64,8 @@ def test_registry_complete():
         "streaming_window_counts",
         "xml_scan_bench",  # DuckDB can't read XML; exact aggregate pinned in test_xml_bench
         "xml_scan_books",
+        "xml_scan_inferred",  # cross-checked vs the XSD read in test_infer
+        "xml_sql_ddl",  # golden rows in test_xml_sql_ddl.py
     ]
 
 

@@ -235,6 +235,44 @@ class TestReferenceParity:
         rows = [parse_record(r, st) for _, r in _spans(data, "Member")]
         assert rows == [("Rob", "William", 3), ("Andrew", "Smith", 33)]
 
+    def test_mixed_content_trailing_text(self):
+        """Mixed content (text interleaved with child elements).
+
+        Reference semantics (AvroTransormer.scala:159-163): ``elementText``
+        accumulates EvText events and is cleared only at each element END,
+        so for a field whose value is read at its end tag, text AFTER the
+        last child is what lands in the record — SURVEY.md §4: "only
+        trailing text is captured into elementText". Parity target: the
+        trailing text MUST be captured (not lost).
+
+        Our assembler accumulates elem.text + every child's tail
+        (_direct_text), so trailing text is captured (parity) and leading
+        text is ALSO preserved — a documented superset: the reference
+        leaks leading text into the preceding child's value (its
+        ``elementText`` buffer isn't cleared on element start), which is
+        a data-corrupting quirk we intentionally do not reproduce."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        st = StructType(
+            [
+                StructField("note", StringType(), True,
+                            metadata={"xmlKind": "element", "xmlName": "note"}),
+            ]
+        )
+        # trailing text only: both engines agree — "tail" is captured
+        rec = b"<r><note><b>x</b> tail</note></r>"
+        assert parse_record(rec, st) == ("tail",)
+        # leading + trailing: reference keeps only "tail" (and corrupts
+        # the child with "leadx"); we preserve the element's full direct
+        # text, concatenated in document order and outer-trimmed
+        rec = b"<r><note>lead <b>x</b> tail</note></r>"
+        assert parse_record(rec, st) == ("lead  tail",)
+        # text-only element unchanged by the mixed-content path
+        assert parse_record(b"<r><note>plain</note></r>", st) == ("plain",)
+        # multiple children: every inter-child segment survives
+        rec = b"<r><note>a<b/>b<b/>c</note></r>"
+        assert parse_record(rec, st) == ("abc",)
+
 
 class TestMalformedModes:
     """Malformed-record policies (reference parity: it drops bad records

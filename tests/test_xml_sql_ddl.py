@@ -1,0 +1,77 @@
+"""SQL-DDL entry point: the Spark twin of the reference's only UX
+(`CREATE EXTERNAL TABLE ... ROW FORMAT SERDE 'AvroFromXmlSerde'` with
+xml.* table properties, AvroFromXmlSerde.scala:13-26). Declares the
+xmlhive source in pure SQL and queries it with SELECT; also pins the
+probed upstream limitation for persistent catalog tables."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+FIXTURE = Path(__file__).resolve().parent / "fixtures" / "books"
+
+
+def test_temp_view_ddl_golden_rows(spark):
+    """DDL-declared view must yield the fixture's exact aggregate."""
+    from xml_hive_spark.operators import all_queries
+
+    rows = all_queries()["xml_sql_ddl"].fn(spark, "unused").collect()
+    got = [(r.genre, r.n_books, r.avg_price) for r in rows]
+    assert got == [("Streaming", 1, 42.0), ("Systems", 2, 24.88)]
+
+
+def test_ddl_row_level_select(spark):
+    """Row-level SELECT with a WHERE over the DDL view (predicates reach
+    the source's pushFilters path through pure SQL)."""
+    from xml_hive_spark.operators import all_queries
+    from xml_hive_spark.sources.xml_datasource import register
+
+    all_queries()  # ensure registry import side effects
+    register(spark)
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY VIEW books_xml_rows
+        USING xmlhive
+        OPTIONS (rowTag 'book',
+                 xsd '{FIXTURE / "schema.xsd"}',
+                 sepTagType 'bookType',
+                 path '{FIXTURE / "data.xml"}')
+        """
+    )
+    rows = spark.sql(
+        "SELECT author, title FROM books_xml_rows WHERE price > 30 ORDER BY author"
+    ).collect()
+    assert [(r.author, r.title) for r in rows] == [
+        ("Hart, Ada", "Distributed Query Planning"),
+        ("Lund, Mia", "Streams and Watermarks"),
+    ]
+
+
+def test_persistent_table_limitation_documented(spark):
+    """Persistent `CREATE TABLE ... USING xmlhive` is accepted by the
+    catalog (schema resolves via the XSD), but Spark re-instantiates the
+    Python DataSource for the scan with EMPTY options, so the reader
+    never receives rowTag/path. Pin that failure mode: if a Spark
+    upgrade fixes the options plumbing, this test fails and the
+    persistent form can be promoted to supported."""
+    from xml_hive_spark.sources.xml_datasource import register
+
+    register(spark)
+    spark.sql("DROP TABLE IF EXISTS books_xml_tbl")
+    spark.sql(
+        f"""
+        CREATE TABLE books_xml_tbl
+        USING xmlhive
+        OPTIONS (rowTag 'book',
+                 xsd '{FIXTURE / "schema.xsd"}',
+                 sepTagType 'bookType',
+                 path '{FIXTURE / "data.xml"}')
+        """
+    )
+    try:
+        with pytest.raises(Exception, match="rowTag|PYTHON_DATA_SOURCE"):
+            spark.sql("SELECT count(*) FROM books_xml_tbl").collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS books_xml_tbl")

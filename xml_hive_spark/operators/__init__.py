@@ -126,7 +126,12 @@ _DRIVER_WINDOW = [
     "streaming_window_counts",
     "streaming_stream_join",
     "streaming_sessionize",
-    # --- regression canary: previously driver-green (34) ---
+    # --- new in round 5 (4) ---
+    "cosine_topk_ivf_pq_probed",
+    "xml_sql_ddl",
+    "xml_scan_inferred",
+    "doc_chunk_pack_pipeline",
+    # --- regression canary: previously driver-green (30) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_priority_exists",
@@ -153,14 +158,10 @@ _DRIVER_WINDOW = [
     "window_moving_avg",
     "window_ntile",
     "topk_orders",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
     "string_functions",
     "date_functions",
     "math_functions",
     "array_functions",
-    "explode_positional",
 ]
 
 

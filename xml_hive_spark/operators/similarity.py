@@ -584,7 +584,7 @@ def cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     cand = probed.drop("qe").crossJoin(
         coded.select(F.col("vec_id").alias("nid"), F.col("codes"))
     ).filter(F.col("qid") != F.col("nid"))
-    scored = cand.select("qid", "nid", _ADC_FOLD.alias("adc"))
+    scored = cand.select("qid", "nid", _adc_fold().alias("adc"))
     return _shortlist_rerank(scored, probed, emb)
 
 
@@ -610,11 +610,13 @@ def _adc_tables(spark: SparkSession, emb: DataFrame, books) -> DataFrame:
     )
 
 
-# fold over the M codes: acc + tbl[m*K + codes[m]] (1-based element_at)
-_ADC_FOLD = F.expr(
-    f"aggregate(sequence(0, {_PQ_M - 1}), 0D,"
-    f" (acc, m) -> acc + element_at(tbl, m * {_PQ_K} + element_at(codes, m + 1) + 1))"
-)
+def _adc_fold():
+    """Fold over the M codes: acc + tbl[m*K + codes[m]] (1-based
+    element_at). Built lazily — F.expr needs an active session."""
+    return F.expr(
+        f"aggregate(sequence(0, {_PQ_M - 1}), 0D,"
+        f" (acc, m) -> acc + element_at(tbl, m * {_PQ_K} + element_at(codes, m + 1) + 1))"
+    )
 
 
 def _shortlist_rerank(scored: DataFrame, probed: DataFrame,
@@ -678,5 +680,5 @@ def cosine_topk_ivf_pq_probed(spark: SparkSession, sf: str) -> DataFrame:
         .join(coded, "cluster")  # broadcast side is tiny → only probed lists scanned
         .filter(F.col("qid") != F.col("nid"))
     )
-    scored = cand.select("qid", "nid", _ADC_FOLD.alias("adc"))
+    scored = cand.select("qid", "nid", _adc_fold().alias("adc"))
     return _shortlist_rerank(scored, probed, emb)

@@ -223,6 +223,101 @@ def doc_chunks_udtf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "doc_chunk_pack_pipeline",
+    oracle=f"""
+WITH cleaned AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS clean
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, lang,
+         CAST(least({_CHUNK_WORDS}, len(words) - c.chunk_idx*{_CHUNK_WORDS}) AS BIGINT)
+             AS n_words,
+         c.chunk_idx
+  FROM (
+    SELECT doc_id, lang,
+           list_filter(string_split(clean, ' '), w -> w <> '') AS words
+    FROM cleaned
+  ), LATERAL (
+    SELECT unnest(generate_series(0,
+        CAST(ceil(len(words) / {_CHUNK_WORDS}.0) AS BIGINT) - 1)) AS chunk_idx
+  ) c
+),
+packed AS (
+  SELECT lang, n_words,
+         sum(n_words) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM chunks
+)
+SELECT lang,
+       CAST(floor((cum - n_words) / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT)   AS n_chunks,
+       CAST(sum(n_words) AS BIGINT) AS seq_tokens
+FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id
+""",
+    tags=("text", "llm-prep", "pipeline"),
+)
+def doc_chunk_pack_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The integrated pretraining-prep pipeline: clean/normalize →
+    UDTF chunking → token-budget sequence packing, one plan end to end
+    (each stage is the corresponding standalone operator's transform).
+
+    Scale shape: cleaning is columnar (zero shuffles), chunking is a
+    per-row Arrow UDTF expansion (zero shuffles), packing is the single
+    window shuffle on ``lang`` — the whole pipeline moves the corpus
+    over the network exactly once. Fully SQL-oracled: chunk counts and
+    running sums are closed-form over the cleaned word lists."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, lang string, chunk_idx int, n_words int",
+          useArrow=True)
+    class ChunkClean:
+        def eval(self, doc_id, lang, clean):
+            words = (clean or "").split()
+            for i in range(0, len(words), _CHUNK_WORDS):
+                yield doc_id, lang, i // _CHUNK_WORDS, len(words[i : i + _CHUNK_WORDS])
+
+    spark.udtf.register("chunk_clean", ChunkClean)
+    docs = t(spark, sf, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    docs.select("doc_id", "lang", clean.alias("clean")).createOrReplaceTempView(
+        "cleaned_docs"
+    )
+    chunks = spark.sql(
+        """
+        SELECT c.doc_id, c.lang, c.chunk_idx, c.n_words
+        FROM cleaned_docs d, LATERAL chunk_clean(d.doc_id, d.lang, d.clean) c
+        """
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = chunks.withColumn("cum", F.sum("n_words").over(w))
+    return (
+        packed.withColumn(
+            "seq_id",
+            F.floor((F.col("cum") - F.col("n_words")) / float(_PACK_BUDGET)).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("n_words").cast("bigint").alias("seq_tokens"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+@query(
     "quality_filter_verdicts",
     oracle=r"""
 SELECT lang, verdict, CAST(count(*) AS BIGINT) AS n_docs

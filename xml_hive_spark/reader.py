@@ -846,6 +846,12 @@ def resolve_paths(path: str | list[str]) -> list[str]:
     patterns = [path] if isinstance(path, str) else list(path)
     out: list[str] = []
     for pat in patterns:
+        # the SQL catalog hands table locations back as file: URIs
+        # (CREATE TABLE ... USING xmlhive); accept both forms
+        if pat.startswith("file://"):
+            pat = pat[len("file://"):]
+        elif pat.startswith("file:"):
+            pat = pat[len("file:"):]
         p = Path(pat)
         if p.is_dir():
             out += [str(c) for c in sorted(p.iterdir()) if c.suffix == ".xml"]
