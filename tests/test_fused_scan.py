@@ -1,0 +1,198 @@
+"""Fused-scan exactness: FlatAssembler.iter_split_rows (template matched
+in place against the split buffer, exact token machinery on any
+mismatch) must produce EXACTLY the rows of the span-then-extract path —
+over generated documents, full cut sweeps, and every guard class the
+flat fast path defends against."""
+
+from __future__ import annotations
+
+import io
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from xml_hive_spark.flat import FlatAssembler
+from xml_hive_spark.reader import (
+    chain_splits,
+    iter_record_spans,
+    parse_record_safe,
+)
+
+
+def _schema():
+    return StructType(
+        [
+            StructField("id", LongType(), True,
+                        metadata={"xmlKind": "attribute", "xmlName": "id"}),
+            StructField("cat", StringType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "cat"}),
+            StructField("val", DoubleType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "val"}),
+        ]
+    )
+
+
+def _k_schema():
+    return StructType(
+        [
+            StructField("k", StringType(), True,
+                        metadata={"xmlKind": "attribute", "xmlName": "k"}),
+        ]
+    )
+
+
+def _span_path_rows(asm, data: bytes, row_tag: str, splits) -> list:
+    """Reference pipeline: exact span scan → per-record batch assembly."""
+    out = []
+    for sp in splits:
+        a, b = sp[1], sp[2]
+        state = sp[3] if len(sp) > 3 else "TEXT"
+        depth = sp[4] if len(sp) > 4 else 0
+        for _, rec in iter_record_spans(io.BytesIO(data), row_tag, a, b,
+                                        state, depth):
+            vals = asm.fast_row(rec)
+            if vals is None:
+                vals = parse_record_safe(rec, asm.struct, asm.mode)
+            if vals is not None:
+                out.append(tuple(vals))
+    return out
+
+
+def _fused_rows(asm, tmp_path, data: bytes, row_tag: str, splits) -> list:
+    p = tmp_path / "doc.xml"
+    p.write_bytes(data)
+    out = []
+    for sp in splits:
+        full = (str(p), sp[1], sp[2]) + tuple(sp[3:])
+        out += [tuple(v) for v in asm.iter_split_rows(full, row_tag)]
+    return out
+
+
+def _chained(data: bytes, row_tag: str, fence: list[int]):
+    ann = chain_splits(lambda: io.BytesIO(data), fence, row_tag)
+    return [("", a, b, state, depth) for a, b, state, depth in ann]
+
+
+GUARD_DOC = b"""<dataset>
+<rec id="1"><cat>c0</cat><val>1.5</val></rec>
+<!-- decoy <rec id="x"><val>9</val></rec> -->
+<rec id="2"><cat>c1</cat><val>2.5</val></rec>
+<rec id="3"><cat attr="q">c2</cat><val>3.5</val></rec>
+<rec id="4"><cat>c&amp;3</cat><val>4.5</val></rec>
+<![CDATA[ </rec> <rec id="y"><val>0</val></rec> ]]>
+<rec id="5"><val>5.5</val><cat>swapped</cat></rec>
+<rec id="6"><cat>c4</cat><val></val></rec>
+<rec id="7"/>
+<?pi <rec id="z"/> ?>
+<rec id="8"><cat>c5<deep>n</deep></cat><val>8.5</val></rec>
+<rec id="9"><cat>c6</cat><val>9.5</val></rec>
+<other>not a record <rec id="10"><cat>inner</cat><val>10.5</val></rec></other>
+<rec id="11"><cat>
+  multiline </cat><val>11.5</val></rec>
+<rec id="12"><cat>c7</cat><val>12.5</val></rec></dataset>"""
+
+
+def test_guard_classes_single_scan(tmp_path):
+    asm = FlatAssembler.try_create(_schema(), "PERMISSIVE")
+    splits = [("", 0, len(GUARD_DOC), "TEXT", 0)]
+    want = _span_path_rows(asm, GUARD_DOC, "rec", splits)
+    got = _fused_rows(asm, tmp_path, GUARD_DOC, "rec", splits)
+    assert got == want
+    assert len(got) >= 12  # every record surfaced (incl. nested id=10)
+
+
+def test_guard_doc_full_cut_sweep(tmp_path):
+    """Every 2-cut fence over the guard document: the fused chained scan
+    equals the single exact scan (split protocol preserved)."""
+    asm = FlatAssembler.try_create(_schema(), "PERMISSIVE")
+    single = _span_path_rows(
+        asm, GUARD_DOC, "rec", [("", 0, len(GUARD_DOC), "TEXT", 0)]
+    )
+    n = len(GUARD_DOC)
+    for cut in range(1, n, 37):  # stride keeps the sweep fast but dense
+        for cut2 in (min(cut + 53, n - 1), min(cut + 211, n - 1)):
+            fence = sorted({0, cut, cut2, n})
+            got = _fused_rows(
+                asm, tmp_path, GUARD_DOC, "rec", _chained(GUARD_DOC, "rec", fence)
+            )
+            assert got == single, f"fence {fence}"
+
+
+def test_uniform_run_with_drift(tmp_path):
+    """A long uniform run (template hot) with periodic drift records and
+    decoy comments — the bench-file shape."""
+    recs = []
+    for i in range(3000):
+        if i % 97 == 0:
+            recs.append(f'<!-- decoy <rec id="x{i}"><val>9</val></rec> -->')
+        if i % 211 == 0:
+            recs.append(f'<rec id="{i}" extra="e"><cat>d</cat><val>{i}.25</val></rec>')
+        else:
+            recs.append(f'<rec id="{i}"><cat>c{i % 7}</cat><val>{i}.5</val></rec>')
+    data = ("<dataset>\n" + "\n".join(recs) + "\n</dataset>").encode()
+    asm = FlatAssembler.try_create(_schema(), "PERMISSIVE")
+    n = len(data)
+    fence = sorted({0, n // 3, 2 * n // 3, n})
+    splits = _chained(data, "rec", fence)
+    want = _span_path_rows(asm, data, "rec", splits)
+    got = _fused_rows(asm, tmp_path, data, "rec", splits)
+    assert got == want
+    assert len(got) == 3000
+
+
+# --------------------------------------------- property: generated docs
+
+_TEXTS = ["", "x", "hello world", "  pad  ", "a&amp;b"]
+
+
+@st.composite
+def _element(draw, depth: int):
+    tag = draw(st.sampled_from(["d", "d", "other", "item"]))
+    if depth > 0 and draw(st.booleans()):
+        kids = draw(st.lists(_element(depth - 1), min_size=0, max_size=3))
+    else:
+        kids = []
+    attr = ' k="v"' if draw(st.booleans()) else ""
+    body = "".join(kids) or draw(st.sampled_from(_TEXTS))
+    if not kids and draw(st.integers(0, 9)) == 0:
+        return f"<{tag}{attr}/>"
+    return f"<{tag}{attr}>{body}</{tag}>"
+
+
+@st.composite
+def _document(draw):
+    n = draw(st.integers(1, 8))
+    parts = ["<root>"]
+    for _ in range(n):
+        kind = draw(st.integers(0, 9))
+        if kind == 0:
+            parts.append("<!-- decoy <d>no</d> -->")
+        elif kind == 1:
+            parts.append("<![CDATA[ </d> <d>fake</d> ]]>")
+        elif kind == 2:
+            parts.append("<?pi <d>also fake</d> ?>")
+        else:
+            parts.append(draw(_element(2)))
+        if draw(st.booleans()):
+            parts.append(draw(st.sampled_from(["", " ", "\n", "text "])))
+    parts.append("</root>")
+    return "".join(parts).encode()
+
+
+@settings(max_examples=120, deadline=None)
+@given(doc=_document(), data=st.data())
+def test_fused_equals_span_path_property(tmp_path_factory, doc, data):
+    asm = FlatAssembler.try_create(_k_schema(), "PERMISSIVE")
+    c1 = data.draw(st.integers(1, max(1, len(doc) - 1)))
+    c2 = data.draw(st.integers(1, max(1, len(doc) - 1)))
+    fence = sorted({0, c1, c2, len(doc)})
+    splits = _chained(doc, "d", fence)
+    want = _span_path_rows(asm, doc, "d", splits)
+    got = _fused_rows(asm, tmp_path_factory.mktemp("fused"), doc, "d", splits)
+    assert got == want

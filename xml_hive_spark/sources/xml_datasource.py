@@ -185,8 +185,10 @@ class XmlHiveReader(DataSourceReader):
         keep = compile_conjunction(self._pushed)
         asm = FlatAssembler.try_create(self._schema, self._mode)
         if asm is not None:
-            yield from asm.batches(
-                iter_split_record_bytes(split, self._row_tag), predicate=keep
+            # fused scan: template matched against the split buffer in
+            # place — no per-record slice/fullmatch on uniform runs
+            yield from asm.fused_split_batches(
+                split, self._row_tag, predicate=keep
             )
         elif keep is None:
             yield from _read_split(split, self._row_tag, self._schema, self._mode)
