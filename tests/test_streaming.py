@@ -103,3 +103,54 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     assert len(batch) > 0  # the attribution window actually matches pairs
     assert len(streamed) == len(set(streamed))  # exactly-once emission
     assert sorted(streamed) == sorted(batch)
+
+
+def test_stream_stream_outer_join_horizon_equality(spark, sf_dir):
+    """Left-outer stream-stream join: matched rows equal the batch twin
+    exactly (eager emission); null rows are exactly-once, are a subset
+    of the batch twin's unmatched views, and every unmatched view whose
+    no-match proof (view_ts + attribution window) predates the
+    second-to-last batch's watermark MUST have been flushed."""
+    from pyspark.sql import functions as F
+
+    from xml_hive_spark.operators import t
+    from xml_hive_spark.streaming.joins import (
+        batch_join_outer_twin,
+        run_streaming_stream_join_outer,
+    )
+
+    streamed = run_streaming_stream_join_outer(spark, sf_dir).collect()
+    batch = batch_join_outer_twin(spark, sf_dir).collect()
+
+    sm = {(r.user_id, r.view_id, r.purchase_id)
+          for r in streamed if r.purchase_id is not None}
+    bm = {(r.user_id, r.view_id, r.purchase_id)
+          for r in batch if r.purchase_id is not None}
+    assert sm == bm  # matched rows: full equality, emitted eagerly
+    assert len(bm) > 0
+
+    s_null = [r.view_id for r in streamed if r.purchase_id is None]
+    assert len(s_null) == len(set(s_null))  # exactly-once null emission
+    b_null = {r.view_id: r.view_ts for r in batch if r.purchase_id is None}
+    assert set(s_null) <= set(b_null)  # never invent an unmatched view
+
+    # provable horizon: the final batch applies the watermark advanced at
+    # the end of file 2 (of 3) = maxts(file2) - 2h delay; any unmatched
+    # view with view_ts + 30min attribution below that must be out
+    ev = t(spark, sf_dir, "events")
+    q23 = ev.select(F.unix_micros("ts").alias("us")).approxQuantile(
+        "us", [2.0 / 3.0], 0.001
+    )[0]
+    wm2_us = q23 - 2 * 3600 * 1_000_000
+    slack_us = 60 * 1_000_000  # quantile estimation slack
+    horizon_us = wm2_us - 30 * 60 * 1_000_000 - slack_us
+    import datetime as dt
+
+    expected = {
+        vid
+        for vid, vts in b_null.items()
+        if vts.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6 < horizon_us
+    }
+    missing = expected - set(s_null)
+    assert not missing, f"{len(missing)} provably-unmatched views never flushed"
+    assert len(expected) > 0  # the harness actually exercises the flush

@@ -126,12 +126,14 @@ _DRIVER_WINDOW = [
     "streaming_window_counts",
     "streaming_stream_join",
     "streaming_sessionize",
-    # --- new in round 5 (4) ---
+    # --- new in round 5 (6) ---
     "cosine_topk_ivf_pq_probed",
     "xml_sql_ddl",
     "xml_scan_inferred",
+    "xml_write_roundtrip",
     "doc_chunk_pack_pipeline",
-    # --- regression canary: previously driver-green (30) ---
+    "streaming_stream_join_outer",
+    # --- regression canary: previously driver-green (28) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_priority_exists",
@@ -159,9 +161,7 @@ _DRIVER_WINDOW = [
     "window_ntile",
     "topk_orders",
     "string_functions",
-    "date_functions",
     "math_functions",
-    "array_functions",
 ]
 
 

@@ -116,6 +116,56 @@ def xml_sql_ddl(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "xml_write_roundtrip",
+    oracle="""
+SELECT n_regionkey AS region, CAST(count(*) AS BIGINT) AS n_nations,
+       min(n_name) AS first_nation
+FROM nation GROUP BY n_regionkey ORDER BY region
+""",
+    tags=("xml", "sink", "roundtrip"),
+)
+def xml_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """XML SINK exercised end to end with a FULL value oracle: the
+    nation table is written as XML (one document per partition, escaped
+    values), read back through OUR reader (xmlhive DataSource semantics
+    via read_xml), and aggregated — DuckDB computes the identical
+    aggregate from the original parquet, so any loss or corruption in
+    either direction of the XML round-trip breaks the hash match."""
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from xml_hive_spark.reader import read_xml
+    from xml_hive_spark.sources.xml_sink import write_xml
+
+    from xml_hive_spark.operators import t
+
+    nation = t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    out = tempfile.mkdtemp(prefix="xmlhive-roundtrip-") + "/nation_xml"
+    write_xml(nation, out, row_tag="nation", root_tag="nations")
+
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "n_nationkey"}),
+            StructField("n_name", StringType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "n_name"}),
+            StructField("n_regionkey", LongType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "n_regionkey"}),
+        ]
+    )
+    back = read_xml(spark, out + "/*.xml", row_tag="nation", schema=schema)
+    return (
+        back.groupBy(F.col("n_regionkey").alias("region"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("region")
+    )
+
+
 # ------------------------------------------------------- GB-scale XML bench
 
 _N_CATS = 7

@@ -35,7 +35,7 @@ from xml_hive_spark.streaming.windowed import streaming_events
 _ATTRIBUTION = "30 minutes"
 
 
-def _sides(views: DataFrame, purchases: DataFrame):
+def _sides(views: DataFrame, purchases: DataFrame, how: str = "inner"):
     v = (
         views.filter(F.col("event_type") == "view")
         .select(
@@ -64,7 +64,7 @@ def _sides(views: DataFrame, purchases: DataFrame):
             purchase_ts <= view_ts + interval {_ATTRIBUTION}
             """
         ),
-        "inner",
+        how,
     )
     return joined.select(
         "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts", "amount"
@@ -101,3 +101,63 @@ def batch_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     """Registry entry (rows-only; batch equality in tests/test_streaming.py)."""
     return run_streaming_stream_join(spark, sf)
+
+
+def run_streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER attribution join: views with no purchase inside the
+    attribution window emit with null purchase columns — but only once
+    the watermark PROVES no match can still arrive (view_ts +
+    attribution window has passed the watermark). Unlike the inner join
+    (eager emission), outer rows are held in state until that proof, so
+    the watermark must actually advance: the events table is staged as
+    time-ordered files replayed one per micro-batch
+    (``stage_ordered_event_files``, the sessionizer's determinism
+    harness), and the watermark moves between batches, flushing
+    earlier-file unmatched views. State stays bounded by the same
+    horizon. The still-open tail (views too recent for the final
+    watermark) is the documented streaming-vs-batch delta; the equality
+    harness in tests/test_streaming.py accounts for it exactly."""
+    from xml_hive_spark.streaming.stateful import (
+        _STAGED_SCHEMA,
+        stage_ordered_event_files,
+    )
+
+    staged = stage_ordered_event_files(spark, sf_dir, n_files=3)
+    raw = (
+        spark.readStream.schema(_STAGED_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
+    out = _sides(ev, ev, how="left_outer")
+    name = f"stream_join_outer_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="xmlhive-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("availableNow drain did not finish within 180s")
+    return spark.table(name)
+
+
+def batch_join_outer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch left-outer twin — the full-history oracle the streamed
+    result is compared against (matched rows must agree exactly; null
+    rows agree below the provable watermark horizon)."""
+    from xml_hive_spark.operators import t
+
+    ev = t(spark, sf_dir, "events")
+    return _sides(ev, ev, how="left_outer")
+
+
+@query("streaming_stream_join_outer", tags=("streaming", "join", "outer"))
+def streaming_stream_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry entry (rows-only; horizon-exact equality with the batch
+    left-outer twin in tests/test_streaming.py)."""
+    return run_streaming_stream_join_outer(spark, sf)
