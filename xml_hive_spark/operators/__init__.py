@@ -126,14 +126,15 @@ _DRIVER_WINDOW = [
     "streaming_window_counts",
     "streaming_stream_join",
     "streaming_sessionize",
-    # --- new in round 5 (6) ---
+    # --- new in round 5 (7) ---
     "cosine_topk_ivf_pq_probed",
     "xml_sql_ddl",
     "xml_scan_inferred",
     "xml_write_roundtrip",
+    "xml_stream_scan",
     "doc_chunk_pack_pipeline",
     "streaming_stream_join_outer",
-    # --- regression canary: previously driver-green (28) ---
+    # --- regression canary: previously driver-green (27) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_priority_exists",
@@ -158,7 +159,6 @@ _DRIVER_WINDOW = [
     "window_running_sum",
     "window_lag_lead",
     "window_moving_avg",
-    "window_ntile",
     "topk_orders",
     "string_functions",
     "math_functions",

@@ -166,6 +166,73 @@ def xml_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "xml_stream_scan",
+    oracle="""
+SELECT n_regionkey AS region, CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation GROUP BY n_regionkey ORDER BY region
+""",
+    tags=("xml", "source", "streaming"),
+)
+def xml_stream_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING XML source end to end with a FULL value oracle: nation
+    is staged as XML files in a landing directory, the
+    ``xmlhive-stream`` DataSourceStreamReader drains them exactly-once
+    (availableNow), and the aggregate must hash-match DuckDB over the
+    original parquet. Executor-side split parsing — the landing-dir
+    ingest shape for 100 TB/day XML feeds."""
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from xml_hive_spark.operators import t
+    from xml_hive_spark.sources.xml_sink import write_xml
+    from xml_hive_spark.sources.xml_stream import register_stream
+
+    register_stream(spark)
+    nation = t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    landing = tempfile.mkdtemp(prefix="xmlhive-landing-") + "/nation_xml"
+    write_xml(nation.repartition(3), landing, row_tag="nation", root_tag="nations")
+
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("xmlhive-stream")
+        .schema(schema)
+        .option("rowTag", "nation")
+        .option("path", landing)
+        .load()
+    )
+    name = f"xml_stream_scan_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="xmlhive-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("availableNow drain did not finish within 120s")
+    return (
+        spark.table(name)
+        .groupBy(F.col("n_regionkey").alias("region"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("region")
+    )
+
+
 # ------------------------------------------------------- GB-scale XML bench
 
 _N_CATS = 7
