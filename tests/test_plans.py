@@ -163,3 +163,27 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir):
     assert "lang" in part_lines[0]
     # the partition column predicate is fully handled by pruning
     assert "isnotnull(lang" in part_lines[0] or "(lang" in part_lines[0]
+
+
+def test_chunk_pack_pipeline_single_corpus_shuffle(spark, sf_dir):
+    """clean → UDTF chunk → pack must move the corpus over the network
+    exactly once: the window's hashpartitioning(lang) exchange. The
+    grouped aggregate reuses the window's partitioning (grouping keys
+    (lang, seq_id) ⊇ partition key lang), and the final orderBy is a
+    rangepartitioning over group-count rows, not the corpus."""
+    plan = plan_of(spark, sf_dir, "doc_chunk_pack_pipeline")
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_partial_topk_no_exchange_before_arrow(spark, sf_dir):
+    """The ADC shortlist's phase-one partial top-k must run INSIDE the
+    scan's partitions: no Exchange anywhere below the MapInArrow node
+    (the shuffles in the plan are all above it — the global merge window
+    and the re-rank join)."""
+    plan = plan_of(spark, sf_dir, "cosine_topk_ivf_pq")
+    below = plan[plan.index("MapInArrow"):]
+    # the broadcast of the tiny per-query ADC tables is expected; no
+    # SHUFFLE exchange may sit under the partial top-k
+    assert "Exchange hashpartitioning" not in below
+    assert "Exchange rangepartitioning" not in below
+    assert "Exchange SinglePartition" not in below
