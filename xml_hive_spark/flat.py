@@ -161,7 +161,7 @@ class _Template:
     go through the same converters and entity handling as ``fast_row``.
     """
 
-    __slots__ = ("rx", "base_vals", "groups")
+    __slots__ = ("rx", "rx_run", "base_vals", "groups")
 
     @classmethod
     def learn(cls, sample: bytes, fields) -> "_Template | None":
@@ -252,10 +252,15 @@ class _Template:
         pat += re.escape(sample[pos:])
         try:
             rx = re.compile(bytes(pat))
+            # run form for the fused scan: also consumes the whitespace
+            # separating this record from the next, so the hot loop is one
+            # match per record with no separate gap skip
+            rx_run = re.compile(bytes(pat) + b"[ \t\r\n]*")
         except re.error:
             return None
         self = cls.__new__(cls)
         self.rx = rx
+        self.rx_run = rx_run
         self.base_vals = base_vals
         self.groups = groups
         return self
@@ -278,7 +283,10 @@ class _Template:
                     continue  # <e></e>: ElementTree text is None
                 if b"<" in raw:
                     return None  # invalid-in-place markup; be exact
-                vals[fi] = conv(_decode(raw))
+                # inlined _decode fast path: no '&' → plain utf-8 decode
+                vals[fi] = conv(
+                    raw.decode("utf-8") if b"&" not in raw else _decode(raw)
+                )
         except (ValueError, ArithmeticError, UnicodeDecodeError):
             return None
         return tuple(vals)
@@ -464,26 +472,46 @@ class FlatAssembler:
                 if not buf._refill():
                     break
             data, base = buf.data, buf.base
+            avail = base + len(data)
 
             if d == 0 and rec_start is None:
                 wm = _WS_RX.match(data, pos - base)
                 if wm is not None:
                     pos = base + wm.end()
-                    if not buf.eof and pos == buf.end_offset():
+                    if not buf.eof and pos == avail:
                         continue  # whitespace may continue past the tail
                 if pos >= end:
                     return
                 if tmpl is not None:
-                    m = tmpl.rx.match(data, pos - base)
-                    if m is not None:
-                        vals = tmpl.extract_match(m)
-                        if vals is not None:
-                            yield vals
-                            pos = base + m.end()
-                            search_from = pos
-                            if pos - base > (1 << 22):
-                                buf.compact(pos)
-                            continue
+                    # hot loop: one anchored match per record; the run
+                    # pattern also consumes the inter-record whitespace
+                    run_match = tmpl.rx_run.match
+                    extract = tmpl.extract_match
+                    rel = pos - base
+                    lo_guard = (avail - LOOKAHEAD) - base if not buf.eof \
+                        else len(data)
+                    end_rel = end - base
+                    advanced = False
+                    while rel < end_rel:
+                        if rel > lo_guard:
+                            break  # too close to the tail to trust a miss
+                        m = run_match(data, rel)
+                        if m is None:
+                            break
+                        vals = extract(m)
+                        if vals is None:
+                            break
+                        yield vals
+                        rel = m.end()
+                        advanced = True
+                    if advanced:
+                        pos = base + rel
+                        search_from = pos
+                        if rel > (1 << 22):
+                            buf.compact(pos)
+                        continue
+                    if rel >= end_rel or rel > lo_guard:
+                        continue  # boundary/tail handling at loop top
                     # anchored mismatch with LOOKAHEAD buffered (or EOF):
                     # not a uniform record here — exact step below
 
