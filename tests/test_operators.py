@@ -45,6 +45,7 @@ def test_registry_complete():
     assert rows_only == [
         "agg_approx_distinct",
         "agg_percentiles_array",  # scalar quartiles are the oracled twin
+        "ann_join_topk",  # seeded LSH planes; recall test in test_similarity
         "cosine_topk_ivf",
         "cosine_topk_ivf_kmeans",  # iterative Lloyd's — not SQL-expressible
         "cosine_topk_ivf_pq",  # sampled PQ training — not SQL-expressible

@@ -244,3 +244,39 @@ class TestPQ:
         # 64-dim vectors make this the hardest regime; the composition
         # must still beat chance by far
         assert recall >= 0.3, f"IVF-PQ probed recall {recall:.3f}"
+
+
+class TestAnnJoin:
+    def test_ann_join_topk_recall_and_shape(self, spark, sf_dir):
+        """All-corpus ANN join: exactly-once (qid, nid) pairs, ranks
+        1..<=5 per query, exact reported cosines, and recall vs the
+        brute-force top-5 on the queries brute force covers."""
+        from pyspark.sql import functions as F
+
+        from xml_hive_spark.operators import all_queries
+
+        rows = all_queries()["ann_join_topk"].fn(spark, sf_dir).collect()
+        keys = [(r.qid, r.nid) for r in rows]
+        assert len(keys) == len(set(keys))
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.qid, []).append(r.rank)
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+        brute = all_queries()["cosine_topk_bruteforce"].fn(spark, sf_dir).collect()
+        truth = {}
+        exact_cos = {}
+        for r in brute:
+            truth.setdefault(r.qid, set()).add(r.nid)
+            exact_cos[(r.qid, r.nid)] = r.cos_sim
+        got = {q: {r.nid for r in rows if r.qid == q} for q in truth}
+        for r in rows:
+            if (r.qid, r.nid) in exact_cos:
+                assert abs(r.cos_sim - exact_cos[(r.qid, r.nid)]) < 1e-9
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        recall = hits / sum(len(v) for v in truth.values())
+        # banded LSH at B=12,r=3 on near-random vectors: collisions are
+        # rare by design for low-cosine neighbors; the join must still
+        # find a solid share of the exact top-5
+        assert recall >= 0.3, f"ann_join recall {recall:.3f}"

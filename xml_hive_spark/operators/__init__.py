@@ -66,6 +66,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # nanos layout produced via timestamp_micros
             raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
         return raw
+    if name == "embeddings":
+        # the driver has regenerated table layouts between rounds (events
+        # ns→us); keep the vector dtype pinned to array<float> so every
+        # similarity operator sees one layout
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import ArrayType, FloatType
+
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        et = raw.schema["embedding"].dataType
+        if isinstance(et, ArrayType) and not isinstance(et.elementType, FloatType):
+            raw = raw.withColumn(
+                "embedding", F.col("embedding").cast("array<float>")
+            )
+        return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -126,15 +140,16 @@ _DRIVER_WINDOW = [
     "streaming_window_counts",
     "streaming_stream_join",
     "streaming_sessionize",
-    # --- new in round 5 (7) ---
+    # --- new in round 5 (8) ---
     "cosine_topk_ivf_pq_probed",
+    "ann_join_topk",
     "xml_sql_ddl",
     "xml_scan_inferred",
     "xml_write_roundtrip",
     "xml_stream_scan",
     "doc_chunk_pack_pipeline",
     "streaming_stream_join_outer",
-    # --- regression canary: previously driver-green (27) ---
+    # --- regression canary: previously driver-green (26) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_priority_exists",
@@ -157,7 +172,6 @@ _DRIVER_WINDOW = [
     "agg_grouping_sets",
     "window_rank_topn",
     "window_running_sum",
-    "window_lag_lead",
     "window_moving_avg",
     "topk_orders",
     "string_functions",

@@ -516,9 +516,16 @@ def partial_topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     import pyarrow as pa
     from typing import Iterator
 
+    sel = scored.select("qid", "nid", "adc")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sel.schema.fields
+    )
+
     def fn(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         acc: dict = {}  # qid -> (adc desc-sorted np arrays, nid)
+        arrow_schema = None
         for batch in batches:
+            arrow_schema = batch.schema
             qid = batch.column("qid").to_numpy(zero_copy_only=False)
             nid = batch.column("nid").to_numpy(zero_copy_only=False)
             adc = batch.column("adc").to_numpy(zero_copy_only=False)
@@ -533,26 +540,29 @@ def partial_topk_per_query(scored: DataFrame, k: int) -> DataFrame:
                     a, nn = a[keep], nn[keep]
                 acc[q] = (a, nn)
         if acc:
+            # input dtypes pass through unchanged (qid may be int or long
+            # depending on the caller)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(
                         np.concatenate(
                             [np.full(len(v[0]), q) for q, v in acc.items()]
-                        ).astype("int32")
+                        ),
+                        type=arrow_schema.field(0).type,
                     ),
                     pa.array(
-                        np.concatenate([v[1] for v in acc.values()]).astype("int64")
+                        np.concatenate([v[1] for v in acc.values()]),
+                        type=arrow_schema.field(1).type,
                     ),
                     pa.array(
-                        np.concatenate([v[0] for v in acc.values()]).astype("float64")
+                        np.concatenate([v[0] for v in acc.values()]),
+                        type=arrow_schema.field(2).type,
                     ),
                 ],
                 names=["qid", "nid", "adc"],
             )
 
-    return scored.select("qid", "nid", "adc").mapInArrow(
-        fn, "qid int, nid long, adc double"
-    )
+    return sel.mapInArrow(fn, out_schema)
 
 
 @query("cosine_topk_ivf_pq", tags=("similarity", "ann", "pq"))
@@ -682,3 +692,45 @@ def cosine_topk_ivf_pq_probed(spark: SparkSession, sf: str) -> DataFrame:
     )
     scored = cand.select("qid", "nid", _adc_fold().alias("adc"))
     return _shortlist_rerank(scored, probed, emb)
+
+
+@query("ann_join_topk", tags=("similarity", "ann", "join"))
+def ann_join_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ALL-corpus approximate top-k similarity JOIN: every vector gets
+    its k=5 nearest neighbors — the batch shape of embedding-based
+    retrieval/semantic-dedup over a whole corpus, where "queries" are
+    the corpus itself (N queries, not a handful).
+
+    This is where the two-phase top-k earns its keep: candidate pairs
+    come from banded-LSH buckets (O(sum bucket^2), never all-pairs),
+    deduped across bands BEFORE scoring so each surviving pair pays the
+    dot product once, then ``partial_topk_per_query`` reduces each
+    partition to <= N x k rows with NO exchange before the single global
+    merge window — a per-query ranking window over the raw candidate
+    set would funnel every candidate of a query into one reducer.
+    Rows-only driver check (seeded projection planes); per-query recall
+    vs exact brute force on sampled queries in tests/test_similarity.py."""
+    emb = t(spark, sf, "embeddings")
+    sigs = banded_signatures(emb, "vec_id", "embedding")
+    cand = sigs.select("id", "vec", F.posexplode("sig").alias("band", "bucket"))
+    a = cand.select("band", "bucket", F.col("id").alias("qid"),
+                    F.col("vec").alias("qe"))
+    b = cand.select("band", "bucket", F.col("id").alias("nid"),
+                    F.col("vec").alias("ne"))
+    pairs = a.join(b, ["band", "bucket"]).filter(F.col("qid") != F.col("nid"))
+    # dedupe band collisions before the expensive cosine (directed pairs:
+    # each vector is a query)
+    uniq = pairs.groupBy("qid", "nid").agg(
+        F.first("qe").alias("qe"), F.first("ne").alias("ne")
+    )
+    cos = _dot(F.col("qe"), F.col("ne")) / (
+        _norm(F.col("qe")) * _norm(F.col("ne"))
+    )
+    scored = uniq.select("qid", "nid", cos.alias("adc"))
+    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), "nid")
+    return (
+        partial_topk_per_query(scored, 5)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", F.round("adc", 4).alias("cos_sim"), "rank")
+    )
