@@ -44,6 +44,7 @@ def test_registry_complete():
     rows_only = sorted(n for n, q in reg.items() if q.oracle is None)
     assert rows_only == [
         "agg_approx_distinct",
+        "agg_approx_percentiles",  # sketch internals; error bound pinned below
         "agg_percentiles_array",  # scalar quartiles are the oracled twin
         "ann_join_topk",  # seeded LSH planes; recall test in test_similarity
         "cosine_topk_ivf",
@@ -116,3 +117,21 @@ def test_multimodal_deterministic(spark, sf_dir):
     b = all_queries()["multimodal_decode_stub"].fn(spark, sf_dir).collect()
     assert a == b
     assert sum(r.n for r in a) > 0
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """approx_percentile(accuracy=10000) must land within a tight rank
+    neighborhood of the exact interpolated quartiles (driver checks rows
+    only; the sketch's accuracy contract is pinned here)."""
+    exact = {r.l_returnflag: r for r in
+             all_queries()["agg_percentiles"].fn(spark, sf_dir).collect()}
+    approx = {r.l_returnflag: r for r in
+              all_queries()["agg_approx_percentiles"].fn(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        for col in ("qty_p25", "qty_p50", "qty_p75"):
+            # quantity is integral 1..50: a 1e-4 rank error is < 1 unit
+            assert abs(getattr(a, col) - getattr(e, col)) <= 1.0, (flag, col)
+        # price spans ~1e5: allow a proportional neighborhood
+        assert abs(a.price_p90 - e.price_p90) / e.price_p90 < 0.01

@@ -700,3 +700,32 @@ def array_higher_order(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("agg_approx_percentiles", tags=("agg", "percentile", "sketch"))
+def agg_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """SKETCHED percentiles — the 100 TB swap for :func:`agg_percentiles`
+    the exact variant's docstring promises: ``approx_percentile`` keeps a
+    bounded quantile sketch per group (merges associatively map-side)
+    instead of buffering and sorting every value, so memory per group is
+    O(accuracy), not O(rows). accuracy=10000 → rank error ≤ 1/10000.
+    Rows-only driver check (sketch internals are engine-specific); the
+    error bound vs the exact quartiles is pinned in
+    tests/test_operators.py."""
+    li = t(spark, sf, "lineitem")
+    q = F.expr(
+        "approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), 10000)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.element_at(q, 1).alias("qty_p25"),
+            F.element_at(q, 2).alias("qty_p50"),
+            F.element_at(q, 3).alias("qty_p75"),
+            F.expr("approx_percentile(l_extendedprice, 0.9D, 10000)").alias(
+                "price_p90"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
