@@ -140,16 +140,17 @@ _DRIVER_WINDOW = [
     "streaming_window_counts",
     "streaming_stream_join",
     "streaming_sessionize",
-    # --- new in round 5 (8) ---
+    # --- new in round 5 (9) ---
     "cosine_topk_ivf_pq_probed",
     "ann_join_topk",
+    "agg_approx_percentiles",
     "xml_sql_ddl",
     "xml_scan_inferred",
     "xml_write_roundtrip",
     "xml_stream_scan",
     "doc_chunk_pack_pipeline",
     "streaming_stream_join_outer",
-    # --- regression canary: previously driver-green (26) ---
+    # --- regression canary: previously driver-green (25) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_priority_exists",
@@ -168,7 +169,6 @@ _DRIVER_WINDOW = [
     "agg_stats",
     "agg_distinct_count",
     "agg_rollup",
-    "agg_cube",
     "agg_grouping_sets",
     "window_rank_topn",
     "window_running_sum",
