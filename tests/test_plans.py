@@ -187,3 +187,15 @@ def test_partial_topk_no_exchange_before_arrow(spark, sf_dir):
     assert "Exchange hashpartitioning" not in below
     assert "Exchange rangepartitioning" not in below
     assert "Exchange SinglePartition" not in below
+
+
+def test_ann_join_no_allpairs(spark, sf_dir):
+    """The all-corpus ANN join must get its candidates from the
+    (band, bucket) equi-join — never a cartesian/nested-loop all-pairs —
+    and run the partial top-k without a shuffle of its own (the
+    exchanges in the plan are the bucket join, the cross-band dedupe,
+    and the global merge — all bounded by candidate count, not N^2)."""
+    plan = plan_of(spark, sf_dir, "ann_join_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInArrow" in plan
