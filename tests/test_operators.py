@@ -45,7 +45,6 @@ def test_registry_complete():
     assert rows_only == [
         "agg_approx_distinct",
         "agg_approx_percentiles",  # sketch internals; error bound pinned below
-        "agg_percentiles_array",  # scalar quartiles are the oracled twin
         "ann_join_topk",  # seeded LSH planes; recall test in test_similarity
         "cosine_topk_ivf",
         "cosine_topk_ivf_kmeans",  # iterative Lloyd's — not SQL-expressible
@@ -117,6 +116,23 @@ def test_multimodal_deterministic(spark, sf_dir):
     b = all_queries()["multimodal_decode_stub"].fn(spark, sf_dir).collect()
     assert a == b
     assert sum(r.n for r in a) > 0
+
+
+def test_percentiles_array_matches_scalar_twin(spark, sf_dir):
+    """The JSON-serialized quartile array must decode to exactly the
+    scalar twin's values (same percentile definition, one sort)."""
+    import json
+
+    scalar = {r.l_returnflag: r for r in
+              all_queries()["agg_percentiles"].fn(spark, sf_dir).collect()}
+    arr = {r.l_returnflag: r for r in
+           all_queries()["agg_percentiles_array"].fn(spark, sf_dir).collect()}
+    assert set(scalar) == set(arr)
+    for flag, s in scalar.items():
+        a = arr[flag]
+        assert json.loads(a.qty_quartiles) == [s.qty_p25, s.qty_p50, s.qty_p75]
+        assert a.price_p90 == s.price_p90
+        assert a.n == s.n
 
 
 def test_approx_percentile_error_bound(spark, sf_dir):

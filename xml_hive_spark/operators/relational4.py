@@ -450,18 +450,35 @@ def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("agg_percentiles_array", tags=("agg", "percentile"))
+@query(
+    "agg_percentiles_array",
+    oracle="""
+SELECT l_returnflag,
+       to_json(quantile_cont(l_quantity, [0.25, 0.5, 0.75])) AS qty_quartiles,
+       quantile_cont(l_extendedprice, 0.9) AS price_p90,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("agg", "percentile"),
+)
 def agg_percentiles_array(spark: SparkSession, sf: str) -> DataFrame:
     """Array-returning twin of :func:`agg_percentiles` — the natural
-    Spark surface (``percentile(col, array(...))`` → ``array<double>``),
-    kept rows-only because the driver canonicalizer can't hash list
-    cells. Equality with the scalar variant is pinned in pytest."""
+    Spark surface (``percentile(col, array(...))`` → ``array<double>``).
+    The quartile array is serialized with ``to_json`` into one STRING
+    column (the driver's pandas-based canonicalizer cannot hash raw list
+    cells — r5's only red row), which also unlocks a full DuckDB value
+    oracle via ``to_json(quantile_cont(col, [...]))``.  Both engines
+    JSON-render these interpolated quartiles (small magnitudes, .25-step
+    fractions — exact in binary, no scientific notation) byte-identically.
+    Equality with the scalar variant is pinned in pytest."""
     li = t(spark, sf, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.expr(
-                "percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"
+            F.to_json(
+                F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
             ).alias("qty_quartiles"),
             F.expr("percentile(l_extendedprice, 0.9D)").alias("price_p90"),
             F.count(F.lit(1)).alias("n"),
