@@ -199,3 +199,19 @@ def test_ann_join_no_allpairs(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInArrow" in plan
+
+
+def test_ann_join_candidate_phase_ids_only(spark, sf_dir):
+    """The band self-join and cross-band dedupe must shuffle (qid, nid)
+    ids only (~16 B/row); the 64-float vectors (~512 B each) are joined
+    back once per SURVIVING pair. Pin: the HashAggregate pair that
+    implements the distinct dedupe keys on (qid, nid) alone — no
+    embedding/vector column in its grouping or output."""
+    plan = plan_of(spark, sf_dir, "ann_join_topk")
+    dedup_lines = [
+        l for l in plan.splitlines()
+        if "HashAggregate" in l and "qid" in l and "nid" in l
+    ]
+    assert dedup_lines, plan
+    for l in dedup_lines:
+        assert "embedding" not in l and "qe" not in l and "ne" not in l, l

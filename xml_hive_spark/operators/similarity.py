@@ -708,20 +708,32 @@ def ann_join_topk(spark: SparkSession, sf: str) -> DataFrame:
     partition to <= N x k rows with NO exchange before the single global
     merge window — a per-query ranking window over the raw candidate
     set would funnel every candidate of a query into one reducer.
+
+    The candidate phase moves IDS ONLY: the band self-join and the
+    cross-band dedupe shuffle (qid, nid) rows (~16 B), and the two
+    64-float vectors (~512 B) are joined back exactly once per SURVIVING
+    pair for the cosine — at 100 TB the candidate shuffles are the
+    dominant network cost and this keeps them ~30x slimmer than carrying
+    the vectors through (plan-pinned: no vector column below the dedupe
+    exchange, tests/test_plans.py).
     Rows-only driver check (seeded projection planes); per-query recall
     vs exact brute force on sampled queries in tests/test_similarity.py."""
     emb = t(spark, sf, "embeddings")
     sigs = banded_signatures(emb, "vec_id", "embedding")
-    cand = sigs.select("id", "vec", F.posexplode("sig").alias("band", "bucket"))
-    a = cand.select("band", "bucket", F.col("id").alias("qid"),
-                    F.col("vec").alias("qe"))
-    b = cand.select("band", "bucket", F.col("id").alias("nid"),
-                    F.col("vec").alias("ne"))
+    cand = sigs.select("id", F.posexplode("sig").alias("band", "bucket"))
+    a = cand.select("band", "bucket", F.col("id").alias("qid"))
+    b = cand.select("band", "bucket", F.col("id").alias("nid"))
     pairs = a.join(b, ["band", "bucket"]).filter(F.col("qid") != F.col("nid"))
     # dedupe band collisions before the expensive cosine (directed pairs:
-    # each vector is a query)
-    uniq = pairs.groupBy("qid", "nid").agg(
-        F.first("qe").alias("qe"), F.first("ne").alias("ne")
+    # each vector is a query) — still ids-only
+    uniq = pairs.select("qid", "nid").distinct()
+    vecs = emb.select("vec_id", "embedding")
+    uniq = uniq.join(
+        vecs.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")),
+        "qid",
+    ).join(
+        vecs.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne")),
+        "nid",
     )
     cos = _dot(F.col("qe"), F.col("ne")) / (
         _norm(F.col("qe")) * _norm(F.col("ne"))
