@@ -469,23 +469,26 @@ def train_pq_codebooks(
 
 
 def pq_encode(df: DataFrame, vec_col: str, books) -> DataFrame:
-    """Add ``codes`` (array<int>, M entries of 0..K-1): nearest codeword
-    per subspace of the L2-normalized vector. 16 codes replace 256 bytes
-    of floats — the compression that lets a 100 TB corpus's index live
-    in memory (production packs them into binary; int array keeps the
-    demo inspectable)."""
+    """Add ``codes`` (BINARY, M/2 = 8 bytes): nearest codeword per
+    subspace of the L2-normalized vector, two 4-bit codes nibble-packed
+    per byte (code m is hex digit m of ``hex(codes)`` — high nibble
+    first, so the ADC fold unpacks with one substring per code, all
+    JVM-side). 8 bytes replace 256 bytes of floats — 32x, the
+    compression that lets a 100 TB corpus's index live in memory; vs the
+    earlier ``array<int>`` encoding (16 ints + array header ≈ 80+ B
+    serialized) the packed binary also cuts index shuffle bytes ~8x."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     sub = books.shape[2]
 
-    @pandas_udf("array<int>")
+    @pandas_udf("binary")
     def enc(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="object")
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        out = np.empty((len(x), _PQ_M), dtype=np.int32)
+        out = np.empty((len(x), _PQ_M), dtype=np.uint8)
         for m in range(_PQ_M):
             xs = x[:, m * sub : (m + 1) * sub]
             # ||xs - cb||² argmin via the expanded form: one matmul
@@ -493,7 +496,8 @@ def pq_encode(df: DataFrame, vec_col: str, books) -> DataFrame:
                 books[m] ** 2
             ).sum(1)[None, :]
             out[:, m] = d.argmin(axis=1)
-        return pd.Series([row.tolist() for row in out])
+        packed = (out[:, 0::2] << 4) | out[:, 1::2]  # (n, M/2) bytes
+        return pd.Series([row.tobytes() for row in packed])
 
     return df.withColumn("codes", enc(F.col(vec_col)))
 
@@ -588,11 +592,13 @@ def cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     SQL-expressible); recall vs brute force in tests/test_similarity.py."""
     emb = t(spark, sf, "embeddings")
     books = train_pq_codebooks(emb)
-    coded = pq_encode(emb.select("vec_id", "embedding"), "embedding", books)
+    coded = _with_hex_codes(
+        pq_encode(emb.select("vec_id", "embedding"), "embedding", books)
+    )
     probed = _adc_tables(spark, emb, books)
 
     cand = probed.drop("qe").crossJoin(
-        coded.select(F.col("vec_id").alias("nid"), F.col("codes"))
+        coded.select(F.col("vec_id").alias("nid"), "hx")
     ).filter(F.col("qid") != F.col("nid"))
     scored = cand.select("qid", "nid", _adc_fold().alias("adc"))
     return _shortlist_rerank(scored, probed, emb)
@@ -621,12 +627,26 @@ def _adc_tables(spark: SparkSession, emb: DataFrame, books) -> DataFrame:
 
 
 def _adc_fold():
-    """Fold over the M codes: acc + tbl[m*K + codes[m]] (1-based
-    element_at). Built lazily — F.expr needs an active session."""
+    """Fold over the M nibble-packed codes: acc + tbl[m*K + code_m].
+    ``hex(codes)`` renders the 8-byte binary as 16 hex digits with
+    code m at digit m (pq_encode packs high-nibble-first to guarantee
+    this), so unpacking is substring + conv — JVM built-ins inside
+    whole-stage codegen, no Python and no binary-indexing UDF. Built
+    lazily — F.expr needs an active session."""
     return F.expr(
         f"aggregate(sequence(0, {_PQ_M - 1}), 0D,"
-        f" (acc, m) -> acc + element_at(tbl, m * {_PQ_K} + element_at(codes, m + 1) + 1))"
+        f" (acc, m) -> acc + element_at(tbl, m * {_PQ_K}"
+        f" + CAST(conv(substring(hx, m + 1, 1), 16, 10) AS INT) + 1))"
     )
+
+
+def _with_hex_codes(df: DataFrame) -> DataFrame:
+    """Project ``hx = hex(codes)`` once per row before ADC scoring —
+    lambda bodies of higher-order functions are evaluated interpreted
+    per element, so hex() inside the fold would run M times per row.
+    Projected BEFORE the candidate join, it's computed once per corpus
+    vector, not once per (query, vector) pair."""
+    return df.withColumn("hx", F.hex("codes"))
 
 
 def _shortlist_rerank(scored: DataFrame, probed: DataFrame,
@@ -670,8 +690,8 @@ def cosine_topk_ivf_pq_probed(spark: SparkSession, sf: str) -> DataFrame:
     centroids = train_kmeans_centroids(emb, k=16, iters=3)
     assigned = kmeans_assign(emb.select("vec_id", "embedding"), "embedding", centroids)
     books = train_pq_codebooks(emb)
-    coded = pq_encode(assigned, "embedding", books).select(
-        F.col("vec_id").alias("nid"), "cluster", "codes"
+    coded = _with_hex_codes(pq_encode(assigned, "embedding", books)).select(
+        F.col("vec_id").alias("nid"), "cluster", "hx"
     )
 
     probed = _adc_tables(spark, emb, books)
