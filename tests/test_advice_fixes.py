@@ -141,3 +141,23 @@ class TestCsvNewlineRoundtrip:
             .csv(out)
         )
         assert sorted(back.collect()) == sorted(df.collect())
+
+
+class TestFileUriAuthority:
+    """ADVICE r5: file://host/path must not be misread as the relative
+    path 'host/path'; file:/p and file:///p resolve to /p."""
+
+    def test_triple_slash_and_single_slash(self, tmp_path):
+        from xml_hive_spark.reader import resolve_paths
+
+        f = tmp_path / "a.xml"
+        f.write_text("<r/>")
+        assert resolve_paths(f"file://{f}") == [str(f)]   # file:///tmp/.../a.xml
+        assert resolve_paths(f"file:{f}") == [str(f)]      # file:/tmp/.../a.xml
+        assert resolve_paths(f"file://localhost{f}") == [str(f)]
+
+    def test_foreign_authority_rejected(self):
+        from xml_hive_spark.reader import resolve_paths
+
+        with pytest.raises(ValueError, match="authority"):
+            resolve_paths("file://somehost/data/a.xml")

@@ -577,46 +577,21 @@ class FlatAssembler:
         """Arrow batches straight from the fused scan (the DataSource
         read path for flat schemas). Same batch contract as
         :meth:`batches`."""
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        aschema = to_arrow_schema(strip_metadata(self.struct))
-        atypes = [aschema.field(i).type for i in range(len(aschema))]
-        cols: list[list] = [[] for _ in range(self._n_fields)]
-        n = 0
-        for vals in self.iter_split_rows(split, row_tag):
-            if predicate is not None and not predicate(vals):
-                continue
-            for c, v in zip(cols, vals):
-                c.append(v)
-            n += 1
-            if n >= batch_rows:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(c, type=t) for c, t in zip(cols, atypes)],
-                    schema=aschema,
-                )
-                cols = [[] for _ in range(self._n_fields)]
-                n = 0
-        if n:
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(c, type=t) for c, t in zip(cols, atypes)],
-                schema=aschema,
-            )
+        yield from self._rows_to_batches(
+            self.iter_split_rows(split, row_tag), batch_rows, predicate
+        )
 
     # ------------------------------------------------------------- batching
 
-    def batches(self, record_iter, batch_rows: int = 32768, predicate=None):
-        """``record_iter`` yields record byte strings; yields
-        ``pyarrow.RecordBatch`` (schema = Spark's Arrow image of the
-        StructType, so the DataSource worker passes them through).
-
-        32k-row batches measured ~14% faster end-to-end than 8k on the
-        1 GiB bench (fewer pa.array calls + fewer worker→JVM frames);
-        memory per batch stays a few MB for flat scalar schemas.
+    def _rows_to_batches(self, rows, batch_rows: int, predicate):
+        """Shared tuple-iterator → ``pyarrow.RecordBatch`` accumulation
+        (schema = Spark's Arrow image of the StructType, so the
+        DataSource worker passes batches through) used by both
+        :meth:`batches` and :meth:`fused_split_batches`.
 
         ``predicate`` (pushed-filter conjunction, pushdown.py) is applied
-        to each extracted row tuple before it is appended — filtered
-        records never reach Arrow or the JVM."""
+        to each row tuple before it is appended — filtered records never
+        reach Arrow or the JVM."""
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -624,24 +599,7 @@ class FlatAssembler:
         atypes = [aschema.field(i).type for i in range(len(aschema))]
         cols: list[list] = [[] for _ in range(self._n_fields)]
         n = 0
-        fast_row = self.fast_row
-        # whole-record template: learned from the first few records that
-        # pass the flatness guards; extracts all fields in ONE fullmatch
-        # for the (dominant) uniform-layout case, rejects into the
-        # per-field path on any structural difference
-        tmpl: _Template | None = None
-        learn_budget = 8
-        for rec in record_iter:
-            vals = tmpl.extract(rec) if tmpl is not None else None
-            if vals is None:
-                vals = fast_row(rec)
-                if vals is not None and tmpl is None and learn_budget > 0:
-                    learn_budget -= 1
-                    tmpl = _Template.learn(rec, self.fields)
-            if vals is None:
-                vals = parse_record_safe(rec, self.struct, self.mode)
-                if vals is None:  # DROPMALFORMED
-                    continue
+        for vals in rows:
             if predicate is not None and not predicate(vals):
                 continue
             for c, v in zip(cols, vals):
@@ -659,3 +617,34 @@ class FlatAssembler:
                 [pa.array(c, type=t) for c, t in zip(cols, atypes)],
                 schema=aschema,
             )
+
+    def batches(self, record_iter, batch_rows: int = 32768, predicate=None):
+        """``record_iter`` yields record byte strings; yields
+        ``pyarrow.RecordBatch`` (see :meth:`_rows_to_batches`).
+
+        32k-row batches measured ~14% faster end-to-end than 8k on the
+        1 GiB bench (fewer pa.array calls + fewer worker→JVM frames);
+        memory per batch stays a few MB for flat scalar schemas."""
+
+        def rows():
+            fast_row = self.fast_row
+            # whole-record template: learned from the first few records
+            # that pass the flatness guards; extracts all fields in ONE
+            # fullmatch for the (dominant) uniform-layout case, rejects
+            # into the per-field path on any structural difference
+            tmpl: _Template | None = None
+            learn_budget = 8
+            for rec in record_iter:
+                vals = tmpl.extract(rec) if tmpl is not None else None
+                if vals is None:
+                    vals = fast_row(rec)
+                    if vals is not None and tmpl is None and learn_budget > 0:
+                        learn_budget -= 1
+                        tmpl = _Template.learn(rec, self.fields)
+                if vals is None:
+                    vals = parse_record_safe(rec, self.struct, self.mode)
+                    if vals is None:  # DROPMALFORMED
+                        continue
+                yield vals
+
+        yield from self._rows_to_batches(rows(), batch_rows, predicate)

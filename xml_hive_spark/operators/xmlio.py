@@ -19,6 +19,8 @@ from xml_hive_spark.operators import query
 
 _FIXTURE = Path(__file__).resolve().parent.parent.parent / "tests" / "fixtures" / "books"
 
+from xml_hive_spark.session import scratch_dir as _scratch
+
 
 @query("xml_scan_books", tags=("xml", "source"))
 def xml_scan_books(spark: SparkSession, sf: str) -> DataFrame:
@@ -132,8 +134,6 @@ def xml_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     via read_xml), and aggregated — DuckDB computes the identical
     aggregate from the original parquet, so any loss or corruption in
     either direction of the XML round-trip breaks the hash match."""
-    import tempfile
-
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from xml_hive_spark.reader import read_xml
@@ -142,7 +142,7 @@ def xml_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     from xml_hive_spark.operators import t
 
     nation = t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    out = tempfile.mkdtemp(prefix="xmlhive-roundtrip-") + "/nation_xml"
+    out = _scratch("roundtrip-") + "/nation_xml"
     write_xml(nation, out, row_tag="nation", root_tag="nations")
 
     schema = StructType(
@@ -182,7 +182,6 @@ def xml_stream_scan(spark: SparkSession, sf: str) -> DataFrame:
     (availableNow), and the aggregate must hash-match DuckDB over the
     original parquet. Executor-side split parsing — the landing-dir
     ingest shape for 100 TB/day XML feeds."""
-    import tempfile
     import uuid as _uuid
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -193,7 +192,7 @@ def xml_stream_scan(spark: SparkSession, sf: str) -> DataFrame:
 
     register_stream(spark)
     nation = t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    landing = tempfile.mkdtemp(prefix="xmlhive-landing-") + "/nation_xml"
+    landing = _scratch("landing-") + "/nation_xml"
     write_xml(nation.repartition(3), landing, row_tag="nation", root_tag="nations")
 
     schema = StructType(
@@ -215,7 +214,7 @@ def xml_stream_scan(spark: SparkSession, sf: str) -> DataFrame:
         stream.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="xmlhive-ckpt-"))
+        .option("checkpointLocation", _scratch("ckpt-"))
         .trigger(availableNow=True)
         .start()
     )

@@ -847,11 +847,19 @@ def resolve_paths(path: str | list[str]) -> list[str]:
     out: list[str] = []
     for pat in patterns:
         # the SQL catalog hands table locations back as file: URIs
-        # (CREATE TABLE ... USING xmlhive); accept both forms
-        if pat.startswith("file://"):
-            pat = pat[len("file://"):]
-        elif pat.startswith("file:"):
-            pat = pat[len("file:"):]
+        # (CREATE TABLE ... USING xmlhive); accept file:/p and
+        # file:///p. file://host/p carries an authority — 'host' is NOT
+        # part of the local path, so reject rather than misread it.
+        if pat.startswith("file:"):
+            rest = pat[len("file:"):]
+            if rest.startswith("//"):
+                netloc, sep, tail = rest[2:].partition("/")
+                if netloc not in ("", "localhost"):
+                    raise ValueError(
+                        f"file: URI with non-local authority {netloc!r}: {pat!r}"
+                    )
+                rest = sep + tail
+            pat = rest
         p = Path(pat)
         if p.is_dir():
             out += [str(c) for c in sorted(p.iterdir()) if c.suffix == ".xml"]

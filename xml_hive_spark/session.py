@@ -14,6 +14,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """Fresh directory under ONE per-process scratch root that is removed
+    at interpreter exit. Registry queries and streaming harnesses need
+    throwaway landing/checkpoint/output dirs per invocation; a bare
+    ``tempfile.mkdtemp`` per call leaks across repeated driver/bench runs
+    (ADVICE r5)."""
+    import tempfile
+
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="xmlhive-scratch-")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 def get_spark(
     app_name: str = "xml-hive-spark",
     cpus: int | None = None,

@@ -39,12 +39,12 @@ def avro_available(spark) -> bool:
     """The Avro source is an external Spark module (spark-avro jar);
     absent from this container's distribution. Probe by resolving the
     format on an empty write plan (cheap, no data movement)."""
-    import tempfile
+    from xml_hive_spark.session import scratch_dir
 
     try:
         spark.createDataFrame([], "a int").write.format("avro").mode(
             "overwrite"
-        ).save(tempfile.mkdtemp(prefix="avro-probe-") + "/p")
+        ).save(scratch_dir("avro-probe-") + "/p")
         return True
     except Exception:
         return False

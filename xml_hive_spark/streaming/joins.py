@@ -23,7 +23,7 @@ extension scope, like the rest of streaming/.
 
 from __future__ import annotations
 
-import tempfile
+from xml_hive_spark.session import scratch_dir
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,7 +79,7 @@ def run_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="xmlhive-ckpt-"))
+        .option("checkpointLocation", scratch_dir("ckpt-"))
         .trigger(availableNow=True)
         .start()
     )
@@ -136,7 +136,7 @@ def run_streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="xmlhive-ckpt-"))
+        .option("checkpointLocation", scratch_dir("ckpt-"))
         .trigger(availableNow=True)
         .start()
     )

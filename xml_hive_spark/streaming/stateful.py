@@ -21,7 +21,7 @@ prefix is asserted in tests/test_streaming.py.
 from __future__ import annotations
 
 import os
-import tempfile
+from xml_hive_spark.session import scratch_dir
 import uuid
 from typing import Any, Iterator, Tuple
 
@@ -148,7 +148,7 @@ def stage_ordered_event_files(
     landing dir already arrives in time order."""
     from xml_hive_spark.operators import t as load
 
-    out = tempfile.mkdtemp(prefix="xmlhive-sessions-")
+    out = scratch_dir("sessions-")
     # staged ts = unix MICROS as long (the stream schema reads it back
     # with timestamp_micros — parquet timestamp logical types would not
     # round-trip through the LongType stream schema)
@@ -208,7 +208,7 @@ def run_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="xmlhive-ckpt-"))
+        .option("checkpointLocation", scratch_dir("ckpt-"))
         .trigger(availableNow=True)
         .start()
     )

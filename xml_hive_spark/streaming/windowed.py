@@ -9,7 +9,7 @@ twin (``tumbling_window_agg``)."""
 
 from __future__ import annotations
 
-import tempfile
+from xml_hive_spark.session import scratch_dir
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,7 +67,7 @@ def run_streaming_event_counts(
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="xmlhive-ckpt-"))
+        .option("checkpointLocation", scratch_dir("ckpt-"))
         .trigger(availableNow=True)
         .start()
     )
@@ -105,7 +105,7 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="xmlhive-ckpt-"))
+        .option("checkpointLocation", scratch_dir("ckpt-"))
         .trigger(availableNow=True)
         .start()
     )
