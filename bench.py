@@ -39,6 +39,10 @@ HEADLINE = [
     # LLM-prep corpus transforms (round 2)
     "vocab_topk",
     "pack_sequences",
+    # ANN ladder cost tracking (round 6): the all-corpus top-k join and
+    # the composed IVF×PQ probe — the two production ANN shapes
+    "ann_join_topk",
+    "cosine_topk_ivf_pq_probed",
     # GB-scale XML source scan (1 GiB at sf0.1): the engine's raison
     # d'être — file generated once and cached under $TMPDIR/xmlhive_bench
     "xml_scan_bench",
