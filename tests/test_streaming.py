@@ -154,3 +154,47 @@ def test_stream_stream_outer_join_horizon_equality(spark, sf_dir):
     missing = expected - set(s_null)
     assert not missing, f"{len(missing)} provably-unmatched views never flushed"
     assert len(expected) > 0  # the harness actually exercises the flush
+
+
+def test_live_processing_time_trigger(spark, sf_dir):
+    """The windowed pipeline under a LIVE processing-time trigger (not an
+    availableNow drain): the query must produce at least one progress
+    event whose micro-batch read non-zero input rows, proving the
+    operators run under the latency shape production streams use. Bounded:
+    the file source finds the events file in its first micro-batch; we
+    poll recentProgress and stop as soon as rows are observed."""
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from xml_hive_spark.session import scratch_dir
+    from xml_hive_spark.streaming.windowed import streaming_events
+
+    ev = streaming_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"live_trigger_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", scratch_dir("ckpt-"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 25
+        rows_seen = 0
+        while time.monotonic() < deadline:
+            rows_seen = sum(p["numInputRows"] for p in q.recentProgress)
+            if rows_seen > 0:
+                break
+            time.sleep(0.25)
+        assert rows_seen > 0, "no micro-batch consumed rows under the live trigger"
+        assert q.isActive  # a live trigger keeps running, unlike availableNow
+    finally:
+        q.stop()
