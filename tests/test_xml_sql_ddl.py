@@ -49,6 +49,81 @@ def test_ddl_row_level_select(spark):
     ]
 
 
+class TestPersistentTableShim:
+    """xml_catalog recovers the reference's persistent-table UX over the
+    probed upstream gap (catalog drops Python DataSource options AND
+    TBLPROPERTIES at scan time)."""
+
+    OPTS = dict(
+        rowTag="book",
+        xsd=str(FIXTURE / "schema.xsd"),
+        sepTagType="bookType",
+        path=str(FIXTURE / "data.xml"),
+    )
+
+    def test_create_select_drop(self, spark):
+        from xml_hive_spark.sources.xml_catalog import (
+            create_xml_table,
+            drop_xml_table,
+        )
+
+        create_xml_table(spark, "books_persistent", **self.OPTS)
+        try:
+            # catalog entry exists with the XSD-resolved schema
+            assert spark.catalog.tableExists("books_persistent")
+            cols = [f.name for f in spark.table("books_persistent").schema.fields]
+            assert "author" in cols and "price" in cols
+            # plain SQL SELECT works (temp view shadows the broken scan)
+            n = spark.sql(
+                "SELECT count(*) AS n FROM books_persistent"
+            ).collect()[0].n
+            assert n == 3
+        finally:
+            drop_xml_table(spark, "books_persistent")
+        assert not spark.catalog.tableExists("books_persistent")
+
+    def test_reattach_after_new_session(self, spark):
+        """Simulate a fresh session: the temp view is gone but the catalog
+        table + sidecar survive; attach_xml_tables restores working reads."""
+        from xml_hive_spark.sources.xml_catalog import (
+            attach_xml_tables,
+            create_xml_table,
+            drop_xml_table,
+        )
+
+        create_xml_table(spark, "books_reattach", **self.OPTS)
+        try:
+            spark.catalog.dropTempView("books_reattach")
+            # without the view, the catalog scan is the pinned failure
+            with pytest.raises(Exception, match="rowTag|PYTHON_DATA_SOURCE"):
+                spark.sql("SELECT count(*) FROM books_reattach").collect()
+            attached = attach_xml_tables(spark)
+            assert "books_reattach" in attached
+            n = spark.sql(
+                "SELECT count(*) AS n FROM books_reattach"
+            ).collect()[0].n
+            assert n == 3
+        finally:
+            drop_xml_table(spark, "books_reattach")
+
+    def test_stale_sidecar_cleaned(self, spark):
+        from xml_hive_spark.sources.xml_catalog import (
+            _sidecar_dir,
+            attach_xml_tables,
+            create_xml_table,
+        )
+
+        create_xml_table(spark, "books_stale", **self.OPTS)
+        # drop the table behind the shim's back (view first — an
+        # unqualified DROP TABLE resolves to the shadowing view): attach
+        # must tidy the orphan sidecar, not re-create a ghost view
+        spark.catalog.dropTempView("books_stale")
+        spark.sql("DROP TABLE books_stale")
+        attached = attach_xml_tables(spark)
+        assert "books_stale" not in attached
+        assert not (_sidecar_dir(spark) / "books_stale.json").exists()
+
+
 def test_persistent_table_limitation_documented(spark):
     """Persistent `CREATE TABLE ... USING xmlhive` is accepted by the
     catalog (schema resolves via the XSD), but Spark re-instantiates the
