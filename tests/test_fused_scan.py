@@ -196,3 +196,118 @@ def test_fused_equals_span_path_property(tmp_path_factory, doc, data):
     want = _span_path_rows(asm, doc, "d", splits)
     got = _fused_rows(asm, tmp_path_factory.mktemp("fused"), doc, "d", splits)
     assert got == want
+
+
+# ------------------------- columnar batch path (Arrow-native conversion)
+
+
+def _int_schema():
+    from pyspark.sql.types import IntegerType
+
+    return StructType(
+        [
+            StructField("id", LongType(), True,
+                        metadata={"xmlKind": "attribute", "xmlName": "id"}),
+            StructField("cat", StringType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "cat"}),
+            StructField("val", IntegerType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "val"}),
+        ]
+    )
+
+
+def _tables(asm, tmp_path, data: bytes, row_tag: str, splits, batch_rows):
+    """(columnar table, row-path table) over the same splits."""
+    import pyarrow as pa
+
+    p = tmp_path / "doc.xml"
+    p.write_bytes(data)
+    new, old = [], []
+    for sp in splits:
+        full = (str(p), sp[1], sp[2]) + tuple(sp[3:])
+        new += list(asm.fused_split_batches(full, row_tag,
+                                            batch_rows=batch_rows))
+        old += list(asm._rows_to_batches(
+            asm.iter_split_rows(full, row_tag), batch_rows, None))
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from xml_hive_spark.flat import strip_metadata
+
+    aschema = to_arrow_schema(strip_metadata(asm.struct))
+    tn = pa.Table.from_batches(new, schema=aschema)
+    to_ = pa.Table.from_batches(old, schema=aschema)
+    return tn, to_
+
+
+# every row here drives a different columnar-safety decision: entities,
+# Python-only int forms (underscore, +, surrounding space), information
+# separators U+001C-001F in strings, byte-empty vs whitespace-empty,
+# markup/'<' inside an attribute value, invalid ints, invalid UTF-8,
+# decoy comments (exact-path rows stitched between template runs)
+ADVERSARIAL_DOC = (
+    b"<dataset>\n"
+    b'<rec id="1"><cat>plain</cat><val>10</val></rec>\n'
+    b'<rec id="2"><cat>a&amp;b</cat><val>1_1</val></rec>\n'
+    b'<rec id="3"><cat>c</cat><val>+7</val></rec>\n'
+    b'<rec id=" 12 "><cat>d</cat><val>&#49;2</val></rec>\n'
+    b'<!-- decoy <rec id="x"><val>9</val></rec> -->\n'
+    b'<rec id="4"><cat>\x1cpad\x1c</cat><val>13</val></rec>\n'
+    b'<rec id="5"><cat></cat><val>  </val></rec>\n'
+    b'<rec id="6"><cat>  </cat><val></val></rec>\n'
+    b'<rec id="a<b"><cat>e</cat><val>14</val></rec>\n'
+    b'<rec id="7"><cat>f</cat><val>abc</val></rec>\n'
+    b'<rec id="8"><cat>\xff\xfe</cat><val>15</val></rec>\n'
+    b'<rec id="9"><cat>tail</cat><val>16</val></rec>\n'
+    b"</dataset>\n"
+)
+
+
+def test_columnar_batches_equal_row_path_adversarial(tmp_path):
+    asm = FlatAssembler.try_create(_int_schema(), "PERMISSIVE")
+    assert asm._columnar_ok
+    splits = [("", 0, len(ADVERSARIAL_DOC), "TEXT", 0)]
+    for batch_rows in (3, 4, 32768):  # force mid-run flushes + stitching
+        tn, to_ = _tables(asm, tmp_path, ADVERSARIAL_DOC, "rec", splits,
+                          batch_rows)
+        assert tn.equals(to_), f"batch_rows={batch_rows}\n{tn.to_pylist()}\n{to_.to_pylist()}"
+    # sanity-pin a few row-path semantics the columnar path must match
+    rows = {r["cat"]: r for r in tn.to_pylist() if r["cat"] is not None}
+    assert rows["d"]["id"] == 12 and rows["d"]["val"] == 12
+    assert rows["a&b"]["val"] == 11      # Python int accepts 1_1
+    assert rows["pad"]["val"] == 13      # \x1c stripped from string
+    assert rows[""]["val"] is None       # "  " elem trims to "" / val None
+
+
+def test_columnar_batches_equal_row_path_clean_and_cuts(tmp_path):
+    """Pure-uniform doc (all-columnar path) under a cut sweep, plus the
+    guard document (every guard class) under DROPMALFORMED."""
+    recs = "\n".join(
+        f'<rec id="{i}"><cat>c{i % 5}</cat><val>{i * 3}</val></rec>'
+        for i in range(500)
+    )
+    data = ("<dataset>\n" + recs + "\n</dataset>").encode()
+    asm = FlatAssembler.try_create(_int_schema(), "PERMISSIVE")
+    n = len(data)
+    for fence in ({0, n}, {0, n // 2, n}, {0, 101, 1013, n}):
+        splits = _chained(data, "rec", sorted(fence))
+        tn, to_ = _tables(asm, tmp_path, data, "rec", splits, 128)
+        assert tn.equals(to_)
+        assert tn.num_rows == 500
+
+    for mode in ("PERMISSIVE", "DROPMALFORMED"):
+        asm2 = FlatAssembler.try_create(_schema(), mode)
+        splits = [("", 0, len(GUARD_DOC), "TEXT", 0)]
+        tn, to_ = _tables(asm2, tmp_path, GUARD_DOC, "rec", splits, 5)
+        assert tn.equals(to_), mode
+
+
+@settings(max_examples=60, deadline=None)
+@given(doc=_document(), data=st.data())
+def test_columnar_equals_row_path_property(tmp_path_factory, doc, data):
+    asm = FlatAssembler.try_create(_k_schema(), "PERMISSIVE")
+    c1 = data.draw(st.integers(1, max(1, len(doc) - 1)))
+    fence = sorted({0, c1, len(doc)})
+    splits = _chained(doc, "d", fence)
+    br = data.draw(st.sampled_from([2, 7, 32768]))
+    tn, to_ = _tables(asm, tmp_path_factory.mktemp("col"), doc, "d",
+                      splits, br)
+    assert tn.equals(to_)

@@ -292,6 +292,12 @@ class _Template:
         return tuple(vals)
 
 
+class _NeedRowPath(Exception):
+    """Columnar conversion met a construct whose semantics are defined
+    per-row (entities, exotic whitespace, cast failure, markup in an
+    attribute value) — the batch re-converts row-wise instead."""
+
+
 class FlatAssembler:
     """Regex field extractor + Arrow batch builder for one flat schema.
 
@@ -336,6 +342,17 @@ class FlatAssembler:
         self.mode = mode
         self.fields = fields
         self._n_fields = len(fields)
+        self._scan_tmpl: "_Template | None" = None
+        # columnar batch conversion covers string/int/float targets;
+        # bool/decimal/date keep the (rare) per-row path
+        self._columnar_ok = all(
+            isinstance(
+                f.dataType,
+                (StringType, IntegerType, LongType, ShortType, ByteType,
+                 FloatType, DoubleType),
+            )
+            for f in struct.fields
+        )
 
     # ------------------------------------------------------------ per record
 
@@ -419,10 +436,10 @@ class FlatAssembler:
         state = split[3] if len(split) > 3 else ST_TEXT
         depth = split[4] if len(split) > 4 else 0
         with open(path, "rb") as f:
-            yield from self._fused_rows(f, row_tag, a, b, state, depth)
+            yield from self._fused_scan(f, row_tag, a, b, state, depth)
 
-    def _fused_rows(self, f, row_tag: str, start: int, end: int,
-                    state: str, depth: int):
+    def _fused_scan(self, f, row_tag: str, start: int, end: int,
+                    state: str, depth: int, raw: bool = False):
         from xml_hive_spark.reader import (
             ST_TEXT,
             _Buf,
@@ -463,6 +480,9 @@ class FlatAssembler:
                 if vals is not None and tmpl is None and learn_budget > 0:
                     learn_budget -= 1
                     tmpl = _Template.learn(rec, self.fields)
+                    # the columnar sink reads the learned template to map
+                    # run-match captures back to schema fields
+                    self._scan_tmpl = tmpl
             if vals is None:
                 vals = parse_record_safe(rec, self.struct, self.mode)
             return vals
@@ -498,10 +518,24 @@ class FlatAssembler:
                         m = run_match(data, rel)
                         if m is None:
                             break
-                        vals = extract(m)
-                        if vals is None:
-                            break
-                        yield vals
+                        if raw:
+                            # columnar mode: capture values are extracted
+                            # EAGERLY (groups() copies out of the live
+                            # bytearray buffer — compaction mutates it in
+                            # place, so deferred reads would see shifted
+                            # content) but validated/converted by the
+                            # batch sink. Advancing is safe — the
+                            # anchored match consumed exactly one
+                            # well-formed record, the same bytes the
+                            # exact path would consume; a value the sink
+                            # later rejects re-reads [abs start, abs end)
+                            # from the file with identical row semantics.
+                            yield [m.groups(), base + rel, base + m.end()]
+                        else:
+                            vals = extract(m)
+                            if vals is None:
+                                break
+                            yield vals
                         rel = m.end()
                         advanced = True
                     if advanced:
@@ -576,9 +610,219 @@ class FlatAssembler:
                             batch_rows: int = 32768, predicate=None):
         """Arrow batches straight from the fused scan (the DataSource
         read path for flat schemas). Same batch contract as
-        :meth:`batches`."""
-        yield from self._rows_to_batches(
-            self.iter_split_rows(split, row_tag), batch_rows, predicate
+        :meth:`batches`.
+
+        With no pushed predicate and a string/int/float schema, run
+        captures are converted COLUMNAR (``_flush_columnar``): the hot
+        loop yields raw match objects and pyarrow compute does the
+        utf8-validate/trim/cast per column in C — per-row Python
+        conversion only runs for batches the bulk checks flag (entities,
+        information-separator whitespace, cast failures, '<' inside an
+        attribute value), keeping value semantics bit-identical to the
+        row path (equivalence property-tested in test_fused_scan.py)."""
+        if predicate is not None or not self._columnar_ok:
+            yield from self._rows_to_batches(
+                self.iter_split_rows(split, row_tag), batch_rows, predicate
+            )
+            return
+        yield from self._fused_batches_columnar(split, row_tag, batch_rows)
+
+    def _fused_batches_columnar(self, split: tuple, row_tag: str,
+                                batch_rows: int):
+        from xml_hive_spark.reader import ST_TEXT
+
+        path, a, b = split[0], split[1], split[2]
+        state = split[3] if len(split) > 3 else ST_TEXT
+        depth = split[4] if len(split) > 4 else 0
+        ms: list = []      # [captures, abs_start, abs_end] run items
+        exacts: list = []  # (row_idx_within_batch, value tuple)
+        n = 0
+        with open(path, "rb") as f:
+            for item in self._fused_scan(f, row_tag, a, b, state, depth,
+                                         raw=True):
+                if type(item) is tuple:
+                    exacts.append((n, item))
+                else:
+                    ms.append(item)
+                n += 1
+                if n >= batch_rows:
+                    yield self._flush_columnar(ms, exacts, n, path)
+                    ms, exacts, n = [], [], 0
+            if n:
+                yield self._flush_columnar(ms, exacts, n, path)
+
+    def _flush_columnar(self, ms: list, exacts: list, n: int, path: str):
+        import numpy as np
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        aschema = to_arrow_schema(strip_metadata(self.struct))
+        atypes = [aschema.field(i).type for i in range(len(aschema))]
+        idx_exact = np.fromiter(
+            (i for i, _ in exacts), dtype=np.int64, count=len(exacts)
+        )
+        try:
+            run_cols = self._convert_run_columns(ms, atypes)
+        except _NeedRowPath:
+            # something in this batch needs exact per-row semantics:
+            # convert run matches row-wise (with record re-parse fallback
+            # for rejected rows) and merge with the exact rows by index
+            run_global = np.setdiff1d(np.arange(n), idx_exact)
+            tuples = [
+                (int(run_global[j]), vals)
+                for j, vals in self._run_rows(ms, path)
+            ] + exacts
+            tuples.sort()
+            return self._tuples_to_batch(
+                [v for _, v in tuples], aschema, atypes
+            )
+
+        if not exacts:
+            return pa.RecordBatch.from_arrays(run_cols, schema=aschema)
+        # stitch: [run values..., exact values...] permuted into order
+        take = np.empty(n, dtype=np.int64)
+        is_exact = np.zeros(n, dtype=bool)
+        is_exact[idx_exact] = True
+        take[~is_exact] = np.arange(len(ms))
+        take[idx_exact] = len(ms) + np.arange(len(exacts))
+        take_arr = pa.array(take)
+        cols = []
+        for fi, (run_arr, t) in enumerate(zip(run_cols, atypes)):
+            exact_arr = pa.array([v[fi] for _, v in exacts], type=t)
+            cols.append(pa.concat_arrays([run_arr, exact_arr]).take(take_arr))
+        return pa.RecordBatch.from_arrays(cols, schema=aschema)
+
+    def _run_rows(self, ms: list, path: str):
+        """Per-row conversion of template run items — the exact-path
+        fallback for batches the columnar checks flag. Mirrors emit():
+        template-capture extraction first; a rejected row re-reads its
+        byte span from the file and goes through fast_row /
+        parse_record_safe exactly like the exact token path."""
+        out = []
+        fh = None
+        try:
+            for j, (groups_raw, a, b) in enumerate(ms):
+                vals = self._extract_from_groups(groups_raw)
+                if vals is None:
+                    if fh is None:
+                        fh = open(path, "rb")
+                    fh.seek(a)
+                    rec = fh.read(b - a)
+                    vals = self.fast_row(rec)
+                    if vals is None:
+                        vals = parse_record_safe(rec, self.struct, self.mode)
+                        if vals is None:  # DROPMALFORMED
+                            continue
+                out.append((j, vals))
+        finally:
+            if fh is not None:
+                fh.close()
+        return out
+
+    def _extract_from_groups(self, groups_raw) -> tuple | None:
+        """extract_match's value pipeline over already-copied capture
+        bytes (same None-reject contract; see _Template.extract_match)."""
+        tmpl = self._scan_tmpl
+        vals = list(tmpl.base_vals)
+        try:
+            for raw, (fi, conv, is_elem) in zip(groups_raw, tmpl.groups):
+                if is_elem and raw == b"":
+                    continue
+                if b"<" in raw:
+                    return None
+                vals[fi] = conv(
+                    raw.decode("utf-8") if b"&" not in raw else _decode(raw)
+                )
+        except (ValueError, ArithmeticError, UnicodeDecodeError):
+            return None
+        return tuple(vals)
+
+    def _convert_run_columns(self, ms: list, atypes: list):
+        """Bulk-convert run-match captures with pyarrow compute; raises
+        :class:`_NeedRowPath` whenever a bulk check cannot PROVE the
+        columnar result equals the per-row pipeline:
+
+        - any '&' (entity decode, stray-& rejection are per-row rules)
+        - invalid UTF-8 (per-row path raises into the record fallback)
+        - '<' inside an attribute capture (malformed-in-place markup —
+          element captures can't contain '<' by charclass construction)
+        - U+001C..U+001F in a string element (Python str.strip removes
+          the information separators; Arrow's White_Space does not)
+        - any failed numeric cast (Python int()/float() accept forms
+          Arrow rejects — underscores, surrounding space on attributes)
+
+        On the clean path the Arrow cast provably agrees with the Python
+        converters: ASCII digit/sign parsing for ints, strtod for floats
+        (float32 goes string→float64→float32, the same double-rounding
+        as the Python path), utf8 validation for strings."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        R = len(ms)
+        if R == 0:  # batch of exact-path rows only (e.g. pre-template)
+            return [pa.nulls(0, t) for t in atypes]
+        tmpl = self._scan_tmpl
+        covered = {}
+        for gi, (fi, _conv, is_elem) in enumerate(tmpl.groups):
+            covered[fi] = (gi, is_elem)
+        raw_cols = list(zip(*[it[0] for it in ms])) if ms else []
+        out: list = []
+        for fi in range(self._n_fields):
+            target = atypes[fi]
+            if fi not in covered:
+                out.append(pa.nulls(R, target))  # constant-absent field
+                continue
+            gi, is_elem = covered[fi]
+            arr = pa.array(list(raw_cols[gi]), type=pa.binary())
+            try:
+                s = arr.cast(pa.string())
+            except pa.ArrowInvalid:
+                raise _NeedRowPath
+            if pc.any(pc.match_substring(s, "&")).as_py():
+                raise _NeedRowPath
+            if not is_elem and pc.any(pc.match_substring(s, "<")).as_py():
+                raise _NeedRowPath
+            dtype = self.struct.fields[fi].dataType
+            if isinstance(dtype, StringType):
+                if is_elem:
+                    if pc.any(
+                        pc.match_substring_regex(s, "[\\x1c-\\x1f]")
+                    ).as_py():
+                        raise _NeedRowPath
+                    trimmed = pc.utf8_trim_whitespace(s)
+                    # ONLY a byte-empty capture is None (<e></e>/<e/>);
+                    # whitespace that trims to "" stays ""
+                    col = pc.if_else(
+                        pc.equal(arr, b""), pa.scalar(None, pa.string()),
+                        trimmed,
+                    )
+                else:
+                    col = s  # attribute values pass through untrimmed
+            else:
+                v = pc.utf8_trim_whitespace(s) if is_elem else s
+                masked = pc.if_else(
+                    pc.equal(v, ""), pa.scalar(None, pa.string()), v
+                )
+                try:
+                    if isinstance(dtype, FloatType):
+                        col = masked.cast(pa.float64()).cast(pa.float32())
+                    else:
+                        col = masked.cast(target)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    raise _NeedRowPath
+            out.append(col.cast(target) if col.type != target else col)
+        return out
+
+    def _tuples_to_batch(self, tuples: list, aschema, atypes):
+        import pyarrow as pa
+
+        cols: list[list] = [[] for _ in range(self._n_fields)]
+        for vals in tuples:
+            for c, v in zip(cols, vals):
+                c.append(v)
+        return pa.RecordBatch.from_arrays(
+            [pa.array(c, type=t) for c, t in zip(cols, atypes)],
+            schema=aschema,
         )
 
     # ------------------------------------------------------------- batching
