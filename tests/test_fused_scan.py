@@ -311,3 +311,109 @@ def test_columnar_equals_row_path_property(tmp_path_factory, doc, data):
     tn, to_ = _tables(asm, tmp_path_factory.mktemp("col"), doc, "d",
                       splits, br)
     assert tn.equals(to_)
+
+
+# ------------------- compiled per-template extractor (codegen row path)
+
+
+def _learn_tmpl(schema, sample: bytes):
+    from xml_hive_spark.flat import _Template
+
+    asm = FlatAssembler.try_create(schema, "PERMISSIVE")
+    tmpl = _Template.learn(sample, asm.fields)
+    assert tmpl is not None
+    return tmpl
+
+
+def _nan_eq(a, b):
+    """Tuple equality with NaN == NaN (floats compare by repr)."""
+    if a is None or b is None:
+        return a is b
+    return len(a) == len(b) and all(
+        x == y or (isinstance(x, float) and isinstance(y, float)
+                   and repr(x) == repr(y))
+        for x, y in zip(a, b)
+    )
+
+
+# capture-byte mutations spanning every branch of the pipeline: clean,
+# empty, whitespace-only, entities (incl. stray &), markup '<', invalid
+# UTF-8, Python-only int forms, non-numeric, info separators
+_CAPTURE_POOL = [
+    b"", b" ", b"  x  ", b"plain", b"a&amp;b", b"&#49;2", b"a&b",
+    b"bad<markup", b"\xff\xfe", b"1_1", b"+7", b" 12 ", b"abc",
+    b"\x1cpad\x1c", b"12.5", b"-3", b"true", b"false", b"TRUE", b"2",
+    b"2024-02-29", b"2024-13-01", b"1.25", b"nan",
+]
+
+
+def test_compiled_extractor_equals_generic_exhaustive():
+    """The codegen extractor (flat._compile_extractor) must be
+    observationally identical to the generic zip-over-groups loop for
+    every capture mutation, on both the inlined (str/int/float) and
+    closure-fallback (bool/decimal/date) converter kinds."""
+    import itertools
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        DecimalType,
+        IntegerType,
+    )
+
+    mixed = StructType(
+        [
+            StructField("id", LongType(), True,
+                        metadata={"xmlKind": "attribute", "xmlName": "id"}),
+            StructField("cat", StringType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "cat"}),
+            StructField("val", IntegerType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "val"}),
+            StructField("f", DoubleType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "f"}),
+        ]
+    )
+    other = StructType(
+        [
+            StructField("b", BooleanType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "b"}),
+            StructField("d", DateType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "d"}),
+            StructField("m", DecimalType(10, 2), True,
+                        metadata={"xmlKind": "attribute", "xmlName": "m"}),
+        ]
+    )
+    cases = [
+        (mixed, b'<rec id="1"><cat>c</cat><val>2</val><f>1.5</f></rec>'),
+        (other, b'<rec m="1.25"><b>true</b><d>2024-01-02</d></rec>'),
+    ]
+    for schema, sample in cases:
+        tmpl = _learn_tmpl(schema, sample)
+        n = len(tmpl.groups)
+        assert tmpl.extract_groups is not tmpl._extract_groups_generic
+        # all pool^2 pairs rotated through every group position
+        for combo in itertools.product(_CAPTURE_POOL, repeat=2):
+            for off in range(n):
+                caps = tuple(
+                    combo[(i + off) % 2] for i in range(n)
+                )
+                assert _nan_eq(tmpl.extract_groups(caps),
+                               tmpl._extract_groups_generic(caps)), \
+                    (schema, caps)
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.data())
+def test_compiled_extractor_equals_generic_property(data):
+    caps_strategy = st.one_of(
+        st.sampled_from(_CAPTURE_POOL),
+        st.binary(max_size=12).filter(lambda b: b"\x00" not in b),
+    )
+    tmpl = _learn_tmpl(
+        _int_schema(),
+        b'<rec id="1"><cat>c</cat><val>2</val></rec>',
+    )
+    n = len(tmpl.groups)
+    caps = tuple(data.draw(caps_strategy) for _ in range(n))
+    assert _nan_eq(tmpl.extract_groups(caps),
+                   tmpl._extract_groups_generic(caps))

@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    FloatType,
     IntegerType,
     StringType,
     StructField,
@@ -220,3 +221,228 @@ def test_date_typed_filters_compile_and_compare():
     q = compile_filter(In(("d",), (date(2024, 1, 1), date(2024, 1, 2))), sch)
     assert q((date(2024, 1, 2),)) is True
     assert q((date(2024, 3, 3),)) is False
+
+
+# ---------------------------------------------------- arrow mask compiler
+
+
+class TestArrowCompiler:
+    """compile_filter_arrow must be tri-valued-identical to
+    compile_filter on every cell: arrow null == row None, else equal."""
+
+    SCH = StructType(
+        [
+            StructField("i", IntegerType(), True),
+            StructField("s", StringType(), True),
+            StructField("d", DoubleType(), True),
+            StructField("f", FloatType(), True),
+        ]
+    )
+
+    # edge rows: nulls, NaN, float32-rounding pivot (0.1), empty string,
+    # unicode ordering, negative/zero ints
+    ROWS = [
+        (1, "alpha", 1.5, 0.1),
+        (None, None, None, None),
+        (0, "", float("nan"), float("nan")),
+        (-3, "é", 0.1, 2.5),
+        (7, "alphabet", -2.0, -0.1),
+        (2, "ALPHA", 0.30000000000000004, 0.3),
+    ]
+
+    def _batch(self):
+        import pyarrow as pa
+
+        return pa.record_batch(
+            {
+                "i": pa.array([r[0] for r in self.ROWS], pa.int32()),
+                "s": pa.array([r[1] for r in self.ROWS], pa.string()),
+                "d": pa.array([r[2] for r in self.ROWS], pa.float64()),
+                "f": pa.array([r[3] for r in self.ROWS], pa.float32()),
+            }
+        )
+
+    def _filters(self):
+        return [
+            EqualTo(("i",), 1),
+            GreaterThan(("i",), 0),
+            LessThanOrEqual(("i",), 0),
+            In(("i",), (1, 7)),
+            In(("i",), (1, None)),
+            Not(EqualTo(("i",), 1)),
+            IsNull(("i",)), IsNotNull(("i",)),
+            EqualNullSafe(("i",), None), EqualNullSafe(("i",), 1),
+            EqualTo(("s",), "alpha"),
+            GreaterThan(("s",), "alpha"),  # utf8 vs codepoint ordering
+            StringStartsWith(("s",), "al"),
+            StringEndsWith(("s",), "a"),
+            StringContains(("s",), "phab"),
+            EqualTo(("d",), 0.1),
+            GreaterThan(("d",), 0.0),   # NaN > 0.0 must be True
+            LessThanOrEqual(("d",), 0.1),
+            Not(GreaterThan(("d",), 0.0)),
+            GreaterThan(("f",), 0.1),   # f32(0.1) > 0.1d must be True
+            EqualNullSafe(("f",), 2.5),
+            EqualTo(("f",), 0.3),
+        ]
+
+    def test_cellwise_equivalence(self):
+        from xml_hive_spark.sources.pushdown import compile_filter_arrow
+
+        batch = self._batch()
+        # FloatType rows: the row predicate sees the PRE-cast float64
+        # value, so feed it what the arrow column actually stores —
+        # the same float32 — promoted back (this is what reaches the
+        # row path in production too, where values parse from text)
+        for flt in self._filters():
+            rp = compile_filter(flt, self.SCH)
+            am = compile_filter_arrow(flt, self.SCH)
+            assert rp is not None, flt
+            assert am is not None, flt
+            mask = am(self._batch()).to_pylist()
+            assert len(mask) == len(self.ROWS)
+            for ri, row in enumerate(self.ROWS):
+                want = rp(row)
+                got = mask[ri]
+                if want is None:
+                    assert got is None, (flt, ri, got)
+                else:
+                    assert got is want, (flt, ri, want, got)
+        assert batch.num_rows == len(self.ROWS)
+
+    def test_unsupported_shapes_fall_back(self):
+        from datetime import date
+
+        from pyspark.sql.types import BooleanType, DateType
+
+        from xml_hive_spark.sources.pushdown import (
+            compile_conjunction_arrow,
+            compile_filter_arrow,
+        )
+
+        dsch = StructType([StructField("d", DateType(), True),
+                           StructField("b", BooleanType(), True)])
+        assert compile_filter_arrow(
+            GreaterThan(("d",), date(2024, 1, 1)), dsch) is None
+        assert compile_filter_arrow(EqualTo(("b",), True), dsch) is None
+        # float set-membership keeps the row path
+        assert compile_filter_arrow(In(("f",), (0.1, 0.2)), self.SCH) is None
+        # int literal outside the column type's range
+        assert compile_filter_arrow(In(("i",), (1 << 40,)), self.SCH) is None
+        # one uncompilable filter poisons the whole conjunction
+        assert compile_conjunction_arrow(
+            [EqualTo(("i",), 1), In(("f",), (0.1,))], self.SCH) is None
+
+    def test_conjunction_mask_matches_row_conjunction(self):
+        from xml_hive_spark.sources.pushdown import compile_conjunction_arrow
+
+        flts = [GreaterThan(("i",), -5), Not(EqualTo(("s",), "ALPHA")),
+                LessThanOrEqual(("d",), 100.0)]
+        keep = compile_conjunction(
+            [compile_filter(f, self.SCH) for f in flts])
+        accept = compile_conjunction_arrow(flts, self.SCH)
+        mask = accept(self._batch()).to_pylist()
+        assert None not in mask  # acceptance mask is null-free
+        for ri, row in enumerate(self.ROWS):
+            assert mask[ri] is keep(row), (ri, row)
+
+
+def test_float32_rounding_matches_catalyst(spark, tmp_path):
+    """FloatType pushdown: text "0.1" parses to f64 0.1 but the column
+    stores f32(0.1) > 0.1d — Spark's post-scan filter keeps the row, so
+    the pushed filter must too (both the row predicate, via _f32
+    rounding, and the arrow mask, via native f32 promotion)."""
+    from pyspark.sql.types import FloatType as FT
+
+    from xml_hive_spark.reader import read_xml
+
+    sch = StructType(
+        [
+            StructField("id", IntegerType(), True,
+                        metadata={"xmlKind": "attribute", "xmlName": "id"}),
+            StructField("v", FT(), True,
+                        metadata={"xmlKind": "element", "xmlName": "v"}),
+        ]
+    )
+    p = tmp_path / "f32.xml"
+    p.write_bytes(
+        b"<r>"
+        b'<row id="1"><v>0.1</v></row>'
+        b'<row id="2"><v>0.2</v></row>'
+        b'<row id="3"><v></v></row>'
+        b"</r>"
+    )
+    xml = read_xml(spark, str(p), "row", schema=sch)
+    pq = str(tmp_path / "f32.parquet")
+    xml.write.mode("overwrite").parquet(pq)
+    oracle = spark.read.parquet(pq)
+    for cond in [F.col("v") > 0.1, F.col("v") <= 0.1, F.col("v") == 0.2,
+                 F.col("v").eqNullSafe(0.2)]:
+        got = sorted(r["id"] for r in xml.filter(cond).collect())
+        want = sorted(r["id"] for r in oracle.filter(cond).collect())
+        assert got == want, (cond, got, want)
+
+
+def test_columnar_filtered_equals_row_filtered(tmp_path):
+    """fused_split_batches(arrow_predicate=...) must yield exactly the
+    rows of the row path with the equivalent tri-valued predicate —
+    including on batches the columnar bulk checks punt to per-row
+    conversion (entities, bad casts)."""
+    import pyarrow as pa
+
+    from xml_hive_spark.flat import FlatAssembler
+    from xml_hive_spark.sources.pushdown import (
+        compile_conjunction,
+        compile_conjunction_arrow,
+    )
+
+    recs = []
+    for i in range(800):
+        name = ["alpha", "beta", "a&amp;b", "", "x" * (i % 5)][i % 5]
+        score = ["1.5", "", "nan", "2.25", str(i)][i % 5]
+        recs.append(
+            f'<row id="{i}"><name>{name}</name><score>{score}</score></row>'
+        )
+    data = ("<cat>\n" + "\n".join(recs) + "\n</cat>").encode()
+    p = tmp_path / "d.xml"
+    p.write_bytes(data)
+    sch = StructType(
+        [
+            StructField("id", IntegerType(), True,
+                        metadata={"xmlKind": "attribute", "xmlName": "id"}),
+            StructField("name", StringType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "name"}),
+            StructField("score", DoubleType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "score"}),
+        ]
+    )
+    asm = FlatAssembler.try_create(sch, "PERMISSIVE")
+    split = (str(p), 0, len(data), "TEXT", 0)
+    cases = [
+        [GreaterThan(("id",), 100), StringStartsWith(("name",), "a")],
+        [GreaterThan(("score",), 1.0)],          # NaN rows must survive
+        [Not(EqualTo(("name",), "alpha"))],
+        [IsNull(("score",)), LessThanOrEqual(("id",), 700)],
+    ]
+    for flts in cases:
+        keep = compile_conjunction([compile_filter(f, sch) for f in flts])
+        accept = compile_conjunction_arrow(flts, sch)
+        assert accept is not None, flts
+        col = list(asm.fused_split_batches(split, "row", batch_rows=64,
+                                           predicate=keep,
+                                           arrow_predicate=accept))
+        row = list(asm.fused_split_batches(split, "row", batch_rows=64,
+                                           predicate=keep))
+        def canon(tables):
+            import math
+
+            out = []
+            for t in tables:
+                for r in t.to_pylist():
+                    out.append(tuple(
+                        "NaN" if isinstance(v, float) and math.isnan(v)
+                        else v for v in r.values()
+                    ))
+            return out
+
+        assert canon(col) == canon(row), flts

@@ -109,9 +109,19 @@ def _decode(raw: bytes) -> str:
 
 
 def _scalar_converter(dtype, trim: bool):
-    """Text → typed value closures, bit-compatible with reader._coerce."""
+    """Text → typed value closures, bit-compatible with reader._coerce.
+
+    Converters carry ``_ckind`` / ``_ctrim`` tags so the per-template
+    compiled extractor (:func:`_compile_extractor`) can inline the
+    str/int/float hot cases instead of making a closure call per field."""
+
+    def tag(conv, kind):
+        conv._ckind = kind
+        conv._ctrim = trim
+        return conv
+
     if isinstance(dtype, StringType):
-        return (lambda t: t.strip()) if trim else (lambda t: t)
+        return tag((lambda t: t.strip()) if trim else (lambda t: t), "str")
 
     def wrap(core):
         def conv(t: str):
@@ -123,9 +133,9 @@ def _scalar_converter(dtype, trim: bool):
         return conv
 
     if isinstance(dtype, (IntegerType, LongType, ShortType, ByteType)):
-        return wrap(int)
+        return tag(wrap(int), "int")
     if isinstance(dtype, (FloatType, DoubleType)):
-        return wrap(float)
+        return tag(wrap(float), "float")
     if isinstance(dtype, BooleanType):
 
         def to_bool(t: str):
@@ -136,12 +146,67 @@ def _scalar_converter(dtype, trim: bool):
                 return False
             raise ValueError(f"not a boolean: {t!r}")
 
-        return wrap(to_bool)
+        return tag(wrap(to_bool), "other")
     if isinstance(dtype, DecimalType):
-        return wrap(Decimal)
+        return tag(wrap(Decimal), "other")
     if isinstance(dtype, DateType):
-        return wrap(date.fromisoformat)
+        return tag(wrap(date.fromisoformat), "other")
     return None  # not fast-path eligible (timestamp tz semantics, etc.)
+
+
+def _compile_extractor(groups, n_fields: int):
+    """Compile a specialized capture-tuple → row-tuple closure for one
+    learned template (SCALE.md "specialized per-template row extractor").
+
+    Semantics are EXACTLY ``_Template._extract_groups_generic`` — the
+    zip-over-groups loop unrolled into straight-line code with each
+    field's converter bound once, and the str/int/float converters
+    (tagged by :func:`_scalar_converter`) inlined — strip / empty→None
+    / int()/float() happen without a closure call per field. The
+    ``b"<" in raw`` guard stays for EVERY capture (element charclasses
+    make it unreachable from a real match, but the compiled function
+    must equal the generic loop on all inputs, not just
+    match-reachable ones).
+
+    Equivalence with the generic loop is pinned property-style in
+    tests/test_fused_scan.py.
+    """
+    ns = {"_dec": _decode}
+    L = ["def _ex(g):", "    try:"]
+    out = ["None"] * n_fields
+    for j, (fi, conv, is_elem) in enumerate(groups):
+        out[fi] = f"v{fi}"
+        dec = 'r.decode("utf-8") if b"&" not in r else _dec(r)'
+        kind = getattr(conv, "_ckind", None)
+        trim = getattr(conv, "_ctrim", False)
+        L.append(f"        r = g[{j}]")
+        if is_elem:
+            # <e></e>: ElementTree text is None, regardless of dtype
+            L.append("        if r == b'':")
+            L.append(f"            v{fi} = None")
+            L.append("        else:")
+            L.append('            if b"<" in r:')
+            L.append("                return None")
+            ind = "            "
+        else:
+            L.append('        if b"<" in r:')
+            L.append("            return None")
+            ind = "        "
+        if kind == "str":
+            expr = f"({dec}).strip()" if trim else f"({dec})"
+            L.append(f"{ind}v{fi} = {expr}")
+        elif kind in ("int", "float"):
+            t = f"({dec}).strip()" if trim else f"({dec})"
+            L.append(f"{ind}t = {t}")
+            L.append(f"{ind}v{fi} = {kind}(t) if t else None")
+        else:
+            ns[f"c{j}"] = conv
+            L.append(f"{ind}v{fi} = c{j}({dec})")
+    L.append(f"        return ({', '.join(out)}{',' if n_fields == 1 else ''})")
+    L.append("    except (ValueError, ArithmeticError, UnicodeDecodeError):")
+    L.append("        return None")
+    exec("\n".join(L), ns)  # noqa: S102 — source built only from literals
+    return ns["_ex"]
 
 
 class _Template:
@@ -161,7 +226,7 @@ class _Template:
     go through the same converters and entity handling as ``fast_row``.
     """
 
-    __slots__ = ("rx", "rx_run", "base_vals", "groups")
+    __slots__ = ("rx", "rx_run", "base_vals", "groups", "extract_groups")
 
     @classmethod
     def learn(cls, sample: bytes, fields) -> "_Template | None":
@@ -263,22 +328,31 @@ class _Template:
         self.rx_run = rx_run
         self.base_vals = base_vals
         self.groups = groups
+        try:
+            self.extract_groups = _compile_extractor(groups, len(fields))
+        except Exception:  # pragma: no cover — codegen is literal-driven
+            self.extract_groups = self._extract_groups_generic
         return self
 
     def extract(self, rec: bytes) -> tuple | None:
         m = self.rx.fullmatch(rec)
         if m is None:
             return None
-        return self.extract_match(m)
+        return self.extract_groups(m.groups())
 
     def extract_match(self, m: "re.Match") -> tuple | None:
         """Values from an already-anchored template match (the fused scan
         matches the template against the split buffer in place — no
         record slice, no fullmatch; see FlatAssembler.iter_split_rows)."""
+        return self.extract_groups(m.groups())
+
+    def _extract_groups_generic(self, groups_raw) -> tuple | None:
+        """Reference implementation of the capture→row pipeline; the
+        compiled ``extract_groups`` must be observationally identical
+        (pinned in tests/test_fused_scan.py)."""
         vals = list(self.base_vals)
         try:
-            # one C call for every capture (vs a .group(i) call per field)
-            for raw, (fi, conv, is_elem) in zip(m.groups(), self.groups):
+            for raw, (fi, conv, is_elem) in zip(groups_raw, self.groups):
                 if is_elem and raw == b"":
                     continue  # <e></e>: ElementTree text is None
                 if b"<" in raw:
@@ -506,7 +580,7 @@ class FlatAssembler:
                     # hot loop: one anchored match per record; the run
                     # pattern also consumes the inter-record whitespace
                     run_match = tmpl.rx_run.match
-                    extract = tmpl.extract_match
+                    extract = tmpl.extract_groups
                     rel = pos - base
                     lo_guard = (avail - LOOKAHEAD) - base if not buf.eof \
                         else len(data)
@@ -532,7 +606,7 @@ class FlatAssembler:
                             # from the file with identical row semantics.
                             yield [m.groups(), base + rel, base + m.end()]
                         else:
-                            vals = extract(m)
+                            vals = extract(m.groups())
                             if vals is None:
                                 break
                             yield vals
@@ -607,25 +681,41 @@ class FlatAssembler:
                 buf.compact(pos)
 
     def fused_split_batches(self, split: tuple, row_tag: str,
-                            batch_rows: int = 32768, predicate=None):
+                            batch_rows: int = 32768, predicate=None,
+                            arrow_predicate=None):
         """Arrow batches straight from the fused scan (the DataSource
         read path for flat schemas). Same batch contract as
         :meth:`batches`.
 
-        With no pushed predicate and a string/int/float schema, run
-        captures are converted COLUMNAR (``_flush_columnar``): the hot
-        loop yields raw match objects and pyarrow compute does the
-        utf8-validate/trim/cast per column in C — per-row Python
-        conversion only runs for batches the bulk checks flag (entities,
-        information-separator whitespace, cast failures, '<' inside an
-        attribute value), keeping value semantics bit-identical to the
-        row path (equivalence property-tested in test_fused_scan.py)."""
-        if predicate is not None or not self._columnar_ok:
-            yield from self._rows_to_batches(
-                self.iter_split_rows(split, row_tag), batch_rows, predicate
-            )
+        With a string/int/float schema, run captures are converted
+        COLUMNAR (``_flush_columnar``): the hot loop yields raw match
+        objects and pyarrow compute does the utf8-validate/trim/cast per
+        column in C — per-row Python conversion only runs for batches
+        the bulk checks flag (entities, information-separator
+        whitespace, cast failures, '<' inside an attribute value),
+        keeping value semantics bit-identical to the row path
+        (equivalence property-tested in test_fused_scan.py).
+
+        Pushed predicates keep the columnar kernel when they have an
+        arrow compilation (``pushdown.compile_conjunction_arrow``): each
+        converted batch is filtered with one vectorized Kleene mask.
+        Only when a pushed filter has NO arrow twin (bool/decimal/date
+        columns, float set-membership) does the scan drop to the row
+        path with the tri-valued Python ``predicate``."""
+        if self._columnar_ok and (predicate is None
+                                  or arrow_predicate is not None):
+            it = self._fused_batches_columnar(split, row_tag, batch_rows)
+            if predicate is None:
+                yield from it
+                return
+            for batch in it:
+                kept = batch.filter(arrow_predicate(batch))
+                if kept.num_rows:
+                    yield kept
             return
-        yield from self._fused_batches_columnar(split, row_tag, batch_rows)
+        yield from self._rows_to_batches(
+            self.iter_split_rows(split, row_tag), batch_rows, predicate
+        )
 
     def _fused_batches_columnar(self, split: tuple, row_tag: str,
                                 batch_rows: int):
@@ -721,21 +811,8 @@ class FlatAssembler:
 
     def _extract_from_groups(self, groups_raw) -> tuple | None:
         """extract_match's value pipeline over already-copied capture
-        bytes (same None-reject contract; see _Template.extract_match)."""
-        tmpl = self._scan_tmpl
-        vals = list(tmpl.base_vals)
-        try:
-            for raw, (fi, conv, is_elem) in zip(groups_raw, tmpl.groups):
-                if is_elem and raw == b"":
-                    continue
-                if b"<" in raw:
-                    return None
-                vals[fi] = conv(
-                    raw.decode("utf-8") if b"&" not in raw else _decode(raw)
-                )
-        except (ValueError, ArithmeticError, UnicodeDecodeError):
-            return None
-        return tuple(vals)
+        bytes (same None-reject contract; see _Template.extract_groups)."""
+        return self._scan_tmpl.extract_groups(groups_raw)
 
     def _convert_run_columns(self, ms: list, atypes: list):
         """Bulk-convert run-match captures with pyarrow compute; raises

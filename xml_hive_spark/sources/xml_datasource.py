@@ -119,6 +119,7 @@ class XmlHiveReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self._schema = schema
         self._pushed = []  # compiled tri-valued predicates (pushdown.py)
+        self._pushed_raw = []  # the accepted Filter objects themselves
         self._row_tag = _opt(options, "rowTag", "rowtag")
         if not self._row_tag:
             raise ValueError("xmlhive: rowTag option is required")
@@ -155,6 +156,7 @@ class XmlHiveReader(DataSourceReader):
                 unsupported.append(f)
             else:
                 self._pushed.append(pred)
+                self._pushed_raw.append(f)
         return unsupported
 
     def partitions(self):
@@ -180,15 +182,25 @@ class XmlHiveReader(DataSourceReader):
         # Arrow RecordBatches straight through the DataSource worker;
         # nested schemas yield tuples (worker converts per value)
         from xml_hive_spark.flat import FlatAssembler
-        from xml_hive_spark.sources.pushdown import compile_conjunction
+        from xml_hive_spark.sources.pushdown import (
+            compile_conjunction,
+            compile_conjunction_arrow,
+        )
 
         keep = compile_conjunction(self._pushed)
         asm = FlatAssembler.try_create(self._schema, self._mode)
         if asm is not None:
             # fused scan: template matched against the split buffer in
-            # place — no per-record slice/fullmatch on uniform runs
+            # place — no per-record slice/fullmatch on uniform runs.
+            # Pushed filters ride the columnar kernel as one vectorized
+            # Kleene mask per batch when every filter arrow-compiles.
+            arrow_keep = (
+                compile_conjunction_arrow(self._pushed_raw, self._schema)
+                if keep is not None else None
+            )
             yield from asm.fused_split_batches(
-                split, self._row_tag, predicate=keep
+                split, self._row_tag, predicate=keep,
+                arrow_predicate=arrow_keep,
             )
         elif keep is None:
             yield from _read_split(split, self._row_tag, self._schema, self._mode)
