@@ -345,12 +345,18 @@ def train_kmeans_centroids(
     """Distributed Lloyd's iterations for the IVF coarse quantizer.
 
     Init: the k vectors with the smallest seeded xxhash64 of their id —
-    deterministic, sample-free, one TakeOrdered. Each iteration is one
-    assignment pass (Arrow matmul) + one per-dimension mean hash-agg
-    (posexplode → groupBy(cluster, pos) → avg); only the k×dim centroid
-    matrix ever reaches the driver — the MLlib k-means communication
-    pattern. Returns a numpy (k, dim) matrix."""
+    deterministic, sample-free, one TakeOrdered. Each iteration is ONE
+    fused mapInArrow pass: every partition assigns its vectors (numpy
+    matmul) and emits k partial rows (cluster, count, sum[dim]) — the
+    classic map-side-combine k-means step, so only P×k×dim partials
+    cross the wire and only the k×dim centroid matrix reaches the
+    driver (the MLlib communication pattern). Replaces an earlier
+    posexplode → groupBy(cluster, pos) mean, which shuffled N×dim
+    exploded rows per iteration — at 100 TB that shuffle IS the
+    training cost; partials make it O(P·k·dim), independent of N.
+    Returns a numpy (k, dim) matrix."""
     import numpy as np
+    import pyarrow as pa
 
     first = (
         emb.select(vec_col, F.xxhash64(F.col("vec_id"), F.lit(seed)).alias("h"))
@@ -359,17 +365,54 @@ def train_kmeans_centroids(
         .collect()
     )
     centroids = np.stack([np.asarray(r[0], dtype=np.float64) for r in first])
-    for _ in range(iters):
-        assigned = kmeans_assign(emb.select("vec_id", vec_col), vec_col, centroids)
-        rows = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("c"))
-            .collect()
+    vecs = emb.select(vec_col)
+
+    def partials_for(cents):
+        cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
         )
-        nxt = centroids.copy()  # empty clusters keep their previous centroid
+
+        def fn(batches):
+            sums = np.zeros((k, dim))
+            cnts = np.zeros(k, dtype=np.int64)
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                col = batch.column(0)
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                if len(flat) == batch.num_rows * dim and col.null_count == 0:
+                    m = flat.astype(np.float64).reshape(-1, dim)
+                else:  # ragged/null rows: exact slow path
+                    m = np.stack([
+                        np.asarray(v, dtype=np.float64)
+                        for v in col.to_pylist()
+                    ])
+                mn = m / np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+                )
+                a = np.argmax(mn @ cn.T, axis=1)
+                np.add.at(sums, a, m)  # means are over RAW values
+                cnts += np.bincount(a, minlength=k)
+            yield pa.record_batch(
+                {
+                    "cluster": pa.array(range(k), pa.int32()),
+                    "cnt": pa.array(cnts, pa.int64()),
+                    "s": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        return vecs.mapInArrow(fn, "cluster int, cnt long, s array<double>")
+
+    for _ in range(iters):
+        rows = partials_for(centroids).collect()
+        sums = np.zeros((k, dim))
+        cnts = np.zeros(k, dtype=np.int64)
         for r in rows:
-            nxt[r.cluster][r.pos] = r.c
+            sums[r.cluster] += np.asarray(r.s)
+            cnts[r.cluster] += r.cnt
+        nxt = centroids.copy()  # empty clusters keep their previous centroid
+        nz = cnts > 0
+        nxt[nz] = sums[nz] / cnts[nz, None]
         centroids = nxt
     return centroids
 
