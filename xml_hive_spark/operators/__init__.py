@@ -115,13 +115,14 @@ _LOADED = False
 
 # Driver-window rotation (round 6). The verify driver snapshots correctness
 # for only the FIRST 50 registry entries (dict order); after r5 all 129
-# registry entries have appeared in some round's snapshot, so rotation now
-# targets FRESHNESS: re-check oracled queries whose last driver row is
-# oldest (and therefore ran under the oldest code). This window =
-# 21 oracled queries last checked r1/r2 + agg_percentiles_array (newly
-# oracled via to_json after its r5 canonicalizer red) + 22 oracled queries
-# last checked r4 (TPC-H refresh set, grouping_id/window frames,
-# pivot/unpivot, variant, storage round-trips) + 6 r5-green canaries
+# then-existing registry entries had appeared in some round's snapshot, so
+# rotation now targets FRESHNESS: re-check oracled queries whose last
+# driver row is oldest (and therefore ran under the oldest code). This
+# window = 21 oracled queries last checked r1/r2 + agg_percentiles_array
+# (newly oracled via to_json after its r5 canonicalizer red) + 22 oracled
+# queries last checked r4 (TPC-H refresh set, grouping_id/window frames,
+# pivot/unpivot, variant, storage round-trips) + multimodal_png_codec
+# (NEW this round, full pixel-checksum oracle) + 5 r5-green canaries
 # spanning operator families. Still outside after this round (next
 # rotation): the r4-checked time-series five, text five, and LLM text-prep
 # entries — covered meanwhile by the identical local gate
@@ -174,12 +175,13 @@ _DRIVER_WINDOW = [
     "partitioned_write_roundtrip",
     "csv_roundtrip",
     "json_roundtrip",
-    # --- regression canary: r5 hash-green (6) ---
+    # --- NEW this round: real-PNG round trip, pixel-checksum oracle ---
+    "multimodal_png_codec",
+    # --- regression canary: r5 hash-green (5) ---
     "q1_pricing_summary",
     "q5_local_supplier_volume",
     "join_broadcast_dims",
     "agg_rollup",
-    "window_rank_topn",
     "xml_write_roundtrip",
 ]
 

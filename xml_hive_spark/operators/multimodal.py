@@ -5,10 +5,12 @@ metadata; decode / feature-extract run as Arrow-batched ``mapInPandas``
 stages. The decode kernel is a REAL, dependency-free container parser:
 PNG IHDR / JPEG SOFn / GIF logical-screen-descriptor headers read with
 ``struct`` — it reports correct dimensions for any real file of those
-formats. Only codec *decompression* (zlib-filtered IDAT, DCT) is out of
-scope; the synthetic corpus therefore stores raw 8-bit grayscale pixel
-planes after a valid header (``synth_media``), so resize / frame-sample
-pool and sample genuine pixels at genuine parsed dimensions. Swapping
+formats. PNG codec *decompression* is now REAL too (``png.py``: zlib
+IDAT inflate + all five scanline unfilters, value-oracled end-to-end in
+``multimodal_png_codec``); JPEG DCT / GIF LZW remain out of scope, so
+for those formats the synthetic corpus stores raw 8-bit grayscale pixel
+planes after a valid header (``synth_media``), and resize / frame-sample
+pool genuine pixels at genuine parsed dimensions. Swapping
 ``_pixel_planes`` for a PIL/ffmpeg call changes nothing outside it.
 """
 
@@ -239,6 +241,97 @@ def binary_column_stats(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("byte_len")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def synth_png_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode one REAL compressed PNG per row (``png.png_encode``:
+    IHDR + deflated IDAT + CRCs, per-scanline filter cycle 0..4).
+    Dimensions and pixels are pure functions of the id — w = 8 + id%9,
+    h = 8 + (3·id)%7, px[i] = (id·2654435761 + i·40503) mod 256 — so a
+    SQL oracle can recompute pixel checksums without a codec."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xml_hive_spark.operators.png import png_encode
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 8 + did % 9, 8 + (did * 3) % 7
+                i = np.arange(w * h, dtype=np.int64)
+                px = ((did * 2654435761 + i * 40503) % 256).astype(np.uint8)
+                ids.append(did)
+                payloads.append(png_encode(px.reshape(h, w)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def decode_png_stage(df: DataFrame, id_col: str = "doc_id",
+                     bin_col: str = "payload") -> DataFrame:
+    """Full PNG decode per row (``png.png_decode``: chunk walk + CRC
+    verify + zlib inflate + scanline unfilter) emitting dimensions and
+    two pixel checksums — px_sum (order-invariant) and px_dot
+    (Σ i·px[i], order-SENSITIVE: a decoder that shuffles, drops, or
+    mis-unfilters any pixel changes it)."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xml_hive_spark.operators.png import png_decode
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "px_sum": [], "px_dot": []}
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                img = png_decode(bytes(payload))
+                px = img.reshape(-1).astype(np.int64)
+                i = np.arange(len(px), dtype=np.int64)
+                out["doc_id"].append(int(did))
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["px_sum"].append(int(px.sum()))
+                out["px_dot"].append(int((i * px).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema="doc_id long, width int, height int, px_sum long, px_dot long",
+    )
+
+
+@query(
+    "multimodal_png_codec",
+    oracle="""
+SELECT d.doc_id,
+       CAST(8 + d.doc_id % 9 AS INT) AS width,
+       CAST(8 + (d.doc_id * 3) % 7 AS INT) AS height,
+       SUM((d.doc_id * 2654435761 + t.i * 40503) % 256) AS px_sum,
+       SUM(t.i * ((d.doc_id * 2654435761 + t.i * 40503) % 256)) AS px_dot
+FROM documents d
+CROSS JOIN range(0, 224) t(i)  -- 224 = max w*h = 16*14
+WHERE t.i < (8 + d.doc_id % 9) * (8 + (d.doc_id * 3) % 7)
+GROUP BY d.doc_id
+""",
+    tags=("multimodal", "png", "codec"),
+)
+def multimodal_png_codec(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL PNG round trip, distributed, with a full SQL value oracle:
+    encode one spec-compliant compressed PNG per document (deflated
+    IDAT, filter cycle over all five scanline filters), decode it back
+    (chunk walk, CRC verify, inflate, unfilter), and emit pixel
+    checksums. Because the pixels are a pure (doc_id, i) formula,
+    DuckDB recomputes the exact order-sensitive checksum WITHOUT any
+    codec — the oracle fails if one pixel of one row is wrong, so the
+    whole codec chain (both directions) is value-checked by the
+    driver's hash gate, not just row-counted.
+
+    The reference has no multimodal tier (BASELINE.md north_star:
+    beyond-reference LLM-pipeline surface); codec decompression was
+    round 5's one documented multimodal swap point — closed here for
+    PNG with the stdlib (zlib) only."""
+    docs = t(spark, sf, "documents").select("doc_id")
+    return decode_png_stage(synth_png_stage(docs))
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_checksum long, frame_bytes int"
