@@ -417,3 +417,47 @@ def test_compiled_extractor_equals_generic_property(data):
     caps = tuple(data.draw(caps_strategy) for _ in range(n))
     assert _nan_eq(tmpl.extract_groups(caps),
                    tmpl._extract_groups_generic(caps))
+
+
+def test_run_pattern_absorbs_complete_comments():
+    """rx_run must consume inter-record comments (so decoy comments
+    don't break template runs) while end_group still marks the RECORD
+    end for exact re-reads; incomplete comments are left alone."""
+    tmpl = _learn_tmpl(
+        _int_schema(),
+        b'<rec id="1"><cat>c</cat><val>2</val></rec>',
+    )
+    rec = b'<rec id="9"><cat>x</cat><val>7</val></rec>'
+    tail = b'  <!-- decoy <rec id="ok"/> --> <!-- two -->\n'
+    m = tmpl.rx_run.match(rec + tail + b"<next>")
+    assert m is not None
+    assert m.end(tmpl.end_group) == len(rec)     # record span excludes tail
+    assert m.end() == len(rec) + len(tail)       # comments + ws absorbed
+    # incomplete comment: not absorbed, match stops at the record
+    m2 = tmpl.rx_run.match(rec + b" <!-- unterminated ")
+    assert m2 is not None
+    assert m2.end() == len(rec) + 1              # just the whitespace
+    # values unaffected by the extra anchor group in groups()
+    assert tmpl.extract_groups(m.groups()) == (9, "x", 7)
+
+
+def test_fused_equals_span_with_heavy_comments(tmp_path):
+    """Uniform records separated by comment decoys at every gap — the
+    absorbed-comment run must produce exactly the span-path rows under
+    a full set of cut positions."""
+    parts = ["<ds>"]
+    for i in range(120):
+        parts.append(f'<rec id="{i}"><cat>c{i%3}</cat><val>{i}</val></rec>')
+        if i % 2 == 0:
+            parts.append(f'<!-- decoy {i} <rec id="x{i}"/> -->')
+    parts.append("</ds>")
+    data = "\n".join(parts).encode()
+    asm = FlatAssembler.try_create(_int_schema(), "PERMISSIVE")
+    n = len(data)
+    for fence in ({0, n}, {0, n // 3, 2 * n // 3, n}, {0, 97, 911, n}):
+        splits = _chained(data, "rec", sorted(fence))
+        want = _span_path_rows(asm, data, "rec", splits)
+        got = _fused_rows(asm, tmp_path, data, "rec", splits)
+        assert got == want and len(got) == 120
+        tn, to_ = _tables(asm, tmp_path, data, "rec", splits, 16)
+        assert tn.equals(to_)

@@ -226,7 +226,8 @@ class _Template:
     go through the same converters and entity handling as ``fast_row``.
     """
 
-    __slots__ = ("rx", "rx_run", "base_vals", "groups", "extract_groups")
+    __slots__ = ("rx", "rx_run", "base_vals", "groups", "extract_groups",
+                 "end_group")
 
     @classmethod
     def learn(cls, sample: bytes, fields) -> "_Template | None":
@@ -318,9 +319,21 @@ class _Template:
         try:
             rx = re.compile(bytes(pat))
             # run form for the fused scan: also consumes the whitespace
-            # separating this record from the next, so the hot loop is one
-            # match per record with no separate gap skip
-            rx_run = re.compile(bytes(pat) + b"[ \t\r\n]*")
+            # separating this record from the next AND any complete
+            # inter-record comments, so decoy comments no longer break a
+            # uniform run into exact-token steps. The empty group ()
+            # marks where the RECORD ends (group len(groups)+1): the
+            # columnar raw path re-reads [start, record_end) on
+            # rejection, and absorbed comments must not be part of that
+            # span. An incomplete comment (terminator beyond the
+            # buffered window) simply isn't absorbed — the optional
+            # group matches zero comments and the next anchored record
+            # match fails into the exact machinery, which handles
+            # refills.
+            rx_run = re.compile(
+                bytes(pat) + b"()(?:[ \t\r\n]*<!--.*?-->)*[ \t\r\n]*",
+                re.DOTALL,
+            )
         except re.error:
             return None
         self = cls.__new__(cls)
@@ -328,6 +341,7 @@ class _Template:
         self.rx_run = rx_run
         self.base_vals = base_vals
         self.groups = groups
+        self.end_group = len(groups) + 1  # the () record-end anchor
         try:
             self.extract_groups = _compile_extractor(groups, len(fields))
         except Exception:  # pragma: no cover — codegen is literal-driven
@@ -579,8 +593,10 @@ class FlatAssembler:
                 if tmpl is not None:
                     # hot loop: one anchored match per record; the run
                     # pattern also consumes the inter-record whitespace
+                    # and complete comments (record ends at end_group)
                     run_match = tmpl.rx_run.match
                     extract = tmpl.extract_groups
+                    end_group = tmpl.end_group
                     rel = pos - base
                     lo_guard = (avail - LOOKAHEAD) - base if not buf.eof \
                         else len(data)
@@ -604,7 +620,8 @@ class FlatAssembler:
                             # exact path would consume; a value the sink
                             # later rejects re-reads [abs start, abs end)
                             # from the file with identical row semantics.
-                            yield [m.groups(), base + rel, base + m.end()]
+                            yield [m.groups(), base + rel,
+                                   base + m.end(end_group)]
                         else:
                             vals = extract(m.groups())
                             if vals is None:

@@ -334,6 +334,100 @@ def multimodal_png_codec(spark: SparkSession, sf: str) -> DataFrame:
     return decode_png_stage(synth_png_stage(docs))
 
 
+def synth_wav_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode one REAL PCM WAV per row (``wav.wav_encode``: RIFF walk
+    material — fmt chunk, an odd-sized junk chunk forcing word-aligned
+    chunk skipping, int16 interleaved data). Frames/channels/rate and
+    samples are pure functions of the id: frames = 64 + id%97,
+    ch = 1 + id%2, rate = 8000 + (id%5)·4000,
+    s[k] = ((id·48271 + k·12345) mod 65536) − 32768 over interleaved
+    index k — so a SQL oracle recomputes sample checksums codec-free."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xml_hive_spark.operators.wav import wav_encode
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                frames, ch = 64 + did % 97, 1 + did % 2
+                rate = 8000 + (did % 5) * 4000
+                k = np.arange(frames * ch, dtype=np.int64)
+                s = ((did * 48271 + k * 12345) % 65536 - 32768).astype(
+                    np.int16
+                )
+                ids.append(did)
+                payloads.append(
+                    wav_encode(s.reshape(frames, ch), rate, 16)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def decode_wav_stage(df: DataFrame, id_col: str = "doc_id",
+                     bin_col: str = "payload") -> DataFrame:
+    """Full WAV decode per row (``wav.wav_decode``) emitting shape,
+    rate, and two sample checksums over the interleaved stream —
+    s_sum (order-invariant) and s_dot (Σ k·s[k], order-sensitive: any
+    dropped, swapped, or mis-parsed sample changes it)."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xml_hive_spark.operators.wav import wav_decode
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "channels": [],
+                   "sample_rate": [], "s_sum": [], "s_dot": []}
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                a, rate = wav_decode(bytes(payload))
+                s = a.reshape(-1).astype(np.int64)
+                k = np.arange(len(s), dtype=np.int64)
+                out["doc_id"].append(int(did))
+                out["n_frames"].append(a.shape[0])
+                out["channels"].append(a.shape[1])
+                out["sample_rate"].append(int(rate))
+                out["s_sum"].append(int(s.sum()))
+                out["s_dot"].append(int((k * s).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=("doc_id long, n_frames int, channels int, "
+                "sample_rate int, s_sum long, s_dot long"),
+    )
+
+
+@query(
+    "multimodal_wav_codec",
+    oracle="""
+SELECT d.doc_id,
+       CAST(64 + d.doc_id % 97 AS INT) AS n_frames,
+       CAST(1 + d.doc_id % 2 AS INT) AS channels,
+       CAST(8000 + (d.doc_id % 5) * 4000 AS INT) AS sample_rate,
+       SUM((d.doc_id * 48271 + t.k * 12345) % 65536 - 32768) AS s_sum,
+       SUM(t.k * ((d.doc_id * 48271 + t.k * 12345) % 65536 - 32768)) AS s_dot
+FROM documents d
+CROSS JOIN range(0, 320) t(k)  -- 320 = max frames*ch = 160*2
+WHERE t.k < (64 + d.doc_id % 97) * (1 + d.doc_id % 2)
+GROUP BY d.doc_id
+""",
+    tags=("multimodal", "audio", "wav", "codec"),
+)
+def multimodal_wav_codec(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL PCM-WAV round trip for the AUDIO modality, distributed,
+    with a full SQL value oracle (same design as
+    ``multimodal_png_codec``): encode one spec-compliant WAV per
+    document — fmt chunk, junk-chunk word alignment, interleaved int16
+    frames — decode it back with the RIFF chunk walk, and emit
+    order-sensitive sample checksums that DuckDB recomputes from the
+    (doc_id, k) formula without any codec. The driver's hash gate
+    value-checks the full audio codec chain."""
+    docs = t(spark, sf, "documents").select("doc_id")
+    return decode_wav_stage(synth_wav_stage(docs))
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_checksum long, frame_bytes int"
 
 
