@@ -121,9 +121,9 @@ _LOADED = False
 # window = 21 oracled queries last checked r1/r2 + agg_percentiles_array
 # (newly oracled via to_json after its r5 canonicalizer red) + 22 oracled
 # queries last checked r4 (TPC-H refresh set, grouping_id/window frames,
-# pivot/unpivot, variant, storage round-trips) + multimodal_png_codec and
-# multimodal_wav_codec (NEW this round, full checksum oracles) + 4
-# r5-green canaries spanning operator families. Still outside after this round (next
+# pivot/unpivot, variant, storage round-trips) + the three NEW codec
+# round-trip queries (multimodal_{png,wav,gif}_codec, full checksum
+# oracles) + 3 r5-green canaries spanning operator families. Still outside after this round (next
 # rotation): the r4-checked time-series five, text five, and LLM text-prep
 # entries — covered meanwhile by the identical local gate
 # (tools/verify_local.py). Tally: README "Correctness rotation".
@@ -175,13 +175,14 @@ _DRIVER_WINDOW = [
     "partitioned_write_roundtrip",
     "csv_roundtrip",
     "json_roundtrip",
-    # --- NEW this round: real PNG/WAV round trips, checksum oracles ---
+    # --- NEW this round: real PNG/WAV/GIF round trips, checksum oracles ---
     "multimodal_png_codec",
     "multimodal_wav_codec",
-    # --- regression canary: r5 hash-green (4) ---
+    "multimodal_gif_codec",
+    # --- regression canary: r5 hash-green (3; q5 also covers the
+    # broadcast-join shape) ---
     "q1_pricing_summary",
     "q5_local_supplier_volume",
-    "join_broadcast_dims",
     "xml_write_roundtrip",
 ]
 

@@ -428,6 +428,107 @@ def multimodal_wav_codec(spark: SparkSession, sf: str) -> DataFrame:
     return decode_wav_stage(synth_wav_stage(docs))
 
 
+def synth_gif_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode one REAL GIF89a per row (``gif.gif_encode``: logical
+    screen descriptor, global color table, NETSCAPE extension block,
+    LZW-compressed index stream). Shape, palette, and pixels are pure
+    functions of the id: w = 6 + id%11, h = 6 + (5·id)%9,
+    k = 2 + id%15 colors, idx[i] = (id·7919 + i·104729) mod k,
+    pal[c][ch] = (id·31 + c·37 + ch·101) mod 256."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xml_hive_spark.operators.gif import gif_encode
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h, k = 6 + did % 11, 6 + (did * 5) % 9, 2 + did % 15
+                i = np.arange(w * h, dtype=np.int64)
+                idx = ((did * 7919 + i * 104729) % k).astype(np.uint8)
+                c = np.arange(k)[:, None]
+                ch = np.arange(3)[None, :]
+                pal = ((did * 31 + c * 37 + ch * 101) % 256).astype(np.uint8)
+                ids.append(did)
+                payloads.append(
+                    gif_encode(idx.reshape(h, w), pal, loop_ext=True)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def decode_gif_stage(df: DataFrame, id_col: str = "doc_id",
+                     bin_col: str = "payload") -> DataFrame:
+    """Full GIF decode per row (``gif.gif_decode``: container walk,
+    extension skipping, LZW decompression) emitting dimensions, color
+    count, order-sensitive index checksums, and a palette checksum."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xml_hive_spark.operators.gif import gif_decode
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "n_colors": [],
+                   "idx_sum": [], "idx_dot": [], "pal_sum": []}
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                did = int(did)
+                idx, pal = gif_decode(bytes(payload))
+                k = 2 + did % 15  # GCT is padded to a power of two;
+                # checksum the k REAL palette entries
+                v = idx.reshape(-1).astype(np.int64)
+                i = np.arange(len(v), dtype=np.int64)
+                out["doc_id"].append(did)
+                out["height"].append(idx.shape[0])
+                out["width"].append(idx.shape[1])
+                out["n_colors"].append(k)
+                out["idx_sum"].append(int(v.sum()))
+                out["idx_dot"].append(int((i * v).sum()))
+                out["pal_sum"].append(int(pal[:k].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=("doc_id long, width int, height int, n_colors int, "
+                "idx_sum long, idx_dot long, pal_sum long"),
+    )
+
+
+@query(
+    "multimodal_gif_codec",
+    oracle="""
+SELECT s.doc_id, s.width, s.height, s.n_colors,
+       (SELECT SUM((s.doc_id * 7919 + t.i * 104729) % s.n_colors)
+        FROM range(0, 224) t(i) WHERE t.i < s.width * s.height) AS idx_sum,
+       (SELECT SUM(t.i * ((s.doc_id * 7919 + t.i * 104729) % s.n_colors))
+        FROM range(0, 224) t(i) WHERE t.i < s.width * s.height) AS idx_dot,
+       (SELECT SUM((s.doc_id * 31 + (p.j // 3) * 37 + (p.j % 3) * 101) % 256)
+        FROM range(0, 48) p(j) WHERE p.j < s.n_colors * 3) AS pal_sum
+FROM (
+  SELECT doc_id,
+         CAST(6 + doc_id % 11 AS INT) AS width,
+         CAST(6 + (doc_id * 5) % 9 AS INT) AS height,
+         CAST(2 + doc_id % 15 AS INT) AS n_colors
+  FROM documents
+) s
+""",
+    tags=("multimodal", "gif", "lzw", "codec"),
+)
+def multimodal_gif_codec(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL GIF round trip with LZW compression, distributed, with a
+    full SQL value oracle (same design as the PNG/WAV twins): encode
+    one GIF89a per document — color table, extension block, real
+    variable-width LZW stream — decode it back (container walk + LZW),
+    and emit order-sensitive index checksums plus a palette checksum
+    that DuckDB recomputes from pure (doc_id, i) formulas. With
+    ``multimodal_png_codec`` this makes two of the three image formats
+    fully decoded (JPEG remains header-only: DCT entropy coding is the
+    one genuinely out-of-scope kernel)."""
+    docs = t(spark, sf, "documents").select("doc_id")
+    return decode_gif_stage(synth_gif_stage(docs))
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_checksum long, frame_bytes int"
 
 
