@@ -181,3 +181,40 @@ def test_header_parser_agrees_on_real_png():
     px = _rng(17).integers(0, 256, (21, 13), dtype=np.uint8)
     meta = decode_image_header(png_encode(px))
     assert (meta["format"], meta["width"], meta["height"]) == ("png", 13, 21)
+
+
+def test_pixel_planes_uses_real_codecs():
+    """_pixel_planes must run the actual PNG/GIF decoders on real
+    containers (and split RGB into per-channel planes), while synthetic
+    make_image containers keep the raw-plane convention."""
+    from xml_hive_spark.operators.gif import gif_encode
+    from xml_hive_spark.operators.multimodal import (
+        _pixel_planes,
+        make_image,
+    )
+
+    gray = _rng(23).integers(0, 256, (9, 11), dtype=np.uint8)
+    w, h, planes = _pixel_planes(png_encode(gray))
+    assert (w, h) == (11, 9) and len(planes) == 1
+    assert np.array_equal(planes[0], gray)
+
+    rgb = _rng(29).integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    w, h, planes = _pixel_planes(png_encode(rgb))
+    assert (w, h) == (6, 5) and len(planes) == 3
+    for c in range(3):
+        assert np.array_equal(planes[c], rgb[:, :, c])
+
+    idx = _rng(31).integers(0, 4, (7, 8), dtype=np.uint8)
+    pal = _rng(37).integers(0, 256, (4, 3), dtype=np.uint8)
+    w, h, planes = _pixel_planes(gif_encode(idx, pal))
+    assert (w, h) == (8, 7) and len(planes) == 1
+    lum = ((299 * pal[:, 0].astype(np.int64) + 587 * pal[:, 1]
+            + 114 * pal[:, 2]) // 1000).astype(np.uint8)
+    assert np.array_equal(planes[0], lum[idx])
+
+    # synthetic container: raw-plane convention preserved
+    body = bytes(range(250)) * 4
+    syn = make_image("gif", 25, 10, body[: 4 * 250])
+    w, h, planes = _pixel_planes(syn)
+    assert (w, h) == (25, 10) and len(planes) == 4
+    assert planes[0].tobytes() == body[:250]

@@ -139,15 +139,44 @@ def _body_offset(payload: bytes, fmt: str) -> int:
 
 def _pixel_planes(payload: bytes):
     """(width, height, planes) from a container: parse the real header,
-    then slice the body into ``len(body) // (w*h)`` raw grayscale
-    planes. Real-codec swap point: PIL/ffmpeg replaces the body slicing,
-    the header parse and everything downstream stay."""
+    then extract pixels. A REAL PNG (IDAT chunk present) or a real GIF
+    with an LZW image stream decodes through the actual codec
+    (``png.png_decode`` / ``gif.gif_decode`` — RGB planes are split
+    per channel); the ``make_image`` synthetic convention (raw
+    grayscale planes after a valid header) is the fallback, and the
+    remaining swap point is JPEG only (DCT)."""
     import numpy as np
 
     meta = decode_image_header(payload)
     w, h = meta["width"], meta["height"]
     if w <= 0 or h <= 0:
         return meta["width"], meta["height"], []
+    if meta["format"] == "png" and b"IDAT" in payload:
+        from xml_hive_spark.operators.png import png_decode
+
+        try:
+            img = png_decode(payload)
+            if img.ndim == 2:
+                return w, h, [img]
+            return w, h, [img[:, :, c] for c in range(img.shape[2])]
+        except ValueError:
+            pass  # unsupported PNG shape → raw-plane convention below
+    if meta["format"] == "gif" and len(payload) > 10 \
+            and payload[10] & 0x80:
+        # global color table present → a real encoded GIF (the
+        # make_image synthetic convention writes packed=0x70, no GCT,
+        # so raw-plane bodies can never be mistaken for an LZW stream)
+        from xml_hive_spark.operators.gif import gif_decode
+
+        try:
+            idx, pal = gif_decode(payload)
+            # grayscale plane via the palette's luminance (integer BT.601)
+            lum = ((299 * pal[:, 0].astype(np.int64)
+                    + 587 * pal[:, 1] + 114 * pal[:, 2]) // 1000
+                   ).astype(np.uint8)
+            return w, h, [lum[idx]]
+        except ValueError:
+            pass  # damaged stream → raw-plane convention below
     body = payload[_body_offset(payload, meta["format"]) :]
     n_planes = max(len(body) // (w * h), 0)
     arr = np.frombuffer(body[: n_planes * w * h], dtype=np.uint8)
