@@ -137,15 +137,47 @@ class TestPrimitiveMapping:
         st = g.struct_for("cType")
         assert st.fieldNames() == ["_name", "name"]
 
-    def test_choice_unsupported(self):
+    def test_choice_every_branch_optional(self):
+        """Beyond-reference (it raises on xs:choice): each branch of an
+        exclusive alternative becomes a NULLABLE field, including a
+        required element inside a choice branch."""
         xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
           <xs:complexType name="cType">
-            <xs:choice><xs:element name="a" type="xs:string"/></xs:choice>
+            <xs:sequence>
+              <xs:element name="always" type="xs:string"/>
+              <xs:choice>
+                <xs:element name="a" type="xs:string"/>
+                <xs:element name="b" type="xs:int" minOccurs="1"/>
+                <xs:sequence>
+                  <xs:element name="c" type="xs:string"/>
+                </xs:sequence>
+              </xs:choice>
+            </xs:sequence>
           </xs:complexType>
         </xs:schema>"""
         g = XsdGraph()
-        with pytest.raises(NotImplementedError):
-            g.parse_source(xsd)
+        g.parse_source(xsd)
+        st = g.struct_for("cType")
+        assert st.fieldNames() == ["always", "a", "b", "c"]
+        assert not st["always"].nullable
+        for f in ("a", "b", "c"):
+            assert st[f].nullable, f
+
+    def test_union_widens_to_string(self):
+        xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          <xs:simpleType name="intOrWord">
+            <xs:union memberTypes="xs:int xs:string"/>
+          </xs:simpleType>
+          <xs:complexType name="cType">
+            <xs:sequence>
+              <xs:element name="v" type="intOrWord"/>
+            </xs:sequence>
+          </xs:complexType>
+        </xs:schema>"""
+        g = XsdGraph()
+        g.parse_source(xsd)
+        st = g.struct_for("cType")
+        assert st["v"].dataType.simpleString() == "string"
 
 
 @pytest.mark.skipif(

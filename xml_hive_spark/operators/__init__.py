@@ -121,9 +121,9 @@ _LOADED = False
 # window = 21 oracled queries last checked r1/r2 + agg_percentiles_array
 # (newly oracled via to_json after its r5 canonicalizer red) + 22 oracled
 # queries last checked r4 (TPC-H refresh set, grouping_id/window frames,
-# pivot/unpivot, variant, storage round-trips) + the three NEW codec
-# round-trip queries (multimodal_{png,wav,gif}_codec, full checksum
-# oracles) + 3 r5-green canaries spanning operator families. Still outside after this round (next
+# pivot/unpivot, variant, storage round-trips) + the four NEW codec
+# round-trip queries (multimodal_{png,wav,gif,jpeg}_codec, full checksum
+# oracles) + 2 r5-green canaries. Still outside after this round (next
 # rotation): the r4-checked time-series five, text five, and LLM text-prep
 # entries — covered meanwhile by the identical local gate
 # (tools/verify_local.py). Tally: README "Correctness rotation".
@@ -175,14 +175,15 @@ _DRIVER_WINDOW = [
     "partitioned_write_roundtrip",
     "csv_roundtrip",
     "json_roundtrip",
-    # --- NEW this round: real PNG/WAV/GIF round trips, checksum oracles ---
+    # --- NEW this round: real PNG/WAV/GIF/JPEG round trips, checksum
+    # oracles over real codec work ---
     "multimodal_png_codec",
     "multimodal_wav_codec",
     "multimodal_gif_codec",
-    # --- regression canary: r5 hash-green (3; q5 also covers the
-    # broadcast-join shape) ---
+    "multimodal_jpeg_codec",
+    # --- regression canary: r5 hash-green (2; the 22-query r4 refresh
+    # block above already re-checks the join/agg families broadly) ---
     "q1_pricing_summary",
-    "q5_local_supplier_volume",
     "xml_write_roundtrip",
 ]
 

@@ -558,6 +558,101 @@ def multimodal_gif_codec(spark: SparkSession, sf: str) -> DataFrame:
     return decode_gif_stage(synth_gif_stage(docs))
 
 
+def synth_jpeg_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode one REAL baseline JPEG per row (``jpeg.jpeg_encode``:
+    forward DCT, flat-16 quantization, Annex-K Huffman coding, byte
+    stuffing). Images are blockwise-constant with EVEN values — the
+    one shape lossy JPEG reproduces exactly (DC-only blocks divide the
+    flat quantizer) — so the decode side remains fully value-oracle-
+    able: bw = 1 + id%3 and bh = 1 + (7·id)%4 blocks (w = 8·bw,
+    h = 8·bh), block b's value = 2·((id·6151 + b·9173) mod 128)."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xml_hive_spark.operators.jpeg import jpeg_encode
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                bw, bh = 1 + did % 3, 1 + (did * 7) % 4
+                b = np.arange(bh * bw, dtype=np.int64)
+                vals = (2 * ((did * 6151 + b * 9173) % 128)).astype(np.uint8)
+                px = np.kron(vals.reshape(bh, bw),
+                             np.ones((8, 8), dtype=np.uint8))
+                ids.append(did)
+                payloads.append(jpeg_encode(px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def decode_jpeg_stage(df: DataFrame, id_col: str = "doc_id",
+                      bin_col: str = "payload") -> DataFrame:
+    """Full baseline-JPEG decode per row (``jpeg.jpeg_decode``: marker
+    walk, canonical Huffman with unstuffing, dequant, inverse DCT)
+    emitting dimensions and order-sensitive pixel checksums."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xml_hive_spark.operators.jpeg import jpeg_decode
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "px_sum": [], "px_dot": []}
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                img = jpeg_decode(bytes(payload))
+                v = img.reshape(-1).astype(np.int64)
+                i = np.arange(len(v), dtype=np.int64)
+                out["doc_id"].append(int(did))
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["px_sum"].append(int(v.sum()))
+                out["px_dot"].append(int((i * v).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema="doc_id long, width int, height int, px_sum long, px_dot long",
+    )
+
+
+@query(
+    "multimodal_jpeg_codec",
+    oracle="""
+SELECT s.doc_id, s.width, s.height,
+       SUM(2 * ((s.doc_id * 6151
+                 + (((t.i // s.width) // 8) * (s.width // 8)
+                    + (t.i % s.width) // 8) * 9173) % 128)) AS px_sum,
+       SUM(t.i * (2 * ((s.doc_id * 6151
+                 + (((t.i // s.width) // 8) * (s.width // 8)
+                    + (t.i % s.width) // 8) * 9173) % 128))) AS px_dot
+FROM (
+  SELECT doc_id,
+         CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+         CAST(8 * (1 + (doc_id * 7) % 4) AS INT) AS height
+  FROM documents
+) s
+CROSS JOIN range(0, 768) t(i)  -- 768 = max w*h = 24*32
+WHERE t.i < s.width * s.height
+GROUP BY s.doc_id, s.width, s.height
+""",
+    tags=("multimodal", "jpeg", "dct", "codec"),
+)
+def multimodal_jpeg_codec(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL baseline-JPEG round trip — Huffman entropy coding and the
+    8×8 DCT both exercised for real — with a full SQL value oracle.
+    JPEG is lossy, so the fixture images are blockwise-constant with
+    even values: DC-only blocks survive flat-16 quantization exactly,
+    making the decoded pixels a pure (doc_id, i) formula DuckDB can
+    recompute codec-free while the codec itself does the full
+    DCT/Huffman work. (General lossy content is covered by PSNR-floor
+    tests in tests/test_jpeg_codec.py.) Completes the image-format
+    set: PNG, GIF, and JPEG all decode through real codecs."""
+    docs = t(spark, sf, "documents").select("doc_id")
+    return decode_jpeg_stage(synth_jpeg_stage(docs))
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_checksum long, frame_bytes int"
 
 

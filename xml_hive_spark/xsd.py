@@ -10,8 +10,9 @@ Semantics mirrored from the reference (cites into the reference tree):
 - ``(namespace, name)``-keyed type maps for complex types, simple types and
   global elements (XMLToAvroSchema.scala:32-34).
 - ``sequence`` / nested ``sequence`` / ``all`` walked for child elements;
-  ``choice`` is NOT supported, matching the reference
-  (XMLToAvroSchema.scala:247-249).
+  ``choice`` (which the reference REJECTS — XMLToAvroSchema.scala:247-249)
+  relaxes beyond-reference to every-branch-optional (members nullable);
+  ``xs:union`` widens to string.
 - Anonymous inline complex/simple types are synthesized as ``<name>Type``
   (XMLToAvroSchema.scala:287-297).
 - Cardinality: ``maxOccurs > 1`` → array (XMLToAvroSchema.scala:140-158),
@@ -230,12 +231,21 @@ class XsdGraph:
                                     self._parse_attribute(a, tns)
                                 )
             elif tag == "choice":
-                # parity: reference walks only sequence/all
-                # (XMLToAvroSchema.scala:247-249)
-                raise NotImplementedError(
-                    "xs:choice is not supported (parity with reference)"
-                )
+                # BEYOND-reference (it raises on choice —
+                # XMLToAvroSchema.scala:247-249): relax to "every branch
+                # optional" — each member element parses normally and is
+                # then forced nullable (min_occurs=0), the standard
+                # relational flattening of an exclusive alternative
+                self._parse_choice(child, ct, tns)
         return (tns, name)
+
+    def _parse_choice(
+        self, node: ET.Element, ct: XsdComplexType, tns: str
+    ) -> None:
+        before = len(ct.elements)
+        self._parse_sequence(node, ct, tns)
+        for el in ct.elements[before:]:
+            el.min_occurs = 0
 
     def _parse_sequence(
         self, seq: ET.Element, ct: XsdComplexType, tns: str
@@ -248,6 +258,8 @@ class XsdGraph:
                 # nested sequence flattened into the same record
                 # (reference: XMLToAvroSchema.scala:247-249)
                 self._parse_sequence(child, ct, tns)
+            elif tag == "choice":
+                self._parse_choice(child, ct, tns)
 
     def _parse_attribute(
         self, node: ET.Element, tns: str
@@ -269,7 +281,12 @@ class XsdGraph:
         base_ref = (XS_NS, "string")
         enum_values: list[str] = []
         for child in node:
-            if _local(child.tag) == "restriction":
+            if _local(child.tag) == "union":
+                # BEYOND-reference: xs:union widens to string — the one
+                # primitive every member type's lexical form fits
+                # (explicit; unknown children already string-default)
+                base_ref = (XS_NS, "string")
+            elif _local(child.tag) == "restriction":
                 base = child.get("base")
                 if base:
                     base_ref = _split_type(base, self._ns(child), tns)
