@@ -43,6 +43,9 @@ HEADLINE = [
     # the composed IVF×PQ probe — the two production ANN shapes
     "ann_join_topk",
     "cosine_topk_ivf_pq_probed",
+    # real-codec multimodal round trip (round 6): PNG is the
+    # representative — zlib inflate + scanline unfilter per document
+    "multimodal_png_codec",
     # GB-scale XML source scan (1 GiB at sf0.1): the engine's raison
     # d'être — file generated once and cached under $TMPDIR/xmlhive_bench
     "xml_scan_bench",

@@ -151,3 +151,15 @@ def test_approx_percentile_error_bound(spark, sf_dir):
             assert abs(getattr(a, col) - getattr(e, col)) <= 1.0, (flag, col)
         # price spans ~1e5: allow a proportional neighborhood
         assert abs(a.price_p90 - e.price_p90) / e.price_p90 < 0.01
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25: a document dense in query terms must outrank one without
+    them; ranks are 1..10 and scores non-increasing."""
+    from xml_hive_spark.operators.text import text_bm25_topk
+
+    rows = text_bm25_topk(spark, "/root/testdata/sf0.001").collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert scores[0] > 0

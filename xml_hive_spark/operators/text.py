@@ -186,3 +186,114 @@ def source_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+_BM25_TERMS = ("hash", "join", "spark")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+), corpus AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl,
+         CAST(count(*) AS DOUBLE) AS n_docs
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term IN ('hash', 'join', 'spark')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / corpus.avgdl))))
+         ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS bm25,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored
+ORDER BY rank
+LIMIT 10
+""",
+    tags=("text", "search", "bm25"),
+)
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed query (terms
+    'hash join spark'; k1=1.2, b=0.75, Lucene's ln(1 + (N-df+0.5)/
+    (df+0.5)) idf) — the retrieval primitive of a training-data search
+    stack, expressed as pure DataFrame ops: one explode + two
+    hash-aggs build tf/dl, the per-term df and corpus stats are tiny
+    aggregates broadcast back, and the final score is a JVM-side
+    expression — no UDF anywhere. The arithmetic is written with
+    IDENTICAL association in Spark and the DuckDB oracle so the driver
+    hash gate value-checks it (score rounded to 4 to absorb libm ulp
+    noise in ln).
+
+    Scale shape: tf/dl shuffles are corpus-token-bound (one pass);
+    df/avgdl move <=|query| rows to a broadcast; top-10 is a global
+    TakeOrdered. At 100 TB the token explode is the dominant cost and
+    it is embarrassingly parallel."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    corpus = F.broadcast(
+        dl.agg(
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+        )
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = F.broadcast(
+        tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(0.25) + F.lit(_BM25_B) * (F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(corpus)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0) / denom))
+            .alias("score")
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", F.round("score", 4).alias("bm25"), "rank")
+        .orderBy("rank")
+    )
