@@ -128,3 +128,52 @@ class TestXmlStreamSource:
                 q.processAllAvailable()
         finally:
             q.stop()
+
+
+def test_stream_max_files_per_trigger(tmp_path):
+    """maxFilesPerTrigger: each latestOffset advance admits at most N
+    new files (deterministic name order), a backlog drains over
+    successive advances, and partitions() covers exactly the admitted
+    delta. Unbounded (default) admits everything at once."""
+    import json
+
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    from xml_hive_spark.sources.xml_stream import XmlStreamReader
+
+    sch = StructType([
+        StructField("id", IntegerType(), True,
+                    metadata={"xmlKind": "attribute", "xmlName": "id"}),
+        StructField("v", StringType(), True,
+                    metadata={"xmlKind": "element", "xmlName": "v"}),
+    ])
+    for i in range(5):
+        (tmp_path / f"f{i}.xml").write_bytes(
+            b"<r><rec id='%d'><v>x</v></rec></r>" % i
+        )
+    rd = XmlStreamReader(sch, {"path": str(tmp_path), "rowtag": "rec",
+                               "maxfilespertrigger": "2"})
+    start = rd.initialOffset()
+    seen_counts = []
+    offsets = [start]
+    for _ in range(4):
+        end = rd.latestOffset()
+        seen_counts.append(len(json.loads(end["files"])))
+        offsets.append(end)
+    assert seen_counts == [2, 4, 5, 5]  # 2-at-a-time drain, then stable
+    # partitions() covers exactly the newly admitted files per advance
+    p1 = rd.partitions(offsets[0], offsets[1])
+    p2 = rd.partitions(offsets[1], offsets[2])
+    p3 = rd.partitions(offsets[2], offsets[3])
+    assert len({p.path for p in p1}) == 2
+    assert len({p.path for p in p2}) == 2
+    assert len({p.path for p in p3}) == 1
+    # files admitted in sorted name order
+    assert sorted({p.path for p in p1}) == [
+        str(tmp_path / "f0.xml"), str(tmp_path / "f1.xml")]
+
+    unbounded = XmlStreamReader(sch, {"path": str(tmp_path),
+                                      "rowtag": "rec"})
+    end = unbounded.latestOffset()
+    assert len(json.loads(end["files"])) == 5

@@ -108,6 +108,20 @@ class XmlStreamReader(DataSourceStreamReader):
                  default=DEFAULT_PARTITION_BYTES)
         )
         self._mode = str(_opt(options, "mode", default="FAILFAST")).upper()
+        # rate limiting: admit at most this many NEW files into each
+        # offset advance (0 = unbounded). The batch-size control every
+        # production file stream needs — a backlog of landed files
+        # drains in bounded micro-batches instead of one giant batch.
+        # CAVEAT (verified live): Trigger.AvailableNow snapshots the
+        # offset with ONE latestOffset call (the Python streaming API
+        # has no admission-control hook), so a capped source processes
+        # only the first cap-worth per availableNow run — use a
+        # processingTime trigger with the cap (bounded batches, full
+        # drain; pinned in tests), or leave it 0 for availableNow.
+        self._max_files = int(
+            _opt(options, "maxFilesPerTrigger", "maxfilespertrigger",
+                 default=0)
+        )
         # monotone floor for latestOffset: a file deleted from the landing
         # dir must not shrink the offset (offsets are cumulative)
         self._known: dict[str, int] = {}
@@ -136,9 +150,13 @@ class XmlStreamReader(DataSourceStreamReader):
         return out
 
     def latestOffset(self) -> dict:
-        for p, size in self._list().items():
+        admitted = 0
+        for p, size in self._list().items():  # sorted → deterministic
             if p not in self._known:
+                if self._max_files and admitted >= self._max_files:
+                    break
                 self._known[p] = size
+                admitted += 1
         return {"files": json.dumps(self._known, sort_keys=True)}
 
     def partitions(self, start: dict, end: dict):
