@@ -215,3 +215,43 @@ def test_ann_join_candidate_phase_ids_only(spark, sf_dir):
     assert dedup_lines, plan
     for l in dedup_lines:
         assert "embedding" not in l and "qe" not in l and "ne" not in l, l
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """At bench SF every dim joins by broadcast, so Spark's runtime
+    bloom-filter pruning never fires locally — but at 100 TB the dim
+    side exceeds the broadcast threshold and the join shuffles. Pin
+    that under those conditions (broadcast disabled) Catalyst injects
+    might_contain() on the FACT side from the filtered dim, so fact
+    rows that cannot join are dropped before the exchange."""
+    from pyspark.sql import functions as F
+
+    from xml_hive_spark.operators import t
+
+    sf = "/root/testdata/sf0.001"
+    li, p = t(spark, sf, "lineitem"), t(spark, sf, "part")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        q = li.join(
+            p.filter(F.col("p_brand") == "Brand#12"),
+            li.l_partkey == p.p_partkey,
+        ).agg(F.sum("l_quantity").alias("s"))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:2000]
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
