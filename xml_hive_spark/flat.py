@@ -523,7 +523,9 @@ class FlatAssembler:
         path, a, b = split[0], split[1], split[2]
         state = split[3] if len(split) > 3 else ST_TEXT
         depth = split[4] if len(split) > 4 else 0
-        with open(path, "rb") as f:
+        from xml_hive_spark.reader import open_xml
+
+        with open_xml(path) as f:
             yield from self._fused_scan(f, row_tag, a, b, state, depth)
 
     def _fused_scan(self, f, row_tag: str, start: int, end: int,
@@ -744,7 +746,9 @@ class FlatAssembler:
         ms: list = []      # [captures, abs_start, abs_end] run items
         exacts: list = []  # (row_idx_within_batch, value tuple)
         n = 0
-        with open(path, "rb") as f:
+        from xml_hive_spark.reader import open_xml
+
+        with open_xml(path) as f:
             for item in self._fused_scan(f, row_tag, a, b, state, depth,
                                          raw=True):
                 if type(item) is tuple:
@@ -812,7 +816,9 @@ class FlatAssembler:
                 vals = self._extract_from_groups(groups_raw)
                 if vals is None:
                     if fh is None:
-                        fh = open(path, "rb")
+                        from xml_hive_spark.reader import open_xml
+
+                        fh = open_xml(path)
                     fh.seek(a)
                     rec = fh.read(b - a)
                     vals = self.fast_row(rec)

@@ -183,8 +183,11 @@ def infer_xml_schema(
     import os
 
     for p in paths:
-        with open(p, "rb") as f:
-            for _, rec in iter_record_spans(f, row_tag, 0, os.path.getsize(p)):
+        from xml_hive_spark.reader import GZIP_SPLIT_END, open_xml
+
+        end = GZIP_SPLIT_END if p.endswith(".gz") else os.path.getsize(p)
+        with open_xml(p) as f:
+            for _, rec in iter_record_spans(f, row_tag, 0, end):
                 root.observe(ET.fromstring(_bind_unbound_prefixes(rec)))
                 seen += 1
                 if seen >= sample_records:

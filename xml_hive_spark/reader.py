@@ -79,6 +79,25 @@ log = logging.getLogger("xml_hive_spark.reader")
 
 DEFAULT_PARTITION_BYTES = 128 * 1024 * 1024
 
+# gzip members are not splittable: such files get ONE split whose end is
+# this sentinel (far beyond any decompressed stream) — the scanner runs
+# to EOF, the standard Hadoop non-splittable-codec semantics
+GZIP_SPLIT_END = 1 << 62
+
+
+def open_xml(path: str):
+    """Binary reader for an XML input; ``.gz`` transparently
+    decompresses (one task reads the whole member — see
+    :data:`GZIP_SPLIT_END`). Offsets seen by the split machinery are
+    DECOMPRESSED-stream offsets; ``GzipFile.seek`` honors them (the
+    rejected-row re-read path re-decompresses from the start, the
+    accepted cost of a non-seekable codec)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
 _WS = b" \t\r\n"
 _OPEN_DELIMS = b" \t\r\n>/"
 
@@ -679,6 +698,11 @@ def plan_splits(
         size = os.path.getsize(p)
         if size == 0:
             continue
+        if p.endswith(".gz"):
+            # non-splittable codec → whole-member split, scanner runs
+            # to EOF (parallelism = file count for compressed inputs)
+            splits.append((p, 0, GZIP_SPLIT_END))
+            continue
         n = max(1, (size + partition_bytes - 1) // partition_bytes)
         step = (size + n - 1) // n
         for i in range(n):
@@ -862,7 +886,10 @@ def resolve_paths(path: str | list[str]) -> list[str]:
             pat = rest
         p = Path(pat)
         if p.is_dir():
-            out += [str(c) for c in sorted(p.iterdir()) if c.suffix == ".xml"]
+            out += [
+                str(c) for c in sorted(p.iterdir())
+                if c.suffix == ".xml" or c.name.endswith(".xml.gz")
+            ]
         elif p.is_file():
             out.append(str(p))
         else:
@@ -877,7 +904,7 @@ def iter_split_record_bytes(split: tuple, row_tag: str) -> Iterator[bytes]:
     path, a, b = split[0], split[1], split[2]
     state = split[3] if len(split) > 3 else ST_TEXT
     depth = split[4] if len(split) > 4 else 0
-    with open(path, "rb") as f:
+    with open_xml(path) as f:
         for _, rec in iter_record_spans(f, row_tag, a, b, state, depth):
             yield rec
 

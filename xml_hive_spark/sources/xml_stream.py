@@ -141,7 +141,7 @@ class XmlStreamReader(DataSourceStreamReader):
             return {}
         out: dict[str, int] = {}
         for e in sorted(entries):
-            if e.endswith(".xml"):
+            if e.endswith(".xml") or e.endswith(".xml.gz"):
                 p = os.path.join(self._dir, e)
                 try:
                     out[p] = os.path.getsize(p)
@@ -165,6 +165,13 @@ class XmlStreamReader(DataSourceStreamReader):
         parts: list[XmlStreamPartition] = []
         for p, size in target.items():
             if p in seen or size <= 0 or not os.path.exists(p):
+                continue
+            if p.endswith(".gz"):
+                from xml_hive_spark.reader import GZIP_SPLIT_END
+
+                parts.append(
+                    XmlStreamPartition(p, 0, GZIP_SPLIT_END, "TEXT", 0)
+                )
                 continue
             pb = self._partition_bytes
             n = max(1, (size + pb - 1) // pb)
