@@ -104,3 +104,14 @@ def test_stream_source_gz_partitions(tmp_path):
     rows = list(rd.read(parts[0]))
     total = sum(getattr(b, "num_rows", 1) for b in rows)
     assert total == 20
+
+
+def test_bz2_reads_like_gz(spark, tmp_path):
+    import bz2
+
+    data = _corpus(60)
+    (tmp_path / "c.xml.bz2").write_bytes(bz2.compress(data))
+    df = read_xml(spark, str(tmp_path / "c.xml.bz2"), "rec", schema=SCHEMA)
+    assert df.count() == 60
+    splits = plan_splits([str(tmp_path / "c.xml.bz2")], partition_bytes=64)
+    assert splits[0][1:] == (0, GZIP_SPLIT_END)

@@ -185,7 +185,8 @@ def infer_xml_schema(
     for p in paths:
         from xml_hive_spark.reader import GZIP_SPLIT_END, open_xml
 
-        end = GZIP_SPLIT_END if p.endswith(".gz") else os.path.getsize(p)
+        end = (GZIP_SPLIT_END if p.endswith((".gz", ".bz2"))
+               else os.path.getsize(p))
         with open_xml(p) as f:
             for _, rec in iter_record_spans(f, row_tag, 0, end):
                 root.observe(ET.fromstring(_bind_unbound_prefixes(rec)))

@@ -79,23 +79,30 @@ log = logging.getLogger("xml_hive_spark.reader")
 
 DEFAULT_PARTITION_BYTES = 128 * 1024 * 1024
 
-# gzip members are not splittable: such files get ONE split whose end is
-# this sentinel (far beyond any decompressed stream) — the scanner runs
-# to EOF, the standard Hadoop non-splittable-codec semantics
+# gzip/bzip2 members are not splittable: such files get ONE split whose
+# end is this sentinel (far beyond any decompressed stream) — the
+# scanner runs to EOF, the standard Hadoop non-splittable-codec
+# semantics
 GZIP_SPLIT_END = 1 << 62
+
+_COMPRESSED_SUFFIXES = (".gz", ".bz2")
 
 
 def open_xml(path: str):
-    """Binary reader for an XML input; ``.gz`` transparently
-    decompresses (one task reads the whole member — see
+    """Binary reader for an XML input; ``.gz`` / ``.bz2`` transparently
+    decompress (one task reads the whole member — see
     :data:`GZIP_SPLIT_END`). Offsets seen by the split machinery are
-    DECOMPRESSED-stream offsets; ``GzipFile.seek`` honors them (the
-    rejected-row re-read path re-decompresses from the start, the
+    DECOMPRESSED-stream offsets; the codec file objects honor seek by
+    re-decompressing (the rejected-row re-read path pays that, the
     accepted cost of a non-seekable codec)."""
     if path.endswith(".gz"):
         import gzip
 
         return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, "rb")
     return open(path, "rb")
 
 _WS = b" \t\r\n"
@@ -698,7 +705,7 @@ def plan_splits(
         size = os.path.getsize(p)
         if size == 0:
             continue
-        if p.endswith(".gz"):
+        if p.endswith(_COMPRESSED_SUFFIXES):
             # non-splittable codec → whole-member split, scanner runs
             # to EOF (parallelism = file count for compressed inputs)
             splits.append((p, 0, GZIP_SPLIT_END))
@@ -888,7 +895,7 @@ def resolve_paths(path: str | list[str]) -> list[str]:
         if p.is_dir():
             out += [
                 str(c) for c in sorted(p.iterdir())
-                if c.suffix == ".xml" or c.name.endswith(".xml.gz")
+                if c.suffix == ".xml" or c.name.endswith((".xml.gz", ".xml.bz2"))
             ]
         elif p.is_file():
             out.append(str(p))

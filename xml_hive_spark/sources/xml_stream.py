@@ -141,7 +141,7 @@ class XmlStreamReader(DataSourceStreamReader):
             return {}
         out: dict[str, int] = {}
         for e in sorted(entries):
-            if e.endswith(".xml") or e.endswith(".xml.gz"):
+            if e.endswith((".xml", ".xml.gz", ".xml.bz2")):
                 p = os.path.join(self._dir, e)
                 try:
                     out[p] = os.path.getsize(p)
@@ -166,7 +166,7 @@ class XmlStreamReader(DataSourceStreamReader):
         for p, size in target.items():
             if p in seen or size <= 0 or not os.path.exists(p):
                 continue
-            if p.endswith(".gz"):
+            if p.endswith((".gz", ".bz2")):
                 from xml_hive_spark.reader import GZIP_SPLIT_END
 
                 parts.append(
