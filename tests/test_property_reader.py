@@ -141,3 +141,94 @@ def test_fast_row_equals_exact_or_abstains(rec):
     slow = parse_record_safe(rec, _FLAT_SCHEMA, "FAILFAST")
     # NaN != NaN; compare via repr-normalised tuples
     assert [repr(x) for x in fast] == [repr(x) for x in slow], rec
+
+
+# ------------------------------------------------ garbage-robustness fuzz
+
+
+class TestScannerNeverCrashes:
+    """The byte scanners must be total over arbitrary input: garbage,
+    truncated markup, binary noise — they may reject records or yield
+    nothing, but never raise (PERMISSIVE mode). Any uncontrolled
+    exception here is a real bug: a malformed file in a 100 TB corpus
+    must not kill the job."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(data=st.binary(max_size=400))
+    def test_iter_record_spans_on_garbage(self, data):
+        import io
+
+        from xml_hive_spark.reader import iter_record_spans
+
+        list(iter_record_spans(io.BytesIO(data), "rec", 0, len(data)))
+
+    @settings(max_examples=200, deadline=None)
+    @given(data=st.data())
+    def test_mutated_xml_scan_and_parse(self, data):
+        """Valid XML with random byte mutations: the span scanner plus
+        PERMISSIVE per-record parse must never raise."""
+        import io
+
+        from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                       StructField, StructType)
+
+        from xml_hive_spark.reader import iter_record_spans, parse_record_safe
+
+        sch = StructType([
+            StructField("id", LongType(), True,
+                        metadata={"xmlKind": "attribute", "xmlName": "id"}),
+            StructField("v", IntegerType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "v"}),
+            StructField("s", StringType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "s"}),
+        ])
+        base = bytearray(
+            b"<ds>" + b"".join(
+                b'<rec id="%d"><v>%d</v><s>t%d</s></rec>' % (i, i, i)
+                for i in range(8)
+            ) + b"</ds>"
+        )
+        n_mut = data.draw(st.integers(1, 6))
+        for _ in range(n_mut):
+            pos = data.draw(st.integers(0, len(base) - 1))
+            base[pos] = data.draw(st.integers(0, 255))
+        blob = bytes(base)
+        for _, rec in iter_record_spans(io.BytesIO(blob), "rec", 0, len(blob)):
+            parse_record_safe(rec, sch, "PERMISSIVE")
+
+    @settings(max_examples=100, deadline=None)
+    @given(data=st.data())
+    def test_fused_scan_on_mutated_input(self, data, tmp_path_factory):
+        """The fused template scan (columnar batches) over mutated
+        uniform input must never raise and must agree with the span
+        path row-for-row."""
+        from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                       StructField, StructType)
+
+        from xml_hive_spark.flat import FlatAssembler
+
+        sch = StructType([
+            StructField("id", LongType(), True,
+                        metadata={"xmlKind": "attribute", "xmlName": "id"}),
+            StructField("v", IntegerType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "v"}),
+        ])
+        base = bytearray(
+            b"<ds>" + b"".join(
+                b'<rec id="%d"><v>%d</v></rec>' % (i, i) for i in range(20)
+            ) + b"</ds>"
+        )
+        for _ in range(data.draw(st.integers(1, 4))):
+            pos = data.draw(st.integers(0, len(base) - 1))
+            base[pos] = data.draw(st.integers(0, 255))
+        blob = bytes(base)
+        p = tmp_path_factory.mktemp("fuzz") / "f.xml"
+        p.write_bytes(blob)
+        asm = FlatAssembler.try_create(sch, "PERMISSIVE")
+        split = (str(p), 0, len(blob), "TEXT", 0)
+        fused = [tuple(v) for v in asm.iter_split_rows(split, "rec")]
+        batches = list(asm.fused_split_batches(split, "rec", batch_rows=7))
+        from_batches = [
+            tuple(r.values()) for b in batches for r in b.to_pylist()
+        ]
+        assert from_batches == fused
