@@ -198,3 +198,24 @@ def test_live_processing_time_trigger(spark, sf_dir):
         assert q.isActive  # a live trigger keeps running, unlike availableNow
     finally:
         q.stop()
+
+
+def test_streaming_neardup_equals_batch_twin(spark, sf_dir):
+    """Streaming MinHash near-dedup must flag EXACTLY the docs the
+    batch self-join twin flags (dup = shares any band bucket with an
+    earlier-seq doc), across micro-batch boundaries — the state must
+    carry first-arrival seqs between batches."""
+    from xml_hive_spark.streaming.neardup import (
+        batch_neardup_twin,
+        run_streaming_neardup,
+    )
+
+    got = {r["doc_id"]: r["is_dup"]
+           for r in run_streaming_neardup(spark, sf_dir).collect()}
+    want = {r["doc_id"]: r["is_dup"]
+            for r in batch_neardup_twin(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    diff = {k for k in want if got[k] != want[k]}
+    assert not diff, f"{len(diff)} mismatched docs, e.g. {sorted(diff)[:5]}"
+    # sanity: the corpus actually contains both classes
+    assert any(want.values()) and not all(want.values())

@@ -208,7 +208,12 @@ def all_queries() -> dict[str, QueryDef]:
             timeseries,
             xmlio,
         )
-        from xml_hive_spark.streaming import joins, stateful, windowed  # noqa: F401
+        from xml_hive_spark.streaming import (  # noqa: F401
+            joins,
+            neardup,
+            stateful,
+            windowed,
+        )
 
         _LOADED = True
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
