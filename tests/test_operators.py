@@ -60,6 +60,8 @@ def test_registry_complete():
         "multimodal_frame_sample",
         "multimodal_resize_stub",
         "sample_deterministic",
+        "streaming_dedup_minhash",  # stateful near-dedup — batch-twin
+        # equality pinned in test_streaming
         "streaming_sessionize",  # arbitrary-state streaming — no SQL twin
         "streaming_stream_join",  # two-stream watermark join — no SQL twin
         "streaming_stream_join_outer",  # horizon-exact harness in test_streaming
