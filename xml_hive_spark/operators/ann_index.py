@@ -1,0 +1,180 @@
+"""Persisted ANN index artifacts (IVF coarse quantizer × PQ codes).
+
+Production ANN systems separate INDEX BUILD — k-means coarse quantizer,
+PQ codebooks, and the encoded inverted lists, one corpus pass amortized
+across every future query — from SEARCH, which probes a few lists,
+ADC-scores their codes, and re-ranks a shortlist. Re-training per query
+(the pre-index shape of ``cosine_topk_ivf_pq_probed``) measures build
+cost, not search cost, and at 100 TB nobody rebuilds a corpus index per
+lookup.
+
+The artifact here mirrors :func:`xml_hive_spark.reader._plan_disk_store`
+(the phase-A XML split-plan cache): content-keyed by the embeddings
+file identity + index parameters, built once, atomically published,
+reusable across processes. On a cluster it would live in the catalog /
+an object store; locally it is
+
+    <tmp>/xmlhive_ann_index_<uid>/<sha256(key)>/
+        model.npz   — k×dim centroids + M×K×sub PQ codebooks
+        lists/      — parquet PARTITIONED BY the coarse cluster id:
+                      (vec_id, hx) per row
+
+Partitioning the lists by cluster makes the probed search a
+partition-PRUNED scan: ``WHERE cluster IN (<nprobe ids>)`` reads only
+the probed list directories — the columnar equivalent of an
+inverted-list seek (pinned in tests/test_ann_index.py).
+
+The reference has no similarity surface at all; this extends the
+LLM-pipeline operator family (SURVEY.md §2.B extension block).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_INDEX_FORMAT = 1  # bump on any layout change; mismatch → rebuild
+
+
+@dataclass(frozen=True)
+class IvfPqIndex:
+    centroids: "object"  # np.ndarray (k, dim)
+    books: "object"  # np.ndarray (M, K, sub)
+    lists_path: str  # parquet dir partitioned by cluster
+
+    def lists(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.lists_path)
+
+
+_MEM_CACHE: dict[tuple, IvfPqIndex] = {}
+
+
+def _corpus_key(sf_dir: str, k: int, iters: int) -> tuple | None:
+    """File-identity key over the embeddings table (same contract as the
+    XML plan cache: any rewrite — size or mtime — invalidates)."""
+    base = Path(sf_dir) / "embeddings.parquet"
+    files = [base] if base.is_file() else sorted(base.glob("**/*.parquet"))
+    if not files:
+        files = [base]
+    try:
+        sig = tuple(
+            (str(p), (st := os.stat(p)).st_size, st.st_mtime_ns) for p in files
+        )
+    except OSError:
+        return None
+    return (sig, k, iters, _INDEX_FORMAT)
+
+
+def _index_dir(key: tuple) -> Path:
+    """Per-user 0700 root (same trust posture as the plan cache: a
+    foreign-owned dir is never read or written)."""
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    root = Path(tempfile.gettempdir()) / f"xmlhive_ann_index_{uid}"
+    blob = json.dumps(key, sort_keys=True).encode()
+    return root / hashlib.sha256(blob).hexdigest()
+
+
+def _dir_trusted(root: Path) -> bool:
+    if not hasattr(os, "getuid"):
+        return True
+    try:
+        return root.stat().st_uid == os.getuid()
+    except OSError:
+        return False
+
+
+def _build(spark: SparkSession, sf_dir: str, k: int, iters: int,
+           out: Path) -> IvfPqIndex:
+    import numpy as np
+
+    from xml_hive_spark.operators import t
+    from xml_hive_spark.operators.similarity import (
+        _with_hex_codes,
+        kmeans_assign,
+        pq_encode,
+        train_kmeans_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = train_kmeans_centroids(emb, k=k, iters=iters)
+    books = train_pq_codebooks(emb)
+    coded = _with_hex_codes(
+        pq_encode(
+            kmeans_assign(emb.select("vec_id", "embedding"), "embedding",
+                          centroids),
+            "embedding",
+            books,
+        )
+    ).select("vec_id", "hx", "cluster")
+
+    # atomic publish: write under a pid-suffixed tmp dir, then one rename.
+    # A concurrent builder that wins the race just leaves ours unused.
+    tmp = out.parent / f"{out.name}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        coded.repartition("cluster")  # one file per list, co-located
+        .write.partitionBy("cluster")
+        .mode("overwrite")
+        .parquet(str(tmp / "lists"))
+    )
+    np.savez(tmp / "model.npz", centroids=centroids, books=books)
+    try:
+        tmp.rename(out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+    return IvfPqIndex(centroids, books, str(out / "lists"))
+
+
+def _load(out: Path) -> IvfPqIndex | None:
+    import numpy as np
+
+    try:
+        with np.load(out / "model.npz") as model:
+            return IvfPqIndex(
+                model["centroids"], model["books"], str(out / "lists")
+            )
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def ivf_pq_index(spark: SparkSession, sf_dir: str, k: int = 16,
+                 iters: int = 3) -> IvfPqIndex:
+    """Build-or-get the IVF×PQ index for a corpus: memory cache → disk
+    artifact → distributed build (in that order). Training is fully
+    seeded, so a rebuilt index is bit-identical to a loaded one."""
+    key = _corpus_key(sf_dir, k, iters)
+    if key is not None and key in _MEM_CACHE:
+        return _MEM_CACHE[key]
+    if key is None:  # unstat-able corpus: build uncached
+        scratch = Path(tempfile.mkdtemp(prefix="xmlhive-ann-")) / "idx"
+        return _build(spark, sf_dir, k, iters, scratch)
+    out = _index_dir(key)
+    out.parent.mkdir(parents=True, exist_ok=True, mode=0o700)
+    idx = None
+    if _dir_trusted(out.parent) and out.exists():
+        idx = _load(out)
+    if idx is None:
+        idx = _build(spark, sf_dir, k, iters, out)
+    _MEM_CACHE[key] = idx
+    return idx
+
+
+def probe_clusters(index: IvfPqIndex, qvec, nprobe: int) -> list[int]:
+    """The ``nprobe`` nearest coarse centroids (cosine) for one query."""
+    import numpy as np
+
+    cn = index.centroids / np.linalg.norm(
+        index.centroids, axis=1, keepdims=True
+    )
+    v = np.asarray(qvec, dtype=np.float64)
+    v = v / max(np.linalg.norm(v), 1e-12)
+    return [int(c) for c in np.argsort(-(cn @ v))[:nprobe]]
