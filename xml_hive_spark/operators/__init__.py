@@ -123,9 +123,11 @@ _LOADED = False
 # queries last checked r4 (TPC-H refresh set, grouping_id/window frames,
 # pivot/unpivot, variant, storage round-trips) + the four NEW codec
 # round-trip queries (multimodal_{png,wav,gif,jpeg}_codec, full checksum
-# oracles) + 2 r5-green canaries. Still outside after this round (next
-# rotation): the r4-checked time-series five, text five, and LLM text-prep
-# entries — covered meanwhile by the identical local gate
+# oracles) + the three queries NEW this round (scd2_merge and
+# sample_hash_bucket fully oracled; embedding_pca_project rows-only).
+# Still outside after this round (next rotation): the r4-checked
+# time-series five, text five, LLM text-prep, and json_roundtrip entries
+# plus the r5-green set — covered meanwhile by the identical local gate
 # (tools/verify_local.py). Tally: README "Correctness rotation".
 _DRIVER_WINDOW = [
     # --- oracled, last driver-checked r1/r2 (21) ---
@@ -174,17 +176,20 @@ _DRIVER_WINDOW = [
     "variant_json_access",
     "partitioned_write_roundtrip",
     "csv_roundtrip",
-    "json_roundtrip",
     # --- NEW this round: real PNG/WAV/GIF/JPEG round trips, checksum
     # oracles over real codec work ---
     "multimodal_png_codec",
     "multimodal_wav_codec",
     "multimodal_gif_codec",
     "multimodal_jpeg_codec",
-    # --- regression canary: r5 hash-green (2; the 22-query r4 refresh
-    # block above already re-checks the join/agg families broadly) ---
-    "q1_pricing_summary",
-    "xml_write_roundtrip",
+    # --- NEW this round: SCD2 MERGE + portable hash sampling (full
+    # oracles) and distributed PCA (rows-only); first driver check.
+    # These displace json_roundtrip + the 2 r5-green canaries — the
+    # 21-query r4 refresh block above already re-checks the join/agg
+    # families broadly ---
+    "scd2_merge",
+    "sample_hash_bucket",
+    "embedding_pca_project",
 ]
 
 
@@ -196,6 +201,7 @@ def all_queries() -> dict[str, QueryDef]:
     if not _LOADED:
         from xml_hive_spark.operators import (  # noqa: F401
             dedup,
+            embeddings,
             multimodal,
             relational,
             relational2,
@@ -206,6 +212,7 @@ def all_queries() -> dict[str, QueryDef]:
             text,
             textprep,
             timeseries,
+            warehouse,
             xmlio,
         )
         from xml_hive_spark.streaming import (  # noqa: F401

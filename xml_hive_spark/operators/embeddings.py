@@ -1,0 +1,114 @@
+"""Embedding-matrix operators: distributed PCA projection.
+
+LLM-pipeline extension (no reference equivalent — SURVEY.md §2.B
+extension block): dimensionality reduction is the standard preprocessing
+step in front of ANN indexes (PQ trains better and lists balance better
+on decorrelated, variance-ordered axes) and the classic whitening step
+for embedding dedup.
+
+Scale shape: PCA over N×64 needs only the 64×64 second-moment matrix —
+ONE corpus pass emitting (count, sum[64], X᷀X[64×64]) partials per
+partition via mapInArrow (the same map-side-combine pattern as the
+k-means trainer), a driver-side eigendecomposition of the 64×64
+covariance (bounded — never sees a data row), and one Arrow-batched
+matmul pass to project. Nothing superlinear, nothing driver-heavy.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xml_hive_spark.operators import query, t
+
+
+def pca_fit(emb: DataFrame, vec_col: str = "embedding", dim: int = 64,
+            k: int = 8):
+    """Fit PCA over a vector column: returns (mean[dim], components
+    (dim, k)) with deterministic component signs (largest-|loading|
+    coordinate made positive — eigenvector sign is otherwise arbitrary).
+
+    One distributed pass: per-partition (n, Σx, ΣxxT) partials; the
+    driver combines P partials and eigendecomposes the 64×64 covariance.
+    Driver traffic is P×(1+dim+dim²) floats — independent of N."""
+    import numpy as np
+    import pyarrow as pa
+
+    vecs = emb.select(vec_col)
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column(0)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if len(flat) == batch.num_rows * dim and col.null_count == 0:
+                m = flat.astype(np.float64).reshape(-1, dim)
+            else:  # ragged/null rows: exact slow path
+                m = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in col.to_pylist()]
+                )
+            n += len(m)
+            s += m.sum(axis=0)
+            g += m.T @ m
+        yield pa.record_batch(
+            {
+                "n": pa.array([n], pa.int64()),
+                "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+                "g": pa.array([g.reshape(-1).tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    rows = vecs.mapInArrow(
+        partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(r.n for r in rows)
+    s = np.sum([np.asarray(r.s) for r in rows], axis=0)
+    g = np.sum([np.asarray(r.g).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order]  # (dim, k)
+    for j in range(comps.shape[1]):  # deterministic signs
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    return mean, comps
+
+
+@query("embedding_pca_project", tags=("similarity", "pca", "embedding"))
+def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Project every embedding onto its corpus's top-8 principal
+    components (centered), quantized to 6 decimals for a stable
+    driver row check.
+
+    Fit is :func:`pca_fit` (one partial-sums pass + a 64×64 driver
+    eigh); projection is one Arrow-batched numpy matmul per batch with
+    the (64×8) component matrix shipped in the UDF closure — the same
+    broadcast-the-model shape as ``kmeans_assign``. Rows-only driver
+    check (eigendecomposition isn't SQL-expressible); numpy parity,
+    orthonormality, and variance ordering are asserted in
+    tests/test_embeddings.py."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    emb = t(spark, sf, "embeddings")
+    mean, comps = pca_fit(emb, "embedding", dim=64, k=8)
+
+    @pandas_udf("array<double>")
+    def project(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        p = np.round((m - mean) @ comps, 6)
+        return pd.Series(p.tolist())
+
+    return emb.select("vec_id", project(F.col("embedding")).alias("pc")).select(
+        "vec_id", F.to_json("pc").alias("pc_json")  # canonicalizer-safe (no
+        # raw array cells — the driver harness cannot hash list cells)
+    )

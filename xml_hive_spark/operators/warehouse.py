@@ -1,0 +1,162 @@
+"""Warehouse maintenance operators: SCD2 MERGE and engine-portable
+deterministic sampling.
+
+The reference delivers its relational surface by Hive delegation
+(SURVEY.md §2.B) and HiveQL ships MERGE/TABLESAMPLE; Spark SQL without a
+lakehouse format has neither, so both are expressed here as first-class
+DataFrame compositions — the capability a reference user would expect,
+re-derived Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xml_hive_spark.operators import query, t
+
+
+@query(
+    "scd2_merge",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey AS cust_id, c_acctbal AS tracked_val,
+         DATE '1992-01-01' AS effective_from,
+         CAST(NULL AS DATE) AS effective_to, TRUE AS is_current
+  FROM customer WHERE c_custkey < 100
+),
+upd AS (
+  SELECT o_custkey AS cust_id, o_totalprice AS new_val,
+         CAST(o_orderdate AS DATE) AS eff_date
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01')
+  WHERE rn = 1
+)
+SELECT d.cust_id, d.tracked_val, d.effective_from,
+       CASE WHEN u.cust_id IS NOT NULL AND u.new_val <> d.tracked_val
+            THEN u.eff_date ELSE d.effective_to END AS effective_to,
+       CASE WHEN u.cust_id IS NOT NULL AND u.new_val <> d.tracked_val
+            THEN FALSE ELSE d.is_current END AS is_current
+FROM dim d LEFT JOIN upd u USING (cust_id)
+UNION ALL
+SELECT u.cust_id, u.new_val AS tracked_val, u.eff_date AS effective_from,
+       CAST(NULL AS DATE) AS effective_to, TRUE AS is_current
+FROM upd u LEFT JOIN dim d USING (cust_id)
+WHERE d.cust_id IS NULL OR u.new_val <> d.tracked_val
+""",
+    tags=("merge", "scd2", "warehouse"),
+)
+def scd2_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 MERGE: apply an update batch to a
+    versioned dimension — close out changed current rows (stamp
+    ``effective_to``, clear ``is_current``), open a new current version
+    per changed key, insert brand-new keys, pass unchanged rows through.
+
+    Inputs are derived deterministically from the driver tables: the
+    dimension is customers < 100 as an open 1992 version; the update
+    batch is each customer's latest pre-1997 order (latest by order
+    date, order key as tie-break), its total price standing in as the
+    tracked attribute. Keys ≥ 100 exercise the insert branch; keys with
+    no pre-1997 order exercise pass-through.
+
+    ONE-PASS plan: a single full-outer join on the dimension key, then
+    every MERGE branch is a conditional row-expansion (array-of-structs
+    → explode) over the join output — no second join, no re-scan of
+    either side, exactly one key shuffle each for dim and updates (the
+    update window rides the same hash partitioning). This is how MERGE
+    scales: Delta/Iceberg MERGE is the same co-keyed outer join
+    underneath. The double-valued tracked attribute passes through both
+    engines unmodified (no arithmetic), so the DuckDB value hash is
+    exact."""
+    dim = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            F.col("c_custkey").alias("cust_id"),
+            F.col("c_acctbal").alias("tracked_val"),
+            F.to_date(F.lit("1992-01-01")).alias("effective_from"),
+            F.lit(None).cast("date").alias("effective_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    upd = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_totalprice").alias("new_val"),
+            F.col("o_orderdate").cast("date").alias("eff_date"),
+        )
+    )
+
+    j = dim.join(upd, "cust_id", "full_outer")
+    matched = F.col("new_val").isNotNull() & F.col("tracked_val").isNotNull()
+    changed = matched & (F.col("new_val") != F.col("tracked_val"))
+    insert = F.col("tracked_val").isNull()  # right-only: brand-new key
+
+    old_row = F.struct(
+        F.col("tracked_val").alias("tracked_val"),
+        F.col("effective_from").alias("effective_from"),
+        F.when(changed, F.col("eff_date"))
+        .otherwise(F.col("effective_to"))
+        .alias("effective_to"),
+        F.when(changed, F.lit(False))
+        .otherwise(F.col("is_current"))
+        .alias("is_current"),
+    )
+    new_row = F.struct(
+        F.col("new_val").alias("tracked_val"),
+        F.col("eff_date").alias("effective_from"),
+        F.lit(None).cast("date").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    rows = (
+        F.when(changed, F.array(old_row, new_row))
+        .when(insert, F.array(new_row))
+        .otherwise(F.array(old_row))  # unmatched-left or matched-unchanged
+    )
+    return j.select("cust_id", F.explode(rows).alias("r")).select(
+        "cust_id", "r.tracked_val", "r.effective_from", "r.effective_to",
+        "r.is_current"
+    )
+
+
+@query(
+    "sample_hash_bucket",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '199a'
+""",
+    tags=("sampling", "hash"),
+)
+def sample_hash_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~10 % sample by key hash — the distributed sampling
+    shape that actually ships: ``md5(key)`` prefix compared against a
+    threshold ('199a'₁₆/10000₁₆ ≈ 10.0 %), so membership is a pure
+    function of the key. Unlike ``rand()``-Bernoulli (per-task RNG:
+    different rows per run, per partition layout, per engine) the same
+    rows are selected on every run, on every engine, at every
+    parallelism — which is what makes samples joinable across pipeline
+    stages and auditable cross-engine (this oracle IS the cross-engine
+    proof: both engines lowercase-hex md5 the same key bytes). The
+    predicate is embarrassingly parallel — evaluated at the scan, no
+    shuffle, no coordination; at 100 TB a sample is a filter, never a
+    collect. Spark's own ``df.sample`` stays available for seeded
+    Bernoulli (``sample_deterministic``); this is the portable variant."""
+    return (
+        t(spark, sf, "orders")
+        .filter(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 4
+            )
+            < "199a"
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
