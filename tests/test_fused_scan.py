@@ -461,3 +461,52 @@ def test_fused_equals_span_with_heavy_comments(tmp_path):
         assert got == want and len(got) == 120
         tn, to_ = _tables(asm, tmp_path, data, "rec", splits, 16)
         assert tn.equals(to_)
+
+
+def test_run_batched_rejects_reread_within_runs(tmp_path):
+    """Run-batched raw scan (rx_multi + findall): records whose captures
+    fail conversion INSIDE a multi-record run must re-read their span
+    and take the exact path, with everything else staying columnar —
+    equality with the row path across flush boundaries proves the
+    run-span bookkeeping (count, start, end) maps rows back correctly."""
+    recs = []
+    for i in range(300):
+        # every 37th val is a non-integer the template still captures
+        # ([^<]*) but int() rejects -> per-row fallback re-reads the span
+        val = "12e" if i % 37 == 0 else str(i * 3)
+        recs.append(f'<rec id="{i}"><cat>c{i % 5}</cat><val>{val}</val></rec>')
+    data = ("<dataset>\n" + "\n".join(recs) + "\n</dataset>").encode()
+    asm = FlatAssembler.try_create(_int_schema(), "PERMISSIVE")
+    n = len(data)
+    for fence in ({0, n}, {0, n // 3, n}):
+        splits = _chained(data, "rec", sorted(fence))
+        for batch_rows in (64, 32768):  # mid-run flushes + one-shot
+            tn, to_ = _tables(asm, tmp_path, data, "rec", splits, batch_rows)
+            assert tn.equals(to_), f"fence={fence} batch_rows={batch_rows}"
+            assert tn.num_rows == 300
+    plist = tn.to_pylist()
+    # the 9 records with val="12e" (i % 37 == 0) took the exact fallback
+    # (PERMISSIVE null row), everything else converted columnar
+    assert sum(1 for r in plist if r["val"] is None) == 9
+    rows = {r["id"]: r for r in plist if r["id"] is not None}
+    assert rows[1]["val"] == 3 and rows[2]["val"] == 6
+
+
+def test_run_batched_emits_multi_record_runs(tmp_path):
+    """The uniform-doc raw scan must actually take the run-batched path
+    (items carrying >1 record), not degrade to per-record items."""
+    recs = "\n".join(
+        f'<rec id="{i}"><cat>c</cat><val>{i}</val></rec>' for i in range(200)
+    )
+    data = ("<dataset>\n" + recs + "\n</dataset>").encode()
+    p = tmp_path / "doc.xml"
+    p.write_bytes(data)
+    asm = FlatAssembler.try_create(_int_schema(), "PERMISSIVE")
+    runs = []
+    with open(p, "rb") as f:
+        for item in asm._fused_scan(f, "rec", 0, len(data), "TEXT", 0,
+                                    raw=True):
+            if type(item) is list and type(item[0]) is list:
+                runs.append(len(item[0]))
+    assert runs and max(runs) > 1
+    assert sum(runs) >= 190  # nearly the whole doc rides the run path

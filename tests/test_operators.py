@@ -55,6 +55,8 @@ def test_registry_complete():
         "dedup_exact_by_hash",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "embedding_pca_project",  # eigendecomposition — not SQL-expressible;
+        # numpy parity pinned in test_embeddings
         "multimodal_decode_stub",
         "multimodal_feature_extract",
         "multimodal_frame_sample",

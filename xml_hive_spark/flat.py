@@ -226,8 +226,8 @@ class _Template:
     go through the same converters and entity handling as ``fast_row``.
     """
 
-    __slots__ = ("rx", "rx_run", "base_vals", "groups", "extract_groups",
-                 "end_group")
+    __slots__ = ("rx", "rx_run", "rx_multi", "base_vals", "groups",
+                 "extract_groups", "end_group")
 
     @classmethod
     def learn(cls, sample: bytes, fields) -> "_Template | None":
@@ -298,13 +298,18 @@ class _Template:
             + [(a, b, -1, None, False, q, False) for a, b, q in wild]
         )
         pat = bytearray()
+        pat_nc = bytearray()  # capture-free twin for the multi-record
+        # form: group save-state per repetition is pure cost when only
+        # the run EXTENT is wanted (findall re-extracts captures)
         groups: list[tuple[int, object, bool]] = []
         pos = 0
         gi = 0
         for a, b, fi, conv, is_e, q, capture in marks:
             if a < pos:
                 return None  # overlapping spans — give up, stay safe
-            pat += re.escape(sample[pos:a])
+            lit = re.escape(sample[pos:a])
+            pat += lit
+            pat_nc += lit
             charclass = b"[^<]*" if not q else (
                 b'[^"]*' if q == 0x22 else b"[^']*"
             )
@@ -314,8 +319,11 @@ class _Template:
                 groups.append((fi, conv, is_e))
             else:
                 pat += b"(?:" + charclass + b")"
+            pat_nc += b"(?:" + charclass + b")"
             pos = b
-        pat += re.escape(sample[pos:])
+        tail = re.escape(sample[pos:])
+        pat += tail
+        pat_nc += tail
         try:
             rx = re.compile(bytes(pat))
             # run form for the fused scan: also consumes the whitespace
@@ -330,8 +338,22 @@ class _Template:
             # group matches zero comments and the next anchored record
             # match fails into the exact machinery, which handles
             # refills.
-            rx_run = re.compile(
-                bytes(pat) + b"()(?:[ \t\r\n]*<!--.*?-->)*[ \t\r\n]*",
+            run_src = bytes(pat) + b"()(?:[ \t\r\n]*<!--.*?-->)*[ \t\r\n]*"
+            rx_run = re.compile(run_src, re.DOTALL)
+            # multi-record form: one C-level match consumes a RUN of up
+            # to 64 consecutive uniform records (captures are ignored —
+            # only the extent is used; ``rx_run.findall`` then extracts
+            # every record's captures over the proven span in one more C
+            # call). Built from the CAPTURE-FREE twin: same token
+            # structure, same match extent, no group save-state per
+            # repetition. The decomposition is unambiguous: every record
+            # starts with the literal ``<tag`` and no charclass in the
+            # pattern can match '<', so search-order findall reproduces
+            # exactly the anchored per-record parse (asserted
+            # property-style in tests/test_fused_scan.py).
+            rx_multi = re.compile(
+                b"(?:" + bytes(pat_nc)
+                + b"(?:[ \t\r\n]*<!--.*?-->)*[ \t\r\n]*){1,64}",
                 re.DOTALL,
             )
         except re.error:
@@ -339,6 +361,7 @@ class _Template:
         self = cls.__new__(cls)
         self.rx = rx
         self.rx_run = rx_run
+        self.rx_multi = rx_multi
         self.base_vals = base_vals
         self.groups = groups
         self.end_group = len(groups) + 1  # the () record-end anchor
@@ -604,6 +627,29 @@ class FlatAssembler:
                         else len(data)
                     end_rel = end - base
                     advanced = False
+                    if raw:
+                        # run-BATCHED fast path: rx_multi consumes up to
+                        # 64 uniform records in ONE C match; findall
+                        # re-extracts every record's captures over that
+                        # proven span in one more C call — zero
+                        # per-record Python dispatch. Runs that would
+                        # cross the split end or the buffered-lookahead
+                        # guard are left to the per-record loop below,
+                        # which owns boundary exactness unchanged.
+                        multi_match = tmpl.rx_multi.match
+                        run_findall = tmpl.rx_run.findall
+                        hi = end_rel if end_rel < lo_guard else lo_guard
+                        while rel < hi:
+                            mm = multi_match(data, rel)
+                            if mm is None:
+                                break
+                            e = mm.end()
+                            if e > hi:
+                                break
+                            yield [run_findall(data, rel, e),
+                                   base + rel, base + e]
+                            rel = e
+                            advanced = True
                     while rel < end_rel:
                         if rel > lo_guard:
                             break  # too close to the tail to trust a miss
@@ -743,7 +789,10 @@ class FlatAssembler:
         path, a, b = split[0], split[1], split[2]
         state = split[3] if len(split) > 3 else ST_TEXT
         depth = split[4] if len(split) > 4 else 0
-        ms: list = []      # [captures, abs_start, abs_end] run items
+        caps: list = []    # capture tuples, one per template row
+        spans: list = []   # (row_count, abs_start, abs_end): count==1 →
+        # one record's byte span; count>1 → a RUN of count contiguous
+        # records (re-read recovers per-record spans via rx_run)
         exacts: list = []  # (row_idx_within_batch, value tuple)
         n = 0
         from xml_hive_spark.reader import open_xml
@@ -753,16 +802,25 @@ class FlatAssembler:
                                          raw=True):
                 if type(item) is tuple:
                     exacts.append((n, item))
+                    n += 1
                 else:
-                    ms.append(item)
-                n += 1
+                    g = item[0]
+                    if type(g) is list:  # run-batched captures
+                        caps.extend(g)
+                        spans.append((len(g), item[1], item[2]))
+                        n += len(g)
+                    else:
+                        caps.append(g)
+                        spans.append((1, item[1], item[2]))
+                        n += 1
                 if n >= batch_rows:
-                    yield self._flush_columnar(ms, exacts, n, path)
-                    ms, exacts, n = [], [], 0
+                    yield self._flush_columnar(caps, spans, exacts, n, path)
+                    caps, spans, exacts, n = [], [], [], 0
             if n:
-                yield self._flush_columnar(ms, exacts, n, path)
+                yield self._flush_columnar(caps, spans, exacts, n, path)
 
-    def _flush_columnar(self, ms: list, exacts: list, n: int, path: str):
+    def _flush_columnar(self, caps: list, spans: list, exacts: list,
+                        n: int, path: str):
         import numpy as np
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -773,7 +831,7 @@ class FlatAssembler:
             (i for i, _ in exacts), dtype=np.int64, count=len(exacts)
         )
         try:
-            run_cols = self._convert_run_columns(ms, atypes)
+            run_cols = self._convert_run_columns(caps, atypes)
         except _NeedRowPath:
             # something in this batch needs exact per-row semantics:
             # convert run matches row-wise (with record re-parse fallback
@@ -781,7 +839,7 @@ class FlatAssembler:
             run_global = np.setdiff1d(np.arange(n), idx_exact)
             tuples = [
                 (int(run_global[j]), vals)
-                for j, vals in self._run_rows(ms, path)
+                for j, vals in self._run_rows(caps, spans, path)
             ] + exacts
             tuples.sort()
             return self._tuples_to_batch(
@@ -794,8 +852,8 @@ class FlatAssembler:
         take = np.empty(n, dtype=np.int64)
         is_exact = np.zeros(n, dtype=bool)
         is_exact[idx_exact] = True
-        take[~is_exact] = np.arange(len(ms))
-        take[idx_exact] = len(ms) + np.arange(len(exacts))
+        take[~is_exact] = np.arange(len(caps))
+        take[idx_exact] = len(caps) + np.arange(len(exacts))
         take_arr = pa.array(take)
         cols = []
         for fi, (run_arr, t) in enumerate(zip(run_cols, atypes)):
@@ -803,30 +861,73 @@ class FlatAssembler:
             cols.append(pa.concat_arrays([run_arr, exact_arr]).take(take_arr))
         return pa.RecordBatch.from_arrays(cols, schema=aschema)
 
-    def _run_rows(self, ms: list, path: str):
-        """Per-row conversion of template run items — the exact-path
+    def _run_rows(self, caps: list, spans: list, path: str):
+        """Per-row conversion of template captures — the exact-path
         fallback for batches the columnar checks flag. Mirrors emit():
         template-capture extraction first; a rejected row re-reads its
         byte span from the file and goes through fast_row /
-        parse_record_safe exactly like the exact token path."""
+        parse_record_safe exactly like the exact token path. For
+        run-batched spans (count > 1) the per-record byte spans are
+        recovered by re-matching ``rx_run`` over the re-read run bytes —
+        the same pattern over the same bytes reproduces the same
+        decomposition."""
         out = []
         fh = None
+        tmpl = self._scan_tmpl
+
+        def reparse(rec: bytes):
+            vals = self.fast_row(rec)
+            if vals is None:
+                vals = parse_record_safe(rec, self.struct, self.mode)
+            return vals  # None → DROPMALFORMED drop
+
         try:
-            for j, (groups_raw, a, b) in enumerate(ms):
-                vals = self._extract_from_groups(groups_raw)
-                if vals is None:
+            j = 0
+            for count, a, b in spans:
+                if count == 1:
+                    vals = self._extract_from_groups(caps[j])
+                    if vals is None:
+                        if fh is None:
+                            from xml_hive_spark.reader import open_xml
+
+                            fh = open_xml(path)
+                        fh.seek(a)
+                        vals = reparse(fh.read(b - a))
+                    if vals is not None:
+                        out.append((j, vals))
+                    j += 1
+                    continue
+                vlist = [
+                    self._extract_from_groups(caps[j + i])
+                    for i in range(count)
+                ]
+                if any(v is None for v in vlist):
                     if fh is None:
                         from xml_hive_spark.reader import open_xml
 
                         fh = open_xml(path)
                     fh.seek(a)
-                    rec = fh.read(b - a)
-                    vals = self.fast_row(rec)
-                    if vals is None:
-                        vals = parse_record_safe(rec, self.struct, self.mode)
-                        if vals is None:  # DROPMALFORMED
+                    blob = fh.read(b - a)
+                    rel_spans = [
+                        (m.start(), m.end(tmpl.end_group))
+                        for m in tmpl.rx_run.finditer(blob)
+                    ]
+                    for i, v in enumerate(vlist):
+                        if v is not None:
                             continue
-                out.append((j, vals))
+                        # i < len(rel_spans) always holds for an
+                        # unchanged file; an empty rec (file rewritten
+                        # underneath) flows through the malformed policy
+                        rec = (
+                            blob[rel_spans[i][0]:rel_spans[i][1]]
+                            if i < len(rel_spans)
+                            else b""
+                        )
+                        vlist[i] = reparse(rec)
+                for i, v in enumerate(vlist):
+                    if v is not None:
+                        out.append((j + i, v))
+                j += count
         finally:
             if fh is not None:
                 fh.close()
@@ -837,7 +938,7 @@ class FlatAssembler:
         bytes (same None-reject contract; see _Template.extract_groups)."""
         return self._scan_tmpl.extract_groups(groups_raw)
 
-    def _convert_run_columns(self, ms: list, atypes: list):
+    def _convert_run_columns(self, caps: list, atypes: list):
         """Bulk-convert run-match captures with pyarrow compute; raises
         :class:`_NeedRowPath` whenever a bulk check cannot PROVE the
         columnar result equals the per-row pipeline:
@@ -858,14 +959,14 @@ class FlatAssembler:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        R = len(ms)
+        R = len(caps)
         if R == 0:  # batch of exact-path rows only (e.g. pre-template)
             return [pa.nulls(0, t) for t in atypes]
         tmpl = self._scan_tmpl
         covered = {}
         for gi, (fi, _conv, is_elem) in enumerate(tmpl.groups):
             covered[fi] = (gi, is_elem)
-        raw_cols = list(zip(*[it[0] for it in ms])) if ms else []
+        raw_cols = list(zip(*caps))
         out: list = []
         for fi in range(self._n_fields):
             target = atypes[fi]
@@ -873,7 +974,7 @@ class FlatAssembler:
                 out.append(pa.nulls(R, target))  # constant-absent field
                 continue
             gi, is_elem = covered[fi]
-            arr = pa.array(list(raw_cols[gi]), type=pa.binary())
+            arr = pa.array(raw_cols[gi], type=pa.binary())
             try:
                 s = arr.cast(pa.string())
             except pa.ArrowInvalid:
