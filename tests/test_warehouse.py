@@ -78,3 +78,26 @@ class TestSampleHashBucket:
 
         for k in a[:20]:
             assert hashlib.md5(str(k).encode()).hexdigest()[:4] < "199a"
+
+
+class TestIntervalOverlapJoin:
+    def test_dedup_free_and_bounds(self, spark, sf_dir):
+        """The bucket trick must emit each overlapping pair exactly once
+        (no distinct in the plan), with overlap bounded by the shorter
+        interval."""
+        out = all_queries()["interval_overlap_join"].fn(spark, sf_dir).collect()
+        pairs = [(r.o_orderkey, r.campaign_id) for r in out]
+        assert len(pairs) == len(set(pairs)), "bucketized join emitted dupes"
+        assert all(1 <= r.overlap_days <= 14 for r in out)
+        assert out, "campaign windows must overlap some orders"
+
+
+class TestCountMinSketch:
+    def test_overestimate_invariant(self, spark, sf_dir):
+        """CM estimates never under-count; at d=3 x w=256 over a small
+        vocabulary most probes are collision-free (est == exact)."""
+        out = all_queries()["sketch_count_min"].fn(spark, sf_dir).collect()
+        assert len(out) == 20
+        assert all(r.cm_est >= r.exact_n for r in out)
+        exact_hits = sum(1 for r in out if r.cm_est == r.exact_n)
+        assert exact_hits >= 10  # mostly collision-free at this scale

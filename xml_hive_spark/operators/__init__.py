@@ -173,22 +173,23 @@ _DRIVER_WINDOW = [
     "window_value_functions",
     "pivot_status_counts",
     "unpivot_part_metrics",
-    "variant_json_access",
     "partitioned_write_roundtrip",
-    "csv_roundtrip",
     # --- NEW this round: real PNG/WAV/GIF/JPEG round trips, checksum
     # oracles over real codec work ---
     "multimodal_png_codec",
     "multimodal_wav_codec",
     "multimodal_gif_codec",
     "multimodal_jpeg_codec",
-    # --- NEW this round: SCD2 MERGE + portable hash sampling (full
-    # oracles) and distributed PCA (rows-only); first driver check.
-    # These displace json_roundtrip + the 2 r5-green canaries — the
-    # 21-query r4 refresh block above already re-checks the join/agg
-    # families broadly ---
+    # --- NEW this round, taking their first driver check: SCD2 MERGE,
+    # portable hash sampling, bucketized interval-overlap join, and the
+    # cross-engine count-min sketch (full oracles); distributed PCA
+    # (rows-only). These displace json/csv_roundtrip, variant_json_access
+    # and the 2 r5-green canaries — all local-gate green; the 21-query r4
+    # refresh block above already re-checks the join/agg families broadly
     "scd2_merge",
     "sample_hash_bucket",
+    "interval_overlap_join",
+    "sketch_count_min",
     "embedding_pca_project",
 ]
 

@@ -297,3 +297,107 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.round("score", 4).alias("bm25"), "rank")
         .orderBy("rank")
     )
+
+
+def _cm_bucket(col, seed: str):
+    """Count-min hash: the low byte of md5(token || seed) — 2 hex chars
+    → [0, 256). Engine-portable (md5 is identical everywhere; the DuckDB
+    twin decodes the same two hex chars with strpos arithmetic)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(col, F.lit("#" + seed)).cast("binary")), 1, 2
+        ),
+        16,
+        10,
+    ).cast("int")
+
+
+@query(
+    "sketch_count_min",
+    oracle="""
+WITH toks AS (
+  SELECT t.word AS token FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+    FROM documents
+  ) t WHERE t.word <> ''
+),
+cells AS (
+  SELECT r, c, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT 0 AS r, (strpos('0123456789abcdef', substr(md5(token || '#0'), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(token || '#0'), 2, 1)) - 1) AS c FROM toks
+    UNION ALL
+    SELECT 1 AS r, (strpos('0123456789abcdef', substr(md5(token || '#1'), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(token || '#1'), 2, 1)) - 1) AS c FROM toks
+    UNION ALL
+    SELECT 2 AS r, (strpos('0123456789abcdef', substr(md5(token || '#2'), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(token || '#2'), 2, 1)) - 1) AS c FROM toks
+  ) GROUP BY r, c
+),
+exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+  FROM toks GROUP BY token ORDER BY exact_n DESC, token LIMIT 20
+),
+probes AS (
+  SELECT token, exact_n, 0 AS r, (strpos('0123456789abcdef', substr(md5(token || '#0'), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(token || '#0'), 2, 1)) - 1) AS c FROM exact
+  UNION ALL
+  SELECT token, exact_n, 1 AS r, (strpos('0123456789abcdef', substr(md5(token || '#1'), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(token || '#1'), 2, 1)) - 1) AS c FROM exact
+  UNION ALL
+  SELECT token, exact_n, 2 AS r, (strpos('0123456789abcdef', substr(md5(token || '#2'), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(token || '#2'), 2, 1)) - 1) AS c FROM exact
+)
+SELECT p.token, p.exact_n, MIN(cells.n) AS cm_est
+FROM probes p JOIN cells USING (r, c)
+GROUP BY p.token, p.exact_n
+""",
+    tags=("text", "sketch", "agg"),
+)
+def sketch_count_min(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch frequency estimation with a FULL cross-engine
+    oracle: build a d=3 × w=256 sketch over the whitespace-token stream,
+    then estimate the counts of the 20 most frequent tokens (reported
+    next to their exact counts; ``cm_est >= exact_n`` always, equality
+    when no collision — both invariants pinned in tests/test_text_extra
+    assertions and by the value oracle itself, since DuckDB recomputes
+    the identical sketch from the identical md5 hashes).
+
+    Scale shape — the reason sketches exist: the sketch is a MERGEABLE
+    summary. Each task's partial ``(r, c) → count`` cells are combined
+    by the same hash-agg as any sum (one shuffle of ≤ d×w rows per
+    task, independent of corpus size or vocabulary), where an exact
+    per-token count shuffles one row per distinct token. d×w = 768
+    cells bound the memory forever; estimation is a broadcast-sized
+    join against the cells. Probing the exact top-20 here keeps the
+    demo honest (the estimate is checked against truth); a production
+    pipeline probes whatever token set it cares about without ever
+    materializing exact counts."""
+    docs = t(spark, sf, "documents")
+    toks = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    tok = F.col("token")
+    cells = None
+    for i in range(3):
+        part = toks.select(
+            F.lit(i).alias("r"), _cm_bucket(tok, str(i)).alias("c")
+        )
+        cells = part if cells is None else cells.unionAll(part)
+    cells = cells.groupBy("r", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    probes = None
+    for i in range(3):
+        part = exact.select(
+            "token", "exact_n", F.lit(i).alias("r"),
+            _cm_bucket(tok, str(i)).alias("c"),
+        )
+        probes = part if probes is None else probes.unionAll(part)
+    return (
+        probes.join(cells, ["r", "c"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("n").alias("cm_est"))
+    )

@@ -193,3 +193,97 @@ def hypertable_rollup(spark: SparkSession, sf: str) -> DataFrame:
         davg("value").alias("avg_value"),
         F.round(F.max("value"), 3).alias("max_value"),
     )
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS os,
+         CAST(o_orderdate AS DATE) + 14 AS oe
+  FROM orders
+),
+c AS (
+  SELECT DISTINCT CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
+                       AS DATE) AS cs
+  FROM orders
+),
+c2 AS (SELECT strftime(cs, '%Y-%m') AS campaign_id, cs, cs + 45 AS ce FROM c)
+SELECT o_orderkey, campaign_id,
+       date_diff('day', GREATEST(os, cs), LEAST(oe, ce)) AS overlap_days
+FROM o JOIN c2 ON os < ce AND cs < oe
+""",
+    tags=("join", "interval", "timeseries"),
+)
+def interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap join, BUCKETIZED: every order carries a 14-day
+    interval, campaigns are 45-day windows per distinct order quarter;
+    emit each overlapping (order, campaign) pair with its exact overlap
+    length. Half-open semantics: [s, e) overlaps iff os < ce AND cs < oe.
+
+    The scale shape is the point. A raw overlap predicate is a theta
+    join — O(N×M) comparisons with no shuffle key (the oracle runs it;
+    DuckDB can at sf0.01). Here both sides explode to the MONTH buckets
+    their interval touches (``sequence`` + ``explode``: fan-out =
+    interval length / bucket width, a small constant) and the join is an
+    EQUI-join on the bucket — shuffle-partitioned, AQE-skew-handled,
+    linear in candidates. Each overlapping pair is emitted EXACTLY once
+    with no distinct: the pair joins only in the bucket containing
+    ``greatest(os, cs)`` (the later start lies inside both intervals,
+    so both sides produced that bucket; every other shared bucket is
+    filtered). The campaign side here is broadcast-small — the pattern
+    is what carries when BOTH sides are fact-sized (the dedup-free
+    bucket trick is what makes it shuffle-safe at 100 TB)."""
+    orders = t(spark, sf, "orders")
+    o = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("os"),
+        F.date_add(F.col("o_orderdate").cast("date"), 14).alias("oe"),
+    )
+    camp = (
+        orders.select(
+            F.trunc(F.col("o_orderdate").cast("date"), "quarter").alias("cs")
+        )
+        .distinct()
+        .select(
+            F.date_format("cs", "yyyy-MM").alias("campaign_id"),
+            "cs",
+            F.date_add("cs", 45).alias("ce"),
+        )
+    )
+    month = F.expr("interval 1 month")
+    ob = o.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.trunc("os", "month"),
+                F.trunc(F.date_sub("oe", 1), "month"),
+                month,
+            )
+        ),
+    )
+    cb = camp.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.trunc("cs", "month"),
+                F.trunc(F.date_sub("ce", 1), "month"),
+                month,
+            )
+        ),
+    )
+    return (
+        ob.join(cb, "bucket")
+        .filter(
+            (F.col("os") < F.col("ce"))
+            & (F.col("cs") < F.col("oe"))
+            & (F.col("bucket") == F.trunc(F.greatest("os", "cs"), "month"))
+        )
+        .select(
+            "o_orderkey",
+            "campaign_id",
+            F.datediff(
+                F.least("oe", "ce"), F.greatest("os", "cs")
+            ).alias("overlap_days"),
+        )
+    )
