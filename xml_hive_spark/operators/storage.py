@@ -154,3 +154,35 @@ def json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "orc_roundtrip",
+    oracle="""
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+FROM part
+GROUP BY p_brand ORDER BY p_brand
+""",
+    tags=("source", "sink", "orc"),
+)
+def orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC sink → ORC source round-trip (the other columnar format the
+    Hive world the reference lives in actually runs on — a Hive SerDe
+    user migrating here keeps their ORC lake readable). Vectorized
+    reader + predicate pushdown come with Spark's native orc source;
+    the oracle aggregates the ORIGINAL parquet table, so a row lost or
+    value mangled in either direction breaks the hash."""
+    out = _roundtrip_dir("orc", sf)
+    part = t(spark, sf, "part")
+    part.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice").alias("total_price"),
+        )
+        .orderBy("p_brand")
+    )

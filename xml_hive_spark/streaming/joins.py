@@ -161,3 +161,60 @@ def streaming_stream_join_outer(spark: SparkSession, sf: str) -> DataFrame:
     """Registry entry (rows-only; horizon-exact equality with the batch
     left-outer twin in tests/test_streaming.py)."""
     return run_streaming_stream_join_outer(spark, sf)
+
+
+@query(
+    "streaming_static_join",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+    tags=("streaming", "join", "static"),
+)
+def streaming_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the bronze→silver shape: an
+    unbounded event stream joined to a broadcast dimension (customer),
+    then aggregated. Stateless per-row enrichment (no watermark state:
+    only stream-stream joins buffer), so the static side is re-resolvable
+    per micro-batch — at 100 TB/day of events the dimension broadcast is
+    the only non-linear piece and it's O(|dim|).
+
+    FULL value oracle: an availableNow drain of the whole landing dir is
+    batch-equivalent, so DuckDB's plain batch join/aggregate over the
+    same parquet must hash-match the drained stream exactly — the same
+    stream-equals-batch contract ``xml_stream_scan`` pins."""
+    import uuid
+
+    from xml_hive_spark.operators import t
+    from xml_hive_spark.streaming.windowed import streaming_events
+
+    ev = streaming_events(spark, sf)
+    dim = F.broadcast(
+        t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        ev.join(dim, ev.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = f"stream_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", scratch_dir("ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("availableNow drain did not finish within 120s")
+    return spark.table(name)
