@@ -1,0 +1,118 @@
+"""Corrupt-record capture (spark-xml ``columnNameOfCorruptRecord``
+semantics): under PERMISSIVE, records that fail parsing or coercion
+surface their raw text in a declared sink column; clean rows leave it
+null. The reference just warns-and-drops (AvroTransormer.scala:185)."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from xml_hive_spark.reader import read_xml
+
+
+def _schema():
+    return StructType(
+        [
+            StructField("name", StringType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "name"}),
+            StructField("qty", IntegerType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "qty"}),
+        ]
+    )
+
+
+DOC = b"""<root>
+<item><name>ok-1</name><qty>5</qty></item>
+<item><name>broken</name><qty>five</qty></item>
+<item><name>ok-2</name><qty>7</qty></item>
+<item><name>unclosed<qty>9</qty></item>
+<item><name>ok-3</name><qty>11</qty></item>
+</root>"""
+
+
+def _write(tmp_path):
+    p = tmp_path / "items.xml"
+    p.write_bytes(DOC)
+    return str(p)
+
+
+class TestReadXml:
+    def test_permissive_captures_raw_text(self, spark, tmp_path):
+        df = read_xml(
+            spark, _write(tmp_path), "item", schema=_schema(),
+            mode="PERMISSIVE", corrupt_column="_corrupt_record",
+        )
+        assert df.schema.fieldNames() == ["name", "qty", "_corrupt_record"]
+        rows = sorted(df.collect(), key=lambda r: (r._corrupt_record or "", r.name or ""))
+        clean = [r for r in rows if r._corrupt_record is None]
+        bad = [r for r in rows if r._corrupt_record is not None]
+        assert {r.name for r in clean} == {"ok-1", "ok-2", "ok-3"}
+        assert {r.qty for r in clean} == {5, 7, 11}
+        assert len(bad) == 2
+        for r in bad:  # data fields null, raw record text preserved
+            assert r.name is None and r.qty is None
+        texts = sorted(r._corrupt_record for r in bad)
+        assert "<qty>five</qty>" in texts[0] or "<qty>five</qty>" in texts[1]
+        assert any("unclosed" in t for t in texts)
+
+    def test_dropmalformed_unaffected(self, spark, tmp_path):
+        df = read_xml(
+            spark, _write(tmp_path), "item", schema=_schema(),
+            mode="DROPMALFORMED", corrupt_column="_corrupt_record",
+        )
+        rows = df.collect()
+        assert len(rows) == 3
+        assert all(r._corrupt_record is None for r in rows)
+
+    def test_declared_column_is_tagged_not_duplicated(self, spark, tmp_path):
+        schema = _schema().add(StructField("bad", StringType(), True))
+        df = read_xml(
+            spark, _write(tmp_path), "item", schema=schema,
+            mode="PERMISSIVE", corrupt_column="bad",
+        )
+        assert df.schema.fieldNames() == ["name", "qty", "bad"]
+        assert df.filter("bad IS NOT NULL").count() == 2
+
+
+class TestBareDataSource:
+    def test_option_requires_declared_field(self, spark, tmp_path):
+        import pytest
+
+        from xml_hive_spark.sources.xml_datasource import register
+
+        register(spark)
+        path = _write(tmp_path)
+        schema = _schema().add(StructField("_corrupt_record", StringType(), True))
+
+        def load():
+            # fresh load per query: a filterless re-scan of one loaded
+            # DataFrame reuses the previous pushdown plan (upstream pin:
+            # test_pushdown.test_upstream_plan_reuse_leaks_pushed_filters)
+            return (
+                spark.read.format("xmlhive")
+                .schema(schema)
+                .option("rowTag", "item")
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", "_corrupt_record")
+                .option("path", path)
+                .load()
+            )
+
+        assert load().filter("_corrupt_record IS NOT NULL").count() == 2
+        assert load().count() == 5
+
+        missing = (
+            spark.read.format("xmlhive")
+            .schema(_schema())
+            .option("rowTag", "item")
+            .option("columnNameOfCorruptRecord", "nope")
+            .option("path", path)
+            .load()
+        )
+        with pytest.raises(Exception, match="columnNameOfCorruptRecord"):
+            missing.collect()

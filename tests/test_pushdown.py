@@ -446,3 +446,61 @@ def test_columnar_filtered_equals_row_filtered(tmp_path):
             return out
 
         assert canon(col) == canon(row), flts
+
+
+def test_upstream_plan_reuse_leaks_pushed_filters(spark, tmp_path):
+    """UPSTREAM PIN (Spark 4.1 Python DataSource): a DataFrame's
+    filterless scan REUSES the most recent pushdown-planned read of the
+    same relation, so pushed filters leak into it (df.filter(x).count()
+    then df.count() under-counts). Queries WITH pushable filters
+    re-plan correctly — only the filterless re-scan is stale. Not our
+    reader's state: the planning worker builds a FRESH DataSourceReader
+    per pushdown run (pyspark/sql/worker/data_source_pushdown_filters.py
+    creates `data_source.reader(schema)` each invocation); the stale
+    reuse is JVM-side. Mitigations documented in README: re-`load()`
+    per query, or disable spark.sql.python.filterPushdown.enabled.
+    STRICT pin: if an upstream fix lands, this test FAILS and the
+    README caveat comes out."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from xml_hive_spark.sources.xml_datasource import register
+
+    register(spark)
+    p = tmp_path / "leak.xml"
+    p.write_bytes(
+        b"<root>"
+        + b"".join(
+            f"<item><name>n{i}</name><qty>{i}</qty></item>".encode()
+            for i in range(10)
+        )
+        + b"</root>"
+    )
+    schema = StructType(
+        [
+            StructField("name", StringType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "name"}),
+            StructField("qty", IntegerType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "qty"}),
+        ]
+    )
+
+    def load():
+        return (
+            spark.read.format("xmlhive").schema(schema)
+            .option("rowTag", "item").option("path", str(p)).load()
+        )
+
+    fresh = load()
+    assert fresh.count() == 10  # filterless FIRST scan is correct
+
+    df = load()
+    assert df.filter("qty >= 8").count() == 2
+    # the stale-reuse bug: 2 here (correct answer would be 10)
+    assert df.count() == 2, (
+        "upstream fixed the stale plan reuse — remove this pin and the "
+        "README caveat"
+    )
+    # a query WITH a pushable filter re-plans and is correct
+    assert df.filter("qty < 3").count() == 3
+    # a fresh load is always correct
+    assert load().count() == 10

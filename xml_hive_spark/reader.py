@@ -594,6 +594,13 @@ def assemble_row(elem: ET.Element, struct: StructType) -> tuple:
         meta = field.metadata or {}
         kind = meta.get("xmlKind")
         xml_name = meta.get("xmlName", field.name)
+        if kind == "corrupt":
+            # corrupt-record sink (spark-xml columnNameOfCorruptRecord
+            # convention): always null on a successfully parsed record —
+            # parse_record_safe fills it with the raw record text when
+            # PERMISSIVE swallows a parse/coercion failure
+            values.append(None)
+            continue
         if kind == "text":
             values.append(_coerce(_direct_text(elem), field.dataType))
             continue
@@ -670,14 +677,56 @@ def parse_record(record_bytes: bytes, struct: StructType) -> tuple:
     return assemble_row(elem, struct)
 
 
+def corrupt_field_index(struct: StructType) -> int | None:
+    """Position of the corrupt-record sink column (a field tagged
+    ``xmlKind: corrupt``), or None when the schema has no sink."""
+    for i, f in enumerate(struct.fields):
+        if (f.metadata or {}).get("xmlKind") == "corrupt":
+            return i
+    return None
+
+
+def tag_corrupt_field(struct: StructType, name: str) -> StructType:
+    """Return ``struct`` with field ``name`` tagged as the corrupt-record
+    sink (appending a nullable string field when absent — the
+    ``read_xml(corrupt_column=...)`` path; the bare DataSource requires
+    the field declared since Spark fixes the scan schema)."""
+    from pyspark.sql.types import StringType, StructField
+
+    fields = []
+    found = False
+    for f in struct.fields:
+        if f.name == name:
+            found = True
+            if not isinstance(f.dataType, StringType):
+                raise ValueError(
+                    f"corrupt-record column {name!r} must be STRING, "
+                    f"got {f.dataType.simpleString()}"
+                )
+            fields.append(
+                StructField(f.name, f.dataType, True,
+                            metadata={"xmlKind": "corrupt"})
+            )
+        else:
+            fields.append(f)
+    if not found:
+        fields.append(
+            StructField(name, StringType(), True,
+                        metadata={"xmlKind": "corrupt"})
+        )
+    return StructType(fields)
+
+
 def parse_record_safe(record_bytes: bytes, struct: StructType, mode: str):
     """Malformed-record policy (reference drops bad records with a console
     warning — "oopsie", AvroTransormer.scala:185):
 
     - ``FAILFAST``: raise (default — correctness-first).
     - ``DROPMALFORMED``: skip the record (reference parity).
-    - ``PERMISSIVE``: emit an all-null row so downstream can count/route
-      corrupt records.
+    - ``PERMISSIVE``: emit a null row; when the schema declares a
+      corrupt-record sink (``xmlKind: corrupt``), the raw record text
+      lands there so downstream can count/route/repair corrupt records
+      (spark-xml's ``columnNameOfCorruptRecord`` semantics).
     Returns the row tuple, None to drop, or raises."""
     try:
         return parse_record(record_bytes, struct)
@@ -685,7 +734,11 @@ def parse_record_safe(record_bytes: bytes, struct: StructType, mode: str):
         if mode == "DROPMALFORMED":
             return None
         if mode == "PERMISSIVE":
-            return tuple(None for _ in struct.fields)
+            row = [None] * len(struct.fields)
+            ci = corrupt_field_index(struct)
+            if ci is not None:
+                row[ci] = record_bytes.decode("utf-8", errors="replace")
+            return tuple(row)
         raise
 
 
@@ -943,6 +996,7 @@ def read_xml(
     partition_bytes: int = DEFAULT_PARTITION_BYTES,
     use_datasource: bool = True,
     mode: str = "FAILFAST",
+    corrupt_column: str | None = None,
 ) -> DataFrame:
     """Read XML files into a DataFrame, one row per ``row_tag`` record.
 
@@ -951,6 +1005,13 @@ def read_xml(
     ``xml.separator.tag.type`` table properties,
     AvroTransormer.scala:54-57), mirroring
     ``spark.read.format("xmlhive")`` options.
+
+    ``corrupt_column`` (with ``mode="PERMISSIVE"``) appends/tags a string
+    sink column that carries the raw text of each record that failed to
+    parse or coerce — data fields stay null on those rows, the sink stays
+    null on clean rows (spark-xml ``columnNameOfCorruptRecord``
+    semantics; the reference just drops bad records with a console
+    warning, AvroTransormer.scala:185).
     """
     if schema is None:
         if xsd is not None and sep_tag_type is not None:
@@ -965,6 +1026,9 @@ def read_xml(
 
             log.info("read_xml: no schema/XSD given; inferring from a sample")
             schema = infer_xml_schema(path, row_tag)
+
+    if corrupt_column is not None:
+        schema = tag_corrupt_field(schema, corrupt_column)
 
     paths = resolve_paths(path)
     splits = plan_annotated_splits(paths, row_tag, partition_bytes, spark=spark)

@@ -139,6 +139,21 @@ class XmlHiveReader(DataSourceReader):
         self._mode = str(_opt(options, "mode", default="FAILFAST")).upper()
         if self._mode not in ("FAILFAST", "DROPMALFORMED", "PERMISSIVE"):
             raise ValueError(f"xmlhive: invalid mode {self._mode!r}")
+        corrupt = _opt(options, "columnNameOfCorruptRecord",
+                       "columnnameofcorruptrecord")
+        if corrupt:
+            # bare-DataSource path: the scan schema is fixed by Spark, so
+            # the sink column must already be declared — tag it (read_xml
+            # appends it before the schema reaches the source)
+            from xml_hive_spark.reader import tag_corrupt_field
+
+            if corrupt not in self._schema.fieldNames():
+                raise ValueError(
+                    f"xmlhive: columnNameOfCorruptRecord={corrupt!r} is not "
+                    "in the declared schema — add it as a nullable STRING "
+                    "field (the scan cannot widen a fixed schema)"
+                )
+            self._schema = tag_corrupt_field(self._schema, corrupt)
 
     def pushFilters(self, filters):
         """Spark 4.1 filter pushdown: accept predicates we can evaluate
