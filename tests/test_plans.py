@@ -255,3 +255,24 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scd2_merge_single_pass(spark, sf_dir):
+    """scd2_merge must be ONE co-keyed full-outer join + row expansion:
+    exactly one FullOuter join in the plan, no second join of dim to
+    updates, no CartesianProduct."""
+    plan = plan_of(spark, sf_dir, "scd2_merge")
+    assert plan.count("FullOuter") >= 1
+    joins = sum(plan.count(k) for k in
+                ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin"))
+    assert joins == 1, f"expected exactly one join, plan had {joins}"
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_is_equi_bucketed(spark, sf_dir):
+    """The interval join must ride an equi-join on the exploded bucket
+    (hash-partitionable), never a CartesianProduct/theta-only join."""
+    plan = plan_of(spark, sf_dir, "interval_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "explode" in plan

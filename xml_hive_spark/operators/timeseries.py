@@ -287,3 +287,56 @@ def interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("overlap_days"),
         )
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase_ts
+  FROM events e JOIN s ON s.user_id = e.user_id AND e.ts > s.signup_ts
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+       p.first_purchase_ts IS NOT NULL AS converted
+FROM s LEFT JOIN p ON p.user_id = s.user_id
+""",
+    tags=("timeseries", "funnel", "events"),
+)
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-step funnel (event-sequence analytics): per user, the
+    first ``signup`` and the first ``purchase`` strictly AFTER it — the
+    order constraint is what separates a funnel from two independent
+    aggregates (a purchase before signup must not count).
+
+    Plan: two filtered hash-aggs and two joins, all keyed on user_id —
+    one shuffle key end to end, so every stage can reuse the same hash
+    partitioning. The step-2 aggregate filters ``ts > signup_ts`` BEFORE
+    its min (aggregate-after-join on the co-keyed pair), never a
+    per-user sort or a window over the full event stream — at 100 TB of
+    events the stream is touched twice with predicate + column pruning
+    into both scans and reduced to per-user rows immediately."""
+    ev = t(spark, sf, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return s.join(p, "user_id", "left").select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_ts",
+        F.col("first_purchase_ts").isNotNull().alias("converted"),
+    )
