@@ -116,3 +116,37 @@ class TestBareDataSource:
         )
         with pytest.raises(Exception, match="columnNameOfCorruptRecord"):
             missing.collect()
+
+
+class TestFusedPathKeepsCorruptCapture:
+    def test_flat_assembler_accepts_corrupt_sink(self, spark, tmp_path):
+        """A corrupt-sink schema must KEEP the fused fast path (clean
+        records: template/columnar; corrupt ones: exact fallback fills
+        the text) — not silently degrade every record to ElementTree."""
+        from xml_hive_spark.flat import FlatAssembler
+        from xml_hive_spark.reader import tag_corrupt_field
+
+        schema = tag_corrupt_field(_schema(), "_corrupt_record")
+        asm = FlatAssembler.try_create(schema, "PERMISSIVE")
+        assert asm is not None, "corrupt sink must not disable the fast path"
+
+        # uniform run + a coercion-corrupt + a structurally-corrupt record
+        recs = [
+            f"<item><name>n{i}</name><qty>{i}</qty></item>" for i in range(50)
+        ]
+        recs[13] = "<item><name>bad</name><qty>NaN?</qty></item>"
+        recs[29] = "<item><name>open<qty>9</qty></item>"
+        data = ("<root>\n" + "\n".join(recs) + "\n</root>").encode()
+        p = tmp_path / "doc.xml"
+        p.write_bytes(data)
+        batches = list(
+            asm.fused_split_batches((str(p), 0, len(data), "TEXT", 0), "item")
+        )
+        rows = [r for b in batches for r in b.to_pylist()]
+        assert len(rows) == 50
+        bad = [r for r in rows if r["_corrupt_record"] is not None]
+        assert len(bad) == 2
+        assert all(r["name"] is None and r["qty"] is None for r in bad)
+        assert any("NaN?" in r["_corrupt_record"] for r in bad)
+        clean = [r for r in rows if r["_corrupt_record"] is None]
+        assert {r["qty"] for r in clean} == set(range(50)) - {13, 29}

@@ -250,6 +250,8 @@ class _Template:
             attr_spans[name] = (*am.span(g), 0x22 if g == 2 else 0x27)
         claimed: set[bytes] = set()
         for fi, (kind, keys, rx, presence, conv) in enumerate(fields):
+            if kind == "corrupt":
+                continue  # constant None (base_vals default) — never matched
             if kind == "attribute":
                 hit = None
                 for k in keys:
@@ -422,6 +424,14 @@ class FlatAssembler:
         for f in struct.fields:
             meta = f.metadata or {}
             kind = meta.get("xmlKind")
+            if kind == "corrupt":
+                # corrupt-record sink: constant None on every record the
+                # fast path parses (by definition those parsed cleanly);
+                # records that fail fall through to parse_record_safe,
+                # which fills the raw text — so corrupt capture keeps
+                # the fused scan
+                fields.append((kind, None, None, None, None))
+                continue
             if kind not in ("attribute", "element"):
                 return None
             conv = _scalar_converter(f.dataType, trim=(kind == "element"))
@@ -481,6 +491,9 @@ class FlatAssembler:
         vals = []
         try:
             for kind, keys, rx, presence, conv in self.fields:
+                if kind == "corrupt":
+                    vals.append(None)  # a fast_row parse IS a clean parse
+                    continue
                 if kind == "attribute":
                     if attrs is None:
                         attrs = {}
