@@ -150,3 +150,43 @@ class TestFusedPathKeepsCorruptCapture:
         assert any("NaN?" in r["_corrupt_record"] for r in bad)
         clean = [r for r in rows if r["_corrupt_record"] is None]
         assert {r["qty"] for r in clean} == set(range(50)) - {13, 29}
+
+
+def test_single_record_run_span_excludes_absorbed_comment(spark, tmp_path):
+    """A length-1 template run absorbs a trailing comment into its span
+    (rx_multi ends past it); the reject-path re-read must still capture
+    ONLY the record text — identical whatever batch/run shape produced
+    the row."""
+    from xml_hive_spark.flat import FlatAssembler
+    from xml_hive_spark.reader import tag_corrupt_field
+
+    schema = tag_corrupt_field(_schema(), "_corrupt_record")
+    asm = FlatAssembler.try_create(schema, "PERMISSIVE")
+    # a lone uniform record with a failing int capture, then a comment:
+    # the learn sample comes first so the bad record rides the template
+    data = (
+        "<root>\n"
+        + "\n".join(
+            f'<item><name>n{i}</name><qty>{i}</qty></item>' for i in range(8)
+        )
+        + '\n<item><name>bad</name><qty>not-a-number</qty></item>'
+        + "\n<!-- trailing note --><other/>\n"
+        + "\n".join(
+            f'<item><name>m{i}</name><qty>{i}</qty></item>' for i in range(8)
+        )
+        + "\n</root>"
+    ).encode()
+    p = tmp_path / "doc.xml"
+    p.write_bytes(data)
+    rows = [
+        r
+        for b in asm.fused_split_batches((str(p), 0, len(data), "TEXT", 0),
+                                         "item")
+        for r in b.to_pylist()
+    ]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1
+    text = bad[0]["_corrupt_record"]
+    assert "not-a-number" in text
+    assert "trailing note" not in text, text  # absorbed comment excluded
+    assert text.rstrip().endswith("</item>")

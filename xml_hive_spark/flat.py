@@ -897,19 +897,12 @@ class FlatAssembler:
         try:
             j = 0
             for count, a, b in spans:
-                if count == 1:
-                    vals = self._extract_from_groups(caps[j])
-                    if vals is None:
-                        if fh is None:
-                            from xml_hive_spark.reader import open_xml
-
-                            fh = open_xml(path)
-                        fh.seek(a)
-                        vals = reparse(fh.read(b - a))
-                    if vals is not None:
-                        out.append((j, vals))
-                    j += 1
-                    continue
+                # count==1 deliberately shares the run logic: a length-1
+                # rx_multi run's span end includes absorbed trailing
+                # whitespace/comments (mm.end(), not end_group), so the
+                # re-read must re-derive the clean record span via rx_run
+                # exactly like longer runs — otherwise the reparsed (and
+                # corrupt-captured) text would differ by batch shape
                 vlist = [
                     self._extract_from_groups(caps[j + i])
                     for i in range(count)

@@ -119,14 +119,15 @@ _LOADED = False
 # rotation now targets FRESHNESS: re-check oracled queries whose last
 # driver row is oldest (and therefore ran under the oldest code). This
 # window = 21 oracled queries last checked r1/r2 + agg_percentiles_array
-# (newly oracled via to_json after its r5 canonicalizer red) + 22 oracled
+# (newly oracled via to_json after its r5 canonicalizer red) + 19 oracled
 # queries last checked r4 (TPC-H refresh set, grouping_id/window frames,
-# pivot/unpivot, variant, storage round-trips) + the four NEW codec
+# pivot/unpivot, partitioned-write round-trip) + the four NEW codec
 # round-trip queries (multimodal_{png,wav,gif,jpeg}_codec, full checksum
-# oracles) + the three queries NEW this round (scd2_merge and
-# sample_hash_bucket fully oracled; embedding_pca_project rows-only).
-# Still outside after this round (next rotation): the r4-checked
-# time-series five, text five, LLM text-prep, and json_roundtrip entries
+# oracles) + the FIVE queries NEW this round (scd2_merge,
+# sample_hash_bucket, interval_overlap_join, sketch_count_min fully
+# oracled; embedding_pca_project rows-only) = 50. Still outside after
+# this round (next rotation): json/csv_roundtrip, variant_json_access,
+# the r4-checked time-series five, text five, and LLM text-prep entries
 # plus the r5-green set — covered meanwhile by the identical local gate
 # (tools/verify_local.py). Tally: README "Correctness rotation".
 _DRIVER_WINDOW = [
@@ -154,7 +155,7 @@ _DRIVER_WINDOW = [
     "pandas_udf_scalar",
     # --- newly oracled this round (1) ---
     "agg_percentiles_array",
-    # --- oracled, last driver-checked r4 (22) ---
+    # --- oracled, last driver-checked r4 (19) ---
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q8_market_share",

@@ -130,7 +130,16 @@ def _build(spark: SparkSession, sf_dir: str, k: int, iters: int,
     try:
         tmp.rename(out)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+        # rename refused: either a complete artifact won the publish race
+        # (serve it — model and lists then come from ONE build), or the
+        # destination is a stale/partial leftover (a tmp reaper ate some
+        # of it) — then serve the fresh build from tmp rather than
+        # pairing fresh model arrays with incomplete on-disk lists
+        existing = _load(out)
+        if existing is not None and Path(existing.lists_path).exists():
+            shutil.rmtree(tmp, ignore_errors=True)
+            return existing
+        return IvfPqIndex(centroids, books, str(tmp / "lists"))
     return IvfPqIndex(centroids, books, str(out / "lists"))
 
 
@@ -142,8 +151,8 @@ def _load(out: Path) -> IvfPqIndex | None:
             return IvfPqIndex(
                 model["centroids"], model["books"], str(out / "lists")
             )
-    except (OSError, KeyError, ValueError):
-        return None
+    except Exception:  # truncated zip, bad pickle, missing key, IO error —
+        return None  # any unloadable artifact means: rebuild
 
 
 def ivf_pq_index(spark: SparkSession, sf_dir: str, k: int = 16,
@@ -154,17 +163,24 @@ def ivf_pq_index(spark: SparkSession, sf_dir: str, k: int = 16,
     key = _corpus_key(sf_dir, k, iters)
     if key is not None and key in _MEM_CACHE:
         return _MEM_CACHE[key]
-    if key is None:  # unstat-able corpus: build uncached
+    out = None
+    if key is not None:
+        d = _index_dir(key)
+        d.parent.mkdir(parents=True, exist_ok=True, mode=0o700)
+        if _dir_trusted(d.parent):
+            out = d
+    if out is None:
+        # unstat-able corpus OR foreign-owned cache root: never read from
+        # or publish under a directory we don't own (same posture as the
+        # XML plan cache) — build into private scratch, uncached on disk
         scratch = Path(tempfile.mkdtemp(prefix="xmlhive-ann-")) / "idx"
-        return _build(spark, sf_dir, k, iters, scratch)
-    out = _index_dir(key)
-    out.parent.mkdir(parents=True, exist_ok=True, mode=0o700)
-    idx = None
-    if _dir_trusted(out.parent) and out.exists():
-        idx = _load(out)
-    if idx is None:
-        idx = _build(spark, sf_dir, k, iters, out)
-    _MEM_CACHE[key] = idx
+        idx = _build(spark, sf_dir, k, iters, scratch)
+    else:
+        idx = _load(out) if out.exists() else None
+        if idx is None:
+            idx = _build(spark, sf_dir, k, iters, out)
+    if key is not None:
+        _MEM_CACHE[key] = idx
     return idx
 
 

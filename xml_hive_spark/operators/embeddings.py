@@ -38,6 +38,8 @@ def pca_fit(emb: DataFrame, vec_col: str = "embedding", dim: int = 64,
     vecs = emb.select(vec_col)
 
     def partials(batches):
+        from xml_hive_spark.operators.similarity import fixed_dim_matrix
+
         n = 0
         s = np.zeros(dim)
         g = np.zeros((dim, dim))
@@ -45,10 +47,8 @@ def pca_fit(emb: DataFrame, vec_col: str = "embedding", dim: int = 64,
             if batch.num_rows == 0:
                 continue
             col = batch.column(0)
-            flat = col.flatten().to_numpy(zero_copy_only=False)
-            if len(flat) == batch.num_rows * dim and col.null_count == 0:
-                m = flat.astype(np.float64).reshape(-1, dim)
-            else:  # ragged/null rows: exact slow path
+            m = fixed_dim_matrix(col, dim)
+            if m is None:  # ragged/null rows: exact slow path
                 m = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in col.to_pylist()]
                 )
@@ -67,6 +67,11 @@ def pca_fit(emb: DataFrame, vec_col: str = "embedding", dim: int = 64,
         partials, "n long, s array<double>, g array<double>"
     ).collect()
     n = sum(r.n for r in rows)
+    if n == 0:
+        raise ValueError(
+            "pca_fit: empty corpus — no vectors to fit (a 0/0 mean would "
+            "silently propagate NaN into every projection)"
+        )
     s = np.sum([np.asarray(r.s) for r in rows], axis=0)
     g = np.sum([np.asarray(r.g).reshape(dim, dim) for r in rows], axis=0)
     mean = s / n

@@ -318,6 +318,27 @@ def cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def fixed_dim_matrix(col, dim: int):
+    """(n, dim) float64 matrix from an Arrow list column, or None when
+    any row is null or not exactly ``dim`` long. The naive check
+    ``len(flat) == n*dim`` passes for RAGGED batches whose lengths merely
+    sum right (e.g. 63 + 65), silently splitting values across row
+    boundaries — so row lengths are verified via the offsets buffer."""
+    import numpy as np
+
+    if col.null_count != 0:
+        return None
+    try:
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+    except AttributeError:
+        return None
+    lens = np.diff(offs)
+    if len(lens) != len(col) or not (lens == dim).all():
+        return None
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64).reshape(-1, dim)
+
+
 def kmeans_assign(df: DataFrame, vec_col: str, centroids) -> DataFrame:
     """Add a ``cluster`` column: argmax cosine against the given centroid
     matrix (numpy, shipped in the UDF closure — one Arrow-batched matmul
@@ -379,10 +400,8 @@ def train_kmeans_centroids(
                 if batch.num_rows == 0:
                     continue
                 col = batch.column(0)
-                flat = col.flatten().to_numpy(zero_copy_only=False)
-                if len(flat) == batch.num_rows * dim and col.null_count == 0:
-                    m = flat.astype(np.float64).reshape(-1, dim)
-                else:  # ragged/null rows: exact slow path
+                m = fixed_dim_matrix(col, dim)
+                if m is None:  # ragged/null rows: exact slow path
                     m = np.stack([
                         np.asarray(v, dtype=np.float64)
                         for v in col.to_pylist()
@@ -717,7 +736,7 @@ def cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     idx = ivf_pq_index(spark, sf)
     coded = idx.lists(spark)
-    probed = _adc_tables(spark, emb, idx.books)
+    probed, _ = _adc_tables(spark, emb, idx.books)
 
     cand = probed.drop("qe").crossJoin(
         coded.select(F.col("vec_id").alias("nid"), "hx")
@@ -726,9 +745,12 @@ def cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     return _shortlist_rerank(scored, probed, emb)
 
 
-def _adc_tables(spark: SparkSession, emb: DataFrame, books) -> DataFrame:
+def _adc_tables(spark: SparkSession, emb: DataFrame, books):
     """Broadcast (qid, qe, tbl) with the per-query ADC lookup table
-    T[m][k] = <q_sub_m, codebook[m][k]>, flattened M*K."""
+    T[m][k] = <q_sub_m, codebook[m][k]>, flattened M*K. Returns
+    (broadcast DataFrame, collected query rows) so callers that also
+    need the raw query vectors (probe-list derivation) reuse the ONE
+    collect instead of re-implementing it."""
     import numpy as np
 
     q_rows = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
@@ -743,9 +765,10 @@ def _adc_tables(spark: SparkSession, emb: DataFrame, books) -> DataFrame:
             for k in range(_PQ_K)
         ]
         probe.append((int(r.vec_id), r.embedding, tbl))
-    return F.broadcast(
+    df = F.broadcast(
         spark.createDataFrame(probe, "qid int, qe array<float>, tbl array<double>")
     )
+    return df, q_rows
 
 
 def _adc_fold():
@@ -817,36 +840,19 @@ def cosine_topk_ivf_pq_probed(spark: SparkSession, sf: str) -> DataFrame:
     Candidate-count reduction is asserted in tests/test_similarity.py.
     Rows-only driver check (k-means + sampled PQ training aren't
     SQL-expressible)."""
-    import numpy as np
-
     from xml_hive_spark.operators.ann_index import ivf_pq_index, probe_clusters
 
     emb = t(spark, sf, "embeddings")
     idx = ivf_pq_index(spark, sf)
-    books = idx.books
-    sub = books.shape[2]
 
-    # one collect for the query batch: ADC lookup tables and coarse probe
-    # lists both derive from the same 5 query vectors
-    q_rows = (
-        emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
-    )
-    tbls, probes = [], []
-    for r in q_rows:
-        v = np.asarray(r.embedding, dtype=np.float64)
-        v = v / max(np.linalg.norm(v), 1e-12)
-        tbl = [
-            float(np.dot(v[m * sub : (m + 1) * sub], books[m][k]))
-            for m in range(_PQ_M)
-            for k in range(_PQ_K)
-        ]
-        tbls.append((int(r.vec_id), r.embedding, tbl))
-        probes += [
-            (int(r.vec_id), c) for c in probe_clusters(idx, r.embedding, 4)
-        ]
-    probed = F.broadcast(
-        spark.createDataFrame(tbls, "qid int, qe array<float>, tbl array<double>")
-    )
+    # one collect for the query batch: the ADC tables' collected rows
+    # also feed the coarse probe lists
+    probed, q_rows = _adc_tables(spark, emb, idx.books)
+    probes = [
+        (int(r.vec_id), c)
+        for r in q_rows
+        for c in probe_clusters(idx, r.embedding, 4)
+    ]
     probe_df = F.broadcast(spark.createDataFrame(probes, "qid int, cluster int"))
 
     # literal IN over the union of probed clusters prunes list partitions
