@@ -80,3 +80,34 @@ class TestProbedSearchPlan:
         ann_index._MEM_CACHE.clear()
         second = sorted(map(tuple, fn(spark, sf_dir).collect()))
         assert first == second
+
+
+class TestArtifactRecovery:
+    def test_corrupt_destination_yields_usable_fresh_index(self, spark, sf_dir):
+        """A half-reaped/corrupt artifact occupying the cache slot must
+        not poison queries: the rebuild's rename fails (destination
+        non-empty), _load fails (garbage model), and the fresh build is
+        served from its tmp dir — model and lists from ONE build."""
+        import shutil
+        from pathlib import Path
+
+        from xml_hive_spark.operators import t
+
+        key = ann_index._corpus_key(sf_dir, 16, 3)
+        out = ann_index._index_dir(key)
+        ann_index._MEM_CACHE.clear()
+        shutil.rmtree(out, ignore_errors=True)
+        out.mkdir(parents=True)
+        (out / "model.npz").write_bytes(b"this is not a numpy archive")
+        (out / "junk").write_text("reaper leftovers")  # rename must fail
+
+        idx = ann_index.ivf_pq_index(spark, sf_dir)
+        n = t(spark, sf_dir, "embeddings").count()
+        assert Path(idx.lists_path).exists()
+        assert idx.lists(spark).count() == n
+        # and the query built on it still answers
+        got = all_queries()["cosine_topk_ivf_pq_probed"].fn(spark, sf_dir)
+        assert got.count() == 25
+        # clean up the poisoned slot so later tests rebuild a good artifact
+        ann_index._MEM_CACHE.clear()
+        shutil.rmtree(out, ignore_errors=True)
