@@ -172,9 +172,11 @@ def ivf_pq_index(spark: SparkSession, sf_dir: str, k: int = 16,
     if out is None:
         # unstat-able corpus OR foreign-owned cache root: never read from
         # or publish under a directory we don't own (same posture as the
-        # XML plan cache) — build into private scratch, uncached on disk
-        scratch = Path(tempfile.mkdtemp(prefix="xmlhive-ann-")) / "idx"
-        idx = _build(spark, sf_dir, k, iters, scratch)
+        # XML plan cache) — build into per-process scratch (removed at
+        # interpreter exit), uncached on disk
+        from xml_hive_spark.session import scratch_dir
+
+        idx = _build(spark, sf_dir, k, iters, Path(scratch_dir("ann-")) / "idx")
     else:
         idx = _load(out) if out.exists() else None
         if idx is None:
