@@ -120,3 +120,54 @@ def test_connected_components_chain_and_clique(spark):
     assert {got[i] for i in range(10, 17)} == {10}
     assert got[2] == got[5] == got[9] == 2
     assert got[42] == got[100] == 42
+
+
+class TestSetSimJoinPrefix:
+    def test_prefix_filter_prunes_pairs_and_is_exact(self, spark, sf_dir):
+        """The prefix-token candidate join must examine far fewer pairs
+        than all-pairs while (per the DuckDB oracle) still finding every
+        Jaccard>=0.9 pair — exactness with pruning is the whole point."""
+        from pyspark.sql import functions as F, Window
+
+        from xml_hive_spark.operators import all_queries, t
+
+        docs = t(spark, sf_dir, "documents").filter(F.col("n_chars") < 400)
+        n = docs.count()
+        toks = (
+            docs.select(
+                "doc_id",
+                F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+            )
+            .filter(F.col("tok") != "")
+            .distinct()
+        )
+        sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("doc_id").orderBy("df", "tok")
+        pref = (
+            toks.join(freq, "tok")
+            .withColumn("rn", F.row_number().over(w))
+            .join(sizes, "doc_id")
+            .filter(F.col("rn") <= F.col("sz") - F.ceil(F.col("sz") * 9 / 10) + 1)
+            .select("doc_id", "tok", "sz")
+        )
+        cand = (
+            pref.select(F.col("doc_id").alias("a_id"), "tok",
+                        F.col("sz").alias("sa"))
+            .join(pref.select(F.col("doc_id").alias("b_id"), "tok",
+                              F.col("sz").alias("sb")), "tok")
+            .filter((F.col("a_id") < F.col("b_id"))
+                    & (F.col("sb") * 10 >= F.col("sa") * 9)
+                    & (F.col("sa") * 10 >= F.col("sb") * 9))
+            .select("a_id", "b_id")
+            .distinct()
+            .count()
+        )
+        all_pairs = n * (n - 1) // 2
+        assert cand < all_pairs * 0.5, (cand, all_pairs)
+
+        out = all_queries()["setsim_join_prefix"].fn(spark, sf_dir).collect()
+        assert out, "planted near-dups must qualify at Jaccard >= 0.9"
+        for r in out:  # integer threshold honoured exactly
+            assert r.inter_n * 10 >= r.union_n * 9
+            assert r.a_id < r.b_id

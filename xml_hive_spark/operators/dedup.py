@@ -502,3 +502,111 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster_rep")
     )
+
+
+@query(
+    "setsim_join_prefix",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(list_distinct(string_split_regex(lower(text), '\s+')),
+                     x -> x <> '') AS toks
+  FROM documents WHERE n_chars < 400
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_n,
+       CAST(len(a.toks) + len(b.toks)
+            - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS union_n
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 10
+      >= (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) * 9
+""",
+    tags=("dedup", "setsim", "join"),
+)
+def setsim_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT set-similarity self-join (token-set Jaccard >= 0.9) via
+    PREFIX FILTERING — the ppjoin family's core idea, and the exact
+    counterpart to the probabilistic MinHash/SimHash dedups: every
+    qualifying pair is found (no recall loss), yet no all-pairs
+    comparison happens.
+
+    Prefix filter: order the corpus vocabulary rarest-first (global
+    (df, tok) total order); a set of size s keeps only its
+    p = s - ceil(t*s) + 1 lowest-frequency tokens as its PREFIX. Two
+    sets with Jaccard >= t MUST share a prefix token (pigeonhole on the
+    (1-t)*s tokens each may miss), so the candidate join is an
+    equi-join on prefix tokens — at t=0.9 the prefix is ~1/10th of each
+    set and made of RARE tokens, so candidate fan-out is bounded by
+    rare-token document frequencies, not corpus size (pruning asserted
+    in tests/test_dedup.py). Verification counts the true intersection
+    only for surviving pairs, and the threshold is integer arithmetic
+    (inter*10 >= union*9) — bit-exact cross-engine, no float rounding.
+    The naive O(n^2) DuckDB oracle proves the EXACTNESS claim: same
+    pairs, same counts, hash-equal."""
+    T_NUM, T_DEN = 9, 10  # Jaccard threshold 0.9 as exact integers
+
+    docs = t(spark, sf, "documents").filter(F.col("n_chars") < 400)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pref = (
+        toks.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.col("sz") * T_NUM / T_DEN) + 1
+        )
+        .select("doc_id", "tok", "sz")
+    )
+    # length filter (ppjoin's second prune): Jaccard >= t forces
+    # t*|A| <= |B| <= |A|/t, so size-incompatible prefix collisions are
+    # dropped INSIDE the candidate join — on a small-vocabulary corpus
+    # (where even "rare" tokens are common) this is the prune that bites
+    cand = (
+        pref.select(F.col("doc_id").alias("a_id"), "tok",
+                    F.col("sz").alias("sa"))
+        .join(
+            pref.select(F.col("doc_id").alias("b_id"), "tok",
+                        F.col("sz").alias("sb")),
+            "tok",
+        )
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("sb") * T_DEN >= F.col("sa") * T_NUM)
+            & (F.col("sa") * T_DEN >= F.col("sb") * T_NUM)
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.select(F.col("doc_id").alias("a_id"), "tok"), "a_id")
+        .join(toks.select(F.col("doc_id").alias("b_id"), "tok"),
+              ["b_id", "tok"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.col("inter_n").cast("bigint").alias("inter_n"),
+            (F.col("sa") + F.col("sb") - F.col("inter_n"))
+            .cast("bigint")
+            .alias("union_n"),
+        )
+        .filter(F.col("inter_n") * T_DEN >= F.col("union_n") * T_NUM)
+    )
