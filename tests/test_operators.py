@@ -57,6 +57,8 @@ def test_registry_complete():
         "dedup_simhash",
         "embedding_pca_project",  # eigendecomposition — not SQL-expressible;
         # numpy parity pinned in test_embeddings
+        "graph_pagerank",  # iterative double arithmetic — not bit-stable
+        # cross-engine; numpy power-iteration parity in test_graph
         "multimodal_decode_stub",
         "multimodal_feature_extract",
         "multimodal_frame_sample",

@@ -204,6 +204,7 @@ def all_queries() -> dict[str, QueryDef]:
         from xml_hive_spark.operators import (  # noqa: F401
             dedup,
             embeddings,
+            graph,
             multimodal,
             relational,
             relational2,

@@ -160,3 +160,85 @@ def sample_hash_bucket(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+SELECT 'orders_null_custkey' AS rule,
+       CAST(count(*) AS BIGINT) AS violations
+FROM orders WHERE o_custkey IS NULL
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_nonpositive_price',
+       CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_extendedprice <= 0
+UNION ALL
+SELECT 'orders_duplicate_orderkey',
+       CAST(count(*) AS BIGINT)
+FROM (SELECT o_orderkey FROM orders
+      GROUP BY o_orderkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'lineitem_ship_before_order',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate < o.o_orderdate
+UNION ALL
+SELECT 'lineitem_discount_out_of_range',
+       CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+""",
+    tags=("quality", "dq", "warehouse"),
+)
+def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality expectation suite (Deequ/Great-Expectations shape):
+    six declarative rules — null check, referential integrity (orphan
+    foreign keys via anti join, never a per-row subquery), domain range,
+    uniqueness, and a cross-table temporal invariant — each reduced to a
+    single violation COUNT and unioned into one report.
+
+    Scale shape: every rule is a filtered partial+final count (grouping
+    cardinality 1) or an anti-join/HAVING aggregate — nothing
+    materializes violating rows; the report is six numbers regardless of
+    table size, and all six scans prune to the columns each rule
+    touches. This is the pre-ingestion gate a 100 TB pipeline runs
+    before promoting a batch; the DuckDB oracle recomputes every count
+    exactly."""
+    orders = t(spark, sf, "orders")
+    cust = t(spark, sf, "customer")
+    li = t(spark, sf, "lineitem")
+
+    def one(rule: str, cnt_df: DataFrame) -> DataFrame:
+        return cnt_df.select(
+            F.lit(rule).alias("rule"),
+            F.count(F.lit(1)).cast("bigint").alias("violations"),
+        )
+
+    checks = [
+        one("orders_null_custkey",
+            orders.filter(F.col("o_custkey").isNull())),
+        one("orders_orphan_custkey",
+            orders.join(cust, orders.o_custkey == cust.c_custkey,
+                        "left_anti")),
+        one("lineitem_nonpositive_price",
+            li.filter(F.col("l_extendedprice") <= 0)),
+        one("lineitem_ship_before_order",
+            li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+                F.col("l_shipdate") < F.col("o_orderdate"))),
+        one("lineitem_discount_out_of_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))),
+    ]
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    out = one("orders_duplicate_orderkey", dup)
+    res = checks[0]
+    for c in checks[1:] + [out]:
+        res = res.unionAll(c)
+    return res
