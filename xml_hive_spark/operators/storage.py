@@ -186,3 +186,30 @@ def orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "avro_roundtrip",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+    tags=("source", "sink", "avro"),
+)
+def avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro OCF sink → source round-trip through the pure-Python codec
+    (``sources/avro_ocf.py`` — the reference's only sink is an Avro
+    container writer, TestAvroTranformer.scala:53-66; this container has
+    no spark-avro jar, so the executable path is our own
+    spec-conformant OCF implementation): executors each write one
+    deflate-block container per partition, the read fans out one task
+    per file, and the oracle is the ORIGINAL table row-for-row — any
+    encode/decode divergence (varint zigzag, block framing, sync
+    markers, deflate) breaks the value hash."""
+    from xml_hive_spark.sources.avro_ocf import read_avro_ocf, write_avro_ocf
+
+    out = _roundtrip_dir("avro", sf)
+    nation = t(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_avro_ocf(nation, out)
+    return read_avro_ocf(spark, out, nation.schema)
