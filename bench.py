@@ -43,6 +43,9 @@ HEADLINE = [
     # the composed IVF×PQ probe — the two production ANN shapes
     "ann_join_topk",
     "cosine_topk_ivf_pq_probed",
+    # exact set-similarity self-join (late round 6): prefix+length
+    # filtered candidate join — the exact dedup counterpart to MinHash
+    "setsim_join_prefix",
     # real-codec multimodal round trip (round 6): PNG is the
     # representative — zlib inflate + scanline unfilter per document
     "multimodal_png_codec",

@@ -339,3 +339,76 @@ def xml_scan_bench(spark: SparkSession, sf: str) -> DataFrame:
     frac = float(m.group(1)) if m else 0.01
     target = int(10 * (1 << 30) * frac)
     return run_xml_scan_bench(spark, target)
+
+
+@query(
+    "xml_to_parquet_etl",
+    oracle="""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    tags=("xml", "etl", "parquet"),
+)
+def xml_to_parquet_etl(spark: SparkSession, sf: str) -> DataFrame:
+    """The migration journey a reference user actually runs — XML lake →
+    parquet lake: customers exported as XML, ingested through OUR reader
+    (split-safe byte-range scan), written to parquet PARTITIONED BY
+    market segment, then served from the parquet side with a full value
+    oracle against the original table. Every hop is lossless or the
+    hash breaks: XML escape/parse, Arrow transfer, partitioned write
+    (segment directories → partition pruning for downstream queries),
+    parquet read-back.
+
+    At 100 TB this is the one-time backfill that retires the XML scan
+    from the hot path; the partitioned layout is what the reference's
+    Hive tables never got (its InputFormat re-read whole files per
+    split — SURVEY.md §4.3)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from xml_hive_spark.reader import read_xml
+    from xml_hive_spark.sources.xml_sink import write_xml
+
+    from xml_hive_spark.operators import t
+
+    cust = t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    land = _scratch("etl-") + "/customer_xml"
+    write_xml(cust, land, row_tag="customer", root_tag="customers")
+
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "c_custkey"}),
+            StructField("c_name", StringType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "c_name"}),
+            StructField("c_mktsegment", StringType(), True,
+                        metadata={"xmlKind": "element",
+                                  "xmlName": "c_mktsegment"}),
+            StructField("c_acctbal", DoubleType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "c_acctbal"}),
+        ]
+    )
+    ingested = read_xml(spark, land + "/*.xml", row_tag="customer",
+                        schema=schema)
+    lake = _scratch("etl-") + "/customer_parquet"
+    ingested.write.mode("overwrite").partitionBy("c_mktsegment").parquet(lake)
+
+    served = spark.read.parquet(lake)
+    return (
+        served.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
