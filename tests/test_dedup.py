@@ -124,22 +124,30 @@ def test_connected_components_chain_and_clique(spark):
 
 class TestSetSimJoinPrefix:
     def test_prefix_filter_prunes_pairs_and_is_exact(self, spark, sf_dir):
-        """The prefix-token candidate join must examine far fewer pairs
-        than all-pairs while (per the DuckDB oracle) still finding every
-        Jaccard>=0.9 pair — exactness with pruning is the whole point."""
+        """The prefix-shingle candidate join must examine FAR fewer
+        pairs than all-pairs while (per the DuckDB oracle) still finding
+        every Jaccard>=0.8 pair — exactness with pruning is the whole
+        point, and 8-gram shingles make rare features exist even on this
+        31-word synthetic vocabulary (word tokens measurably cannot)."""
         from pyspark.sql import functions as F, Window
 
         from xml_hive_spark.operators import all_queries, t
 
-        docs = t(spark, sf_dir, "documents").filter(F.col("n_chars") < 400)
-        n = docs.count()
-        toks = (
-            docs.select(
-                "doc_id",
-                F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
-            )
-            .filter(F.col("tok") != "")
-            .distinct()
+        d = (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("n_chars") < 400)
+            .select("doc_id", F.lower(F.col("text")).alias("tx"))
+            .filter(F.length("tx") >= 8)
+        )
+        n = d.count()
+        toks = d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr("transform(sequence(1, length(tx) - 7),"
+                           " i -> substring(tx, i, 8))")
+                )
+            ).alias("tok"),
         )
         sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
         freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -148,7 +156,7 @@ class TestSetSimJoinPrefix:
             toks.join(freq, "tok")
             .withColumn("rn", F.row_number().over(w))
             .join(sizes, "doc_id")
-            .filter(F.col("rn") <= F.col("sz") - F.ceil(F.col("sz") * 9 / 10) + 1)
+            .filter(F.col("rn") <= F.col("sz") - F.ceil(F.col("sz") * 4 / 5) + 1)
             .select("doc_id", "tok", "sz")
         )
         cand = (
@@ -157,17 +165,20 @@ class TestSetSimJoinPrefix:
             .join(pref.select(F.col("doc_id").alias("b_id"), "tok",
                               F.col("sz").alias("sb")), "tok")
             .filter((F.col("a_id") < F.col("b_id"))
-                    & (F.col("sb") * 10 >= F.col("sa") * 9)
-                    & (F.col("sa") * 10 >= F.col("sb") * 9))
+                    & (F.col("sb") * 5 >= F.col("sa") * 4)
+                    & (F.col("sa") * 5 >= F.col("sb") * 4))
             .select("a_id", "b_id")
             .distinct()
             .count()
         )
         all_pairs = n * (n - 1) // 2
-        assert cand < all_pairs * 0.5, (cand, all_pairs)
+        # ~6.6% of all-pairs at sf0.001 (15x pruning; the tiny-corpus
+        # worst case — selectivity improves with corpus size since
+        # shingle df grows sublinearly vs pairs quadratically)
+        assert cand < all_pairs * 0.10, (cand, all_pairs)
 
         out = all_queries()["setsim_join_prefix"].fn(spark, sf_dir).collect()
-        assert out, "planted near-dups must qualify at Jaccard >= 0.9"
+        assert out, "planted near-dups must qualify at Jaccard >= 0.8"
         for r in out:  # integer threshold honoured exactly
-            assert r.inter_n * 10 >= r.union_n * 9
+            assert r.inter_n * 5 >= r.union_n * 4
             assert r.a_id < r.b_id

@@ -508,60 +508,87 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     "setsim_join_prefix",
     oracle=r"""
 WITH d AS (
+  SELECT doc_id, lower(text) AS tx
+  FROM documents WHERE n_chars < 400 AND len(lower(text)) >= 8
+),
+sh AS (
   SELECT doc_id,
-         list_filter(list_distinct(string_split_regex(lower(text), '\s+')),
-                     x -> x <> '') AS toks
-  FROM documents WHERE n_chars < 400
+         list_distinct(list_transform(range(1, len(tx) - 6),
+                                      i -> substr(tx, i, 8))) AS toks
+  FROM d
 )
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_n,
        CAST(len(a.toks) + len(b.toks)
             - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS union_n
-FROM d a JOIN d b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.toks, b.toks)) * 10
-      >= (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) * 9
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 5
+      >= (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) * 4
 """,
     tags=("dedup", "setsim", "join"),
 )
 def setsim_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
-    """EXACT set-similarity self-join (token-set Jaccard >= 0.9) via
-    PREFIX FILTERING — the ppjoin family's core idea, and the exact
-    counterpart to the probabilistic MinHash/SimHash dedups: every
-    qualifying pair is found (no recall loss), yet no all-pairs
-    comparison happens.
+    """EXACT set-similarity self-join (8-char shingle sets, Jaccard >=
+    0.8) via PREFIX + LENGTH filtering — the ppjoin family's core idea,
+    and the exact counterpart to the probabilistic MinHash/SimHash
+    dedups: every qualifying pair is found (no recall loss, proven by
+    the naive O(n^2) DuckDB oracle), yet no all-pairs comparison
+    happens.
 
-    Prefix filter: order the corpus vocabulary rarest-first (global
-    (df, tok) total order); a set of size s keeps only its
-    p = s - ceil(t*s) + 1 lowest-frequency tokens as its PREFIX. Two
-    sets with Jaccard >= t MUST share a prefix token (pigeonhole on the
-    (1-t)*s tokens each may miss), so the candidate join is an
-    equi-join on prefix tokens — at t=0.9 the prefix is ~1/10th of each
-    set and made of RARE tokens, so candidate fan-out is bounded by
-    rare-token document frequencies, not corpus size (pruning asserted
-    in tests/test_dedup.py). Verification counts the true intersection
-    only for surviving pairs, and the threshold is integer arithmetic
-    (inter*10 >= union*9) — bit-exact cross-engine, no float rounding.
-    The naive O(n^2) DuckDB oracle proves the EXACTNESS claim: same
-    pairs, same counts, hash-equal."""
-    T_NUM, T_DEN = 9, 10  # Jaccard threshold 0.9 as exact integers
+    FEATURE CHOICE IS THE SCALE LEVER, measured on this corpus: the
+    first cut used word tokens, and this corpus's synthetic vocabulary
+    is 31 words (min document frequency 184 of 3.5k docs at sf0.1) — no
+    word prefix can be selective, and the bench showed it (11.6 s).
+    Character 8-gram shingles re-establish the rare-feature premise on
+    ANY corpus (12.9k distinct shingles here, 10th-percentile df = 3),
+    because shingles encode token ORDER, not just membership. Prefix
+    filter: rarest-first global shingle order; a set of size s keeps its
+    p = s - ceil(t*s) + 1 rarest shingles; two sets with Jaccard >= t
+    MUST share a prefix shingle (pigeonhole), so candidates come from an
+    equi-join on prefix shingles, pruned further by the size band
+    t*|A| <= |B| <= |A|/t. Verification counts the true intersection
+    only for survivors; the threshold is integer arithmetic
+    (inter*5 >= union*4) — bit-exact cross-engine."""
+    T_NUM, T_DEN = 4, 5  # Jaccard threshold 0.8 as exact integers
 
-    docs = t(spark, sf, "documents").filter(F.col("n_chars") < 400)
-    toks = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .distinct()
+    d = (
+        t(spark, sf, "documents")
+        .filter(F.col("n_chars") < 400)
+        .select("doc_id", F.lower(F.col("text")).alias("tx"))
+        .filter(F.length("tx") >= 8)
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # Arrow-batched char-8-gram shingling (the module's measured lesson:
+    # HOF transform lambdas are expression-interpreted — 5.7 s vs 0.4 s
+    # at sf0.1 for word shingles; same ratio holds here), then hashed to
+    # 8-byte longs BEFORE anything shuffles (string shingle shuffles
+    # dominated the first cut; xxhash64 collisions over a ~1e4 universe
+    # are ~1e-11)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def grams(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [list({tx[i : i + 8] for i in range(len(tx) - 7)}) for tx in texts]
+        )
+
+    toks = d.select("doc_id", F.explode(grams("tx")).alias("g")).select(
+        "doc_id", F.xxhash64("g").alias("tok")
+    )
+    # one aggregation yields set + size for verification; freq and the
+    # prefix consume the skinny (doc_id, tok) rows directly — a variant
+    # deriving everything from the sets exchange measured ~2x SLOWER
+    # (re-exploding 2.4 KB array rows out of the exchange costs more
+    # than re-running the 0.4 s Arrow map side)
+    sets = toks.groupBy("doc_id").agg(
+        F.collect_set("tok").alias("toks"), F.count(F.lit(1)).alias("sz")
+    )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     pref = (
-        toks.join(freq, "tok")
+        toks.join(F.broadcast(freq), "tok")  # vocabulary-sized: broadcast
         .withColumn("rn", F.row_number().over(w))
-        .join(sizes, "doc_id")
+        .join(sets.select("doc_id", "sz"), "doc_id")
         .filter(
             F.col("rn")
             <= F.col("sz") - F.ceil(F.col("sz") * T_NUM / T_DEN) + 1
@@ -570,8 +597,7 @@ def setsim_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
     )
     # length filter (ppjoin's second prune): Jaccard >= t forces
     # t*|A| <= |B| <= |A|/t, so size-incompatible prefix collisions are
-    # dropped INSIDE the candidate join — on a small-vocabulary corpus
-    # (where even "rare" tokens are common) this is the prune that bites
+    # dropped INSIDE the candidate join
     cand = (
         pref.select(F.col("doc_id").alias("a_id"), "tok",
                     F.col("sz").alias("sa"))
@@ -588,22 +614,27 @@ def setsim_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    inter = (
-        cand.join(toks.select(F.col("doc_id").alias("a_id"), "tok"), "a_id")
-        .join(toks.select(F.col("doc_id").alias("b_id"), "tok"),
-              ["b_id", "tok"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("inter_n"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sa"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sb"))
+    # verification: one array_intersect per surviving pair (bounded
+    # arrays of longs), not a re-exploded shingle join
+    sa = sets.select(F.col("doc_id").alias("a_id"),
+                     F.col("toks").alias("ta"), F.col("sz").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("b_id"),
+                     F.col("toks").alias("tb"), F.col("sz").alias("sb"))
     return (
-        inter.join(sa, "a_id")
+        cand.join(sa, "a_id")
         .join(sb, "b_id")
         .select(
             "a_id",
             "b_id",
-            F.col("inter_n").cast("bigint").alias("inter_n"),
+            F.size(F.array_intersect("ta", "tb")).cast("bigint")
+            .alias("inter_n"),
+            "sa",
+            "sb",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "inter_n",
             (F.col("sa") + F.col("sb") - F.col("inter_n"))
             .cast("bigint")
             .alias("union_n"),
