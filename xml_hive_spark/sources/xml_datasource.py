@@ -40,7 +40,6 @@ from pyspark.sql.types import StructType
 from xml_hive_spark.reader import (
     DEFAULT_PARTITION_BYTES,
     _read_split,
-    iter_split_record_bytes,
     plan_annotated_splits,
     resolve_paths,
 )
