@@ -190,3 +190,50 @@ def test_single_record_run_span_excludes_absorbed_comment(spark, tmp_path):
     assert "not-a-number" in text
     assert "trailing note" not in text, text  # absorbed comment excluded
     assert text.rstrip().endswith("</item>")
+
+
+def test_gzip_pushdown_and_corrupt_capture_compose(spark, tmp_path):
+    """The three orthogonal reader features — compressed input
+    (whole-member split), PERMISSIVE corrupt capture, and filter
+    pushdown — must compose in one scan: filters apply to clean rows,
+    corrupt rows surface their text (a corrupt row has NULL data fields,
+    so a pushed predicate on them drops it — SQL three-valued logic)."""
+    import gzip
+
+    from xml_hive_spark.sources.xml_datasource import register
+
+    register(spark)
+    recs = [f"<item><name>n{i}</name><qty>{i}</qty></item>" for i in range(40)]
+    recs[7] = "<item><name>x</name><qty>seven</qty></item>"  # coercion-corrupt
+    data = ("<root>" + "".join(recs) + "</root>").encode()
+    p = tmp_path / "items.xml.gz"
+    p.write_bytes(gzip.compress(data))
+
+    schema = _schema().add(StructField("_corrupt_record", StringType(), True))
+
+    def load():
+        return (
+            spark.read.format("xmlhive")
+            .schema(schema)
+            .option("rowTag", "item")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .option("path", str(p))
+            .load()
+        )
+
+    # unfiltered: all 40 rows, one corrupt
+    rows = load().collect()
+    assert len(rows) == 40
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and "seven" in bad[0]._corrupt_record
+
+    # pushed filter on a data column: clean matches only (the corrupt
+    # row's qty IS NULL -> predicate unknown -> dropped)
+    got = load().filter("qty >= 35").collect()
+    assert sorted(r.qty for r in got) == [35, 36, 37, 38, 39]
+    assert all(r._corrupt_record is None for r in got)
+
+    # filter FOR the corrupt rows: the quarantine query
+    q = load().filter("_corrupt_record IS NOT NULL").collect()
+    assert len(q) == 1 and q[0].name is None
