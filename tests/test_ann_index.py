@@ -97,6 +97,8 @@ class TestArtifactRecovery:
         out = ann_index._index_dir(key)
         ann_index._MEM_CACHE.clear()
         shutil.rmtree(out, ignore_errors=True)
+        for stray in out.parent.glob(f"{out.name}.tmp*"):
+            shutil.rmtree(stray, ignore_errors=True)  # pre-fix leftovers
         out.mkdir(parents=True)
         (out / "model.npz").write_bytes(b"this is not a numpy archive")
         (out / "junk").write_text("reaper leftovers")  # rename must fail
@@ -105,9 +107,14 @@ class TestArtifactRecovery:
         n = t(spark, sf_dir, "embeddings").count()
         assert Path(idx.lists_path).exists()
         assert idx.lists(spark).count() == n
+        # the slot must have been REPAIRED: the fresh build now occupies
+        # the cache path itself (no stranded tmp index)
+        assert Path(idx.lists_path).parent == out
+        leftovers = [p for p in out.parent.glob(f"{out.name}.tmp*")]
+        assert not leftovers, leftovers
         # and the query built on it still answers
         got = all_queries()["cosine_topk_ivf_pq_probed"].fn(spark, sf_dir)
         assert got.count() == 25
-        # clean up the poisoned slot so later tests rebuild a good artifact
+        # reset so later tests rebuild a clean artifact
         ann_index._MEM_CACHE.clear()
         shutil.rmtree(out, ignore_errors=True)

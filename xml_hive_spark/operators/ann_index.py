@@ -133,13 +133,21 @@ def _build(spark: SparkSession, sf_dir: str, k: int, iters: int,
         # rename refused: either a complete artifact won the publish race
         # (serve it — model and lists then come from ONE build), or the
         # destination is a stale/partial leftover (a tmp reaper ate some
-        # of it) — then serve the fresh build from tmp rather than
-        # pairing fresh model arrays with incomplete on-disk lists
+        # of it). In the latter case REPAIR the slot — clear the corpse
+        # and retry once — so the disk cache heals instead of every
+        # future process rebuilding and stranding a tmp index
         existing = _load(out)
         if existing is not None and Path(existing.lists_path).exists():
             shutil.rmtree(tmp, ignore_errors=True)
             return existing
-        return IvfPqIndex(centroids, books, str(tmp / "lists"))
+        shutil.rmtree(out, ignore_errors=True)
+        try:
+            tmp.rename(out)
+        except OSError:
+            # a concurrent writer re-occupied the slot mid-repair: serve
+            # the fresh build from tmp (never pair fresh model arrays
+            # with someone else's lists)
+            return IvfPqIndex(centroids, books, str(tmp / "lists"))
     return IvfPqIndex(centroids, books, str(out / "lists"))
 
 

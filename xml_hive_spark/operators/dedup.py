@@ -531,9 +531,10 @@ def setsim_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT set-similarity self-join (8-char shingle sets, Jaccard >=
     0.8) via PREFIX + LENGTH filtering — the ppjoin family's core idea,
     and the exact counterpart to the probabilistic MinHash/SimHash
-    dedups: every qualifying pair is found (no recall loss, proven by
-    the naive O(n^2) DuckDB oracle), yet no all-pairs comparison
-    happens.
+    dedups: every qualifying pair is found (no recall loss — modulo
+    64-bit shingle-hash collisions, ~1e-11 over this universe; the
+    string-set DuckDB oracle would surface one as a hash mismatch),
+    yet no all-pairs comparison happens.
 
     FEATURE CHOICE IS THE SCALE LEVER, measured on this corpus: the
     first cut used word tokens, and this corpus's synthetic vocabulary
