@@ -79,9 +79,15 @@ def partitioned_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _roundtrip_dir(fmt: str, sf: str) -> str:
-    return os.path.join(
-        tempfile.gettempdir(), f"xmlhive_rt_{fmt}_{abs(hash(sf)) % 10**8}"
-    )
+    """Stable per-(format, sf) scratch dir. ``hash(str)`` is randomized
+    per process (PYTHONHASHSEED), so the earlier formulation minted a
+    fresh directory every run and accumulated round-trip output across
+    repeated driver/bench invocations; a content digest keeps ONE
+    reusable (mode=overwrite) location per input."""
+    import hashlib
+
+    digest = hashlib.md5(sf.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"xmlhive_rt_{fmt}_{digest}")
 
 
 @query(
