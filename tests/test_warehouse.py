@@ -101,3 +101,22 @@ class TestCountMinSketch:
         assert all(r.cm_est >= r.exact_n for r in out)
         exact_hits = sum(1 for r in out if r.cm_est == r.exact_n)
         assert exact_hits >= 10  # mostly collision-free at this scale
+
+
+class TestScd2PointInTimeJoin:
+    def test_no_future_leakage_and_unique_version(self, spark, sf_dir):
+        """Every fact joins AT MOST one dimension version, and that
+        version's validity started on or before the order date — the
+        no-leakage invariant that a latest-version join violates."""
+        out = all_queries()["scd2_point_in_time_join"].fn(spark, sf_dir).collect()
+        assert out
+        keys = [r.o_orderkey for r in out]
+        assert len(keys) == len(set(keys)), "an order matched two versions"
+        orders = {
+            r.o_orderkey: r.o_orderdate
+            for r in t(spark, sf_dir, "orders")
+            .filter("o_orderdate >= timestamp '1997-01-01'")
+            .collect()
+        }
+        for r in out:
+            assert r.version_from <= orders[r.o_orderkey].date()

@@ -242,3 +242,85 @@ def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
     for c in checks[1:] + [out]:
         res = res.unionAll(c)
     return res
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey AS cust_id, c_acctbal AS tracked_val,
+         DATE '1992-01-01' AS effective_from,
+         CAST(NULL AS DATE) AS effective_to, TRUE AS is_current
+  FROM customer WHERE c_custkey < 100
+),
+upd AS (
+  SELECT o_custkey AS cust_id, o_totalprice AS new_val,
+         CAST(o_orderdate AS DATE) AS eff_date
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01')
+  WHERE rn = 1
+),
+scd AS (
+  SELECT d.cust_id, d.tracked_val, d.effective_from,
+         CASE WHEN u.cust_id IS NOT NULL AND u.new_val <> d.tracked_val
+              THEN u.eff_date ELSE d.effective_to END AS effective_to
+  FROM dim d LEFT JOIN upd u USING (cust_id)
+  UNION ALL
+  SELECT u.cust_id, u.new_val, u.eff_date, CAST(NULL AS DATE)
+  FROM upd u LEFT JOIN dim d USING (cust_id)
+  WHERE d.cust_id IS NULL OR u.new_val <> d.tracked_val
+)
+SELECT o.o_orderkey, s.cust_id, s.tracked_val AS val_at_order,
+       s.effective_from AS version_from
+FROM orders o JOIN scd s
+  ON s.cust_id = o.o_custkey
+ AND CAST(o.o_orderdate AS DATE) >= s.effective_from
+ AND (s.effective_to IS NULL
+      OR CAST(o.o_orderdate AS DATE) < s.effective_to)
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+""",
+    tags=("merge", "scd2", "asof", "warehouse"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time (as-of) fact→dimension join — the query SCD2 exists
+    FOR: every post-1997 order is joined to the dimension VERSION that
+    was valid on its order date, so a fact never sees attribute values
+    from its future (the classic training-data leakage bug that a
+    latest-version join silently commits).
+
+    Composes directly on :func:`scd2_merge`'s output. Plan shape: an
+    EQUI-join on the dimension key carries the work; the effective-range
+    predicate rides the same hash join as a post-join filter (version
+    ranges PARTITION time per key, so each fact matches at most one
+    row — no fan-out, no de-dup pass, no theta join). At 100 TB this is
+    one co-keyed shuffle of facts against a dimension that is small per
+    key regardless of history depth."""
+    dim = scd2_merge(spark, sf).select(
+        "cust_id", "tracked_val", "effective_from", "effective_to"
+    )
+    orders = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_orderdate").cast("date").alias("od"),
+        )
+    )
+    return (
+        orders.join(dim, "cust_id")
+        .filter(
+            (F.col("od") >= F.col("effective_from"))
+            & (
+                F.col("effective_to").isNull()
+                | (F.col("od") < F.col("effective_to"))
+            )
+        )
+        .select(
+            "o_orderkey",
+            "cust_id",
+            F.col("tracked_val").alias("val_at_order"),
+            F.col("effective_from").alias("version_from"),
+        )
+    )
