@@ -115,3 +115,61 @@ def test_bz2_reads_like_gz(spark, tmp_path):
     assert df.count() == 60
     splits = plan_splits([str(tmp_path / "c.xml.bz2")], partition_bytes=64)
     assert splits[0][1:] == (0, GZIP_SPLIT_END)
+
+
+class TestBoundedCompressedRead:
+    def test_raw_limit_hides_appended_member(self, tmp_path):
+        """open_xml(raw_limit=N) must decompress exactly the first N
+        compressed bytes: a gzip member appended AFTER the offset was
+        recorded is invisible — the streaming exactly-once bound."""
+        import gzip
+
+        from xml_hive_spark.reader import open_xml
+
+        m1 = gzip.compress(b"<r><i><a>1</a></i><i><a>2</a></i></r>")
+        p = tmp_path / "d.xml.gz"
+        p.write_bytes(m1)
+        recorded = p.stat().st_size
+        p.write_bytes(m1 + gzip.compress(b"<r><i><a>99</a></i></r>"))
+
+        with open_xml(str(p)) as f:  # unbounded: sees both members
+            assert b"99" in f.read()
+        with open_xml(str(p), raw_limit=recorded) as f:
+            data = f.read()
+        assert b"<a>2</a>" in data and b"99" not in data
+
+    def test_stream_partition_carries_raw_limit(self, tmp_path):
+        """The streaming source records the admitted size as the
+        partition's raw cap and absorbs checkpointed offsets into the
+        admission floor (restart: no re-admission of committed files)."""
+        import gzip
+        import json as _json
+
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        from xml_hive_spark.sources.xml_stream import XmlHiveStreamDataSource
+
+        p = tmp_path / "a.xml.gz"
+        p.write_bytes(gzip.compress(b"<r><i><a>1</a></i></r>"))
+        schema = StructType([StructField("a", LongType(), True,
+                             metadata={"xmlKind": "element", "xmlName": "a"})])
+        src = XmlHiveStreamDataSource(
+            {"rowTag": "i", "path": str(tmp_path), "maxFilesPerTrigger": "1"}
+        )
+        reader = src.streamReader(schema)
+        start = reader.initialOffset()
+        end = reader.latestOffset()
+        parts = reader.partitions(start, end)
+        assert len(parts) == 1 and parts[0].raw_limit == p.stat().st_size
+
+        # simulate restart: fresh reader, committed offset = end
+        reader2 = src.streamReader(schema)
+        assert reader2.partitions(end, end) == []  # absorbs the floor
+        # a second landed file is admitted immediately despite the cap
+        q = tmp_path / "b.xml.gz"
+        q.write_bytes(gzip.compress(b"<r><i><a>2</a></i></r>"))
+        end2 = reader2.latestOffset()
+        files = _json.loads(end2["files"])
+        assert str(q) in files, "restart floor must not eat the admission cap"

@@ -159,12 +159,12 @@ def test_approx_percentile_error_bound(spark, sf_dir):
         assert abs(a.price_p90 - e.price_p90) / e.price_p90 < 0.01
 
 
-def test_bm25_ranking_semantics(spark):
+def test_bm25_ranking_semantics(spark, sf_dir):
     """BM25: a document dense in query terms must outrank one without
     them; ranks are 1..10 and scores non-increasing."""
     from xml_hive_spark.operators.text import text_bm25_topk
 
-    rows = text_bm25_topk(spark, "/root/testdata/sf0.001").collect()
+    rows = text_bm25_topk(spark, sf_dir).collect()
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
     scores = [r["bm25"] for r in rows]
     assert scores == sorted(scores, reverse=True)

@@ -221,7 +221,7 @@ def test_ann_join_candidate_phase_ids_only(spark, sf_dir):
         assert "embedding" not in l and "qe" not in l and "ne" not in l, l
 
 
-def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
     """At bench SF every dim joins by broadcast, so Spark's runtime
     bloom-filter pruning never fires locally — but at 100 TB the dim
     side exceeds the broadcast threshold and the join shuffles. Pin
@@ -232,7 +232,7 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
 
     from xml_hive_spark.operators import t
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     li, p = t(spark, sf, "lineitem"), t(spark, sf, "part")
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",

@@ -832,14 +832,25 @@ class FlatAssembler:
             if n:
                 yield self._flush_columnar(caps, spans, exacts, n, path)
 
+    def _arrow_schema(self):
+        """Arrow image of the StructType, computed once per assembler
+        (was rebuilt on every 32k-row flush — pure overhead in the
+        kernel the round was optimizing)."""
+        cached = getattr(self, "_aschema_cached", None)
+        if cached is None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            aschema = to_arrow_schema(strip_metadata(self.struct))
+            cached = (aschema, [f.type for f in aschema])
+            self._aschema_cached = cached
+        return cached
+
     def _flush_columnar(self, caps: list, spans: list, exacts: list,
                         n: int, path: str):
         import numpy as np
         import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
 
-        aschema = to_arrow_schema(strip_metadata(self.struct))
-        atypes = [aschema.field(i).type for i in range(len(aschema))]
+        aschema, atypes = self._arrow_schema()
         idx_exact = np.fromiter(
             (i for i, _ in exacts), dtype=np.int64, count=len(exacts)
         )
@@ -1044,10 +1055,8 @@ class FlatAssembler:
         to each row tuple before it is appended — filtered records never
         reach Arrow or the JVM."""
         import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
 
-        aschema = to_arrow_schema(strip_metadata(self.struct))
-        atypes = [aschema.field(i).type for i in range(len(aschema))]
+        aschema, atypes = self._arrow_schema()
         cols: list[list] = [[] for _ in range(self._n_fields)]
         n = 0
         for vals in rows:

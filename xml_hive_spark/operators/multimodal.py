@@ -5,12 +5,15 @@ metadata; decode / feature-extract run as Arrow-batched ``mapInPandas``
 stages. The decode kernel is a REAL, dependency-free container parser:
 PNG IHDR / JPEG SOFn / GIF logical-screen-descriptor headers read with
 ``struct`` — it reports correct dimensions for any real file of those
-formats. PNG codec *decompression* is now REAL too (``png.py``: zlib
-IDAT inflate + all five scanline unfilters, value-oracled end-to-end in
-``multimodal_png_codec``); JPEG DCT / GIF LZW remain out of scope, so
-for those formats the synthetic corpus stores raw 8-bit grayscale pixel
-planes after a valid header (``synth_media``), and resize / frame-sample
-pool genuine pixels at genuine parsed dimensions. Swapping
+formats. Codec *decompression* is REAL for PNG (``png.py``: zlib IDAT
+inflate + all five scanline unfilters), GIF (``gif.py``: full
+variable-width LZW, routed through ``_pixel_planes`` whenever a global
+color table is present), WAV (``wav.py``), and baseline JPEG
+(``jpeg.py``: Huffman + DCT) — each value-oracled end-to-end by its
+``multimodal_*_codec`` registry query. Inside ``_pixel_planes`` only
+JPEG stays header-only (its fixtures store raw 8-bit grayscale planes
+after a valid SOF0 header via ``synth_media``); resize / frame-sample
+pool genuine pixels at genuine parsed dimensions either way. Swapping
 ``_pixel_planes`` for a PIL/ffmpeg call changes nothing outside it.
 """
 
@@ -174,9 +177,16 @@ def _pixel_planes(payload: bytes):
             lum = ((299 * pal[:, 0].astype(np.int64)
                     + 587 * pal[:, 1] + 114 * pal[:, 2]) // 1000
                    ).astype(np.uint8)
+            if idx.size and int(idx.max()) >= len(lum):
+                # LZW min-code-size larger than the color table: indices
+                # point past the palette — damaged, not decodable
+                raise ValueError("palette index out of range")
             return w, h, [lum[idx]]
-        except ValueError:
-            pass  # damaged stream → raw-plane convention below
+        except (ValueError, IndexError):
+            # damaged stream → raw-plane convention below (IndexError
+            # included: a malformed record must degrade, never kill the
+            # whole mapInPandas task)
+            pass
     body = payload[_body_offset(payload, meta["format"]) :]
     n_planes = max(len(body) // (w * h), 0)
     arr = np.frombuffer(body[: n_planes * w * h], dtype=np.uint8)

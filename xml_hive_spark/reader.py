@@ -88,20 +88,76 @@ GZIP_SPLIT_END = 1 << 62
 _COMPRESSED_SUFFIXES = (".gz", ".bz2")
 
 
-def open_xml(path: str):
+class _BoundedRaw:
+    """Read-capped view of a raw binary file: delegates seek/tell, never
+    returns bytes at or past ``limit``. Lets a codec decompress exactly
+    the first ``limit`` COMPRESSED bytes — the streaming source's
+    exactly-once bound (a member appended after offset admission is
+    invisible to the replayed batch)."""
+
+    def __init__(self, f, limit: int):
+        self._f = f
+        self._limit = limit
+
+    def read(self, n: int = -1):
+        left = self._limit - self._f.tell()
+        if left <= 0:
+            return b""
+        if n is None or n < 0 or n > left:
+            n = left
+        return self._f.read(n)
+
+    def seek(self, off: int, whence: int = 0):
+        return self._f.seek(off, whence)
+
+    def tell(self):
+        return self._f.tell()
+
+    def readable(self):
+        return True
+
+    def close(self):
+        self._f.close()
+
+
+def open_xml(path: str, raw_limit: int | None = None):
     """Binary reader for an XML input; ``.gz`` / ``.bz2`` transparently
     decompress (one task reads the whole member — see
     :data:`GZIP_SPLIT_END`). Offsets seen by the split machinery are
     DECOMPRESSED-stream offsets; the codec file objects honor seek by
     re-decompressing (the rejected-row re-read path pays that, the
-    accepted cost of a non-seekable codec)."""
+    accepted cost of a non-seekable codec). ``raw_limit`` caps the
+    COMPRESSED bytes visible to the codec (streaming exactly-once:
+    bound the read to the size recorded in the offset); ignored for
+    plain files, whose byte-range split end is the bound."""
     if path.endswith(".gz"):
         import gzip
 
+        if raw_limit is not None:
+            raw = _BoundedRaw(open(path, "rb"), raw_limit)
+            g = gzip.GzipFile(fileobj=raw)
+            g.myfileobj = raw  # GzipFile closes myfileobj on close()
+            return g
         return gzip.open(path, "rb")
     if path.endswith(".bz2"):
         import bz2
 
+        if raw_limit is not None:
+
+            class _ClosingBZ2(bz2.BZ2File):
+                _raw_owned = None
+
+                def close(self):
+                    try:
+                        super().close()
+                    finally:
+                        if self._raw_owned is not None:
+                            self._raw_owned.close()
+
+            raw = _BoundedRaw(open(path, "rb"), raw_limit)
+            b = _ClosingBZ2(raw)
+            b._raw_owned = raw
+            return b
         return bz2.open(path, "rb")
     return open(path, "rb")
 
@@ -959,12 +1015,13 @@ def resolve_paths(path: str | list[str]) -> list[str]:
     return out
 
 
-def iter_split_record_bytes(split: tuple, row_tag: str) -> Iterator[bytes]:
+def iter_split_record_bytes(split: tuple, row_tag: str,
+                            raw_limit: int | None = None) -> Iterator[bytes]:
     """Raw record chunks of one annotated split (phase C only)."""
     path, a, b = split[0], split[1], split[2]
     state = split[3] if len(split) > 3 else ST_TEXT
     depth = split[4] if len(split) > 4 else 0
-    with open_xml(path) as f:
+    with open_xml(path, raw_limit=raw_limit) as f:
         for _, rec in iter_record_spans(f, row_tag, a, b, state, depth):
             yield rec
 
@@ -974,8 +1031,9 @@ def _read_split(
     row_tag: str,
     struct: StructType,
     mode: str = "FAILFAST",
+    raw_limit: int | None = None,
 ):
-    for rec in iter_split_record_bytes(split, row_tag):
+    for rec in iter_split_record_bytes(split, row_tag, raw_limit=raw_limit):
         row = parse_record_safe(rec, struct, mode)
         if row is not None:
             yield row

@@ -63,6 +63,10 @@ class XmlStreamPartition(InputPartition):
     end: int
     state: str = "TEXT"
     depth: int = 0
+    # compressed inputs: cap on COMPRESSED bytes = the size recorded in
+    # the offset, so a member appended after admission is invisible to
+    # this batch and to any checkpoint-recovery replay (0 = no cap)
+    raw_limit: int = 0
 
 
 class XmlHiveStreamDataSource(DataSource):
@@ -159,7 +163,20 @@ class XmlStreamReader(DataSourceStreamReader):
                 admitted += 1
         return {"files": json.dumps(self._known, sort_keys=True)}
 
+    def _absorb(self, off: dict) -> None:
+        """Fold a checkpointed offset into the monotone ``_known`` floor.
+        A restarted driver starts with an empty floor, so without this
+        the per-trigger admission cap would be spent re-admitting
+        already-committed files (each yielding an empty batch) until the
+        floor caught up — at production backlog sizes, a long dead
+        window after every recovery."""
+        for p, s in json.loads(off.get("files", "{}")).items():
+            if p not in self._known:
+                self._known[p] = s
+
     def partitions(self, start: dict, end: dict):
+        self._absorb(start)
+        self._absorb(end)
         seen = json.loads(start.get("files", "{}"))
         target = json.loads(end.get("files", "{}"))
         parts: list[XmlStreamPartition] = []
@@ -170,7 +187,8 @@ class XmlStreamReader(DataSourceStreamReader):
                 from xml_hive_spark.reader import GZIP_SPLIT_END
 
                 parts.append(
-                    XmlStreamPartition(p, 0, GZIP_SPLIT_END, "TEXT", 0)
+                    XmlStreamPartition(p, 0, GZIP_SPLIT_END, "TEXT", 0,
+                                       raw_limit=size)
                 )
                 continue
             pb = self._partition_bytes
@@ -186,14 +204,18 @@ class XmlStreamReader(DataSourceStreamReader):
     def read(self, partition: XmlStreamPartition):
         split = (partition.path, partition.start, partition.end,
                  partition.state, partition.depth)
+        limit = partition.raw_limit or None
         asm = FlatAssembler.try_create(self._schema, self._mode)
         if asm is not None:
-            yield from asm.batches(iter_split_record_bytes(split, self._row_tag))
+            yield from asm.batches(
+                iter_split_record_bytes(split, self._row_tag, raw_limit=limit)
+            )
         else:
-            yield from _read_split(split, self._row_tag, self._schema, self._mode)
+            yield from _read_split(split, self._row_tag, self._schema,
+                                   self._mode, raw_limit=limit)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are self-describing; nothing to clean up
+        self._absorb(end)  # keep the admission floor current (restart case)
 
 
 def register_stream(spark) -> None:

@@ -111,7 +111,11 @@ def _bucket_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     min_prev = state.get[0] if state.exists else None
-    rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+    frames = list(pdfs)  # the iterator OBJECT is always truthy — test
+    # the materialized list, or pd.concat([]) raises on an empty group
+    if not frames:
+        return
+    rows = pd.concat(frames)
     if not len(rows):
         return
     rows = rows.sort_values("seq")
