@@ -982,24 +982,31 @@ def plan_annotated_splits(
     return out
 
 
+def strip_file_uri(s: str) -> str:
+    """Local path from a possible ``file:`` URI: accepts ``file:/p`` and
+    ``file:///p``; ``file://host/p`` carries an authority — 'host' is
+    NOT part of the local path, so reject rather than misread it (the
+    SQL catalog hands locations back in URI form). Shared by
+    :func:`resolve_paths` and the catalog sidecar resolver so the two
+    can't drift."""
+    if not s.startswith("file:"):
+        return s
+    rest = s[len("file:"):]
+    if rest.startswith("//"):
+        netloc, sep, tail = rest[2:].partition("/")
+        if netloc not in ("", "localhost"):
+            raise ValueError(
+                f"file: URI with non-local authority {netloc!r}: {s!r}"
+            )
+        rest = sep + tail
+    return rest
+
+
 def resolve_paths(path: str | list[str]) -> list[str]:
     patterns = [path] if isinstance(path, str) else list(path)
     out: list[str] = []
     for pat in patterns:
-        # the SQL catalog hands table locations back as file: URIs
-        # (CREATE TABLE ... USING xmlhive); accept file:/p and
-        # file:///p. file://host/p carries an authority — 'host' is NOT
-        # part of the local path, so reject rather than misread it.
-        if pat.startswith("file:"):
-            rest = pat[len("file:"):]
-            if rest.startswith("//"):
-                netloc, sep, tail = rest[2:].partition("/")
-                if netloc not in ("", "localhost"):
-                    raise ValueError(
-                        f"file: URI with non-local authority {netloc!r}: {pat!r}"
-                    )
-                rest = sep + tail
-            pat = rest
+        pat = strip_file_uri(pat)
         p = Path(pat)
         if p.is_dir():
             out += [

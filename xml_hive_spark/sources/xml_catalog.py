@@ -42,13 +42,12 @@ _NAME_RX = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def _sidecar_dir(spark: SparkSession) -> Path:
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    if wh.startswith("file:"):
-        rest = wh[len("file:"):]
-        if rest.startswith("//"):
-            netloc, sep, tail = rest[2:].partition("/")
-            rest = sep + tail
-        wh = rest
+    from xml_hive_spark.reader import strip_file_uri
+
+    # shared helper: a file://host/warehouse URI must REJECT, not
+    # silently resolve to the machine-local /warehouse (sidecars would
+    # land on the wrong host)
+    wh = strip_file_uri(spark.conf.get("spark.sql.warehouse.dir"))
     d = Path(wh) / "_xmlhive_tables"
     d.mkdir(parents=True, exist_ok=True)
     return d
