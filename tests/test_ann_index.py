@@ -118,3 +118,24 @@ class TestArtifactRecovery:
         # reset so later tests rebuild a clean artifact
         ann_index._MEM_CACHE.clear()
         shutil.rmtree(out, ignore_errors=True)
+
+    def test_partially_reaped_lists_trigger_rebuild(self, spark, sf_dir):
+        """model.npz intact but lists/ deleted by a tmp cleaner: _load()
+        must report the artifact unusable so ivf_pq_index falls through
+        to a rebuild, instead of serving (and memo-caching) an index
+        whose every lists(spark) scan dies on a missing parquet path."""
+        import shutil
+        from pathlib import Path
+
+        ann_index._MEM_CACHE.clear()
+        idx = ann_index.ivf_pq_index(spark, sf_dir)  # clean build
+        out = Path(idx.lists_path).parent
+        shutil.rmtree(idx.lists_path)  # the reaper strikes
+
+        assert ann_index._load(out) is None  # unusable, not served
+        ann_index._MEM_CACHE.clear()
+        n = t(spark, sf_dir, "embeddings").count()
+        rebuilt = ann_index.ivf_pq_index(spark, sf_dir)
+        assert rebuilt.lists(spark).count() == n
+        ann_index._MEM_CACHE.clear()
+        shutil.rmtree(out, ignore_errors=True)

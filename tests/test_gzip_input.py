@@ -138,6 +138,45 @@ class TestBoundedCompressedRead:
             data = f.read()
         assert b"<a>2</a>" in data and b"99" not in data
 
+    def test_raw_limit_bz2_read_and_seek(self, tmp_path):
+        """The bz2 bounded path must actually READ (and survive seeks):
+        BZ2File.seek() routes through DecompressReader.seekable() →
+        raw.seekable(); _BoundedRaw without a seekable() crashed every
+        streaming read of a .xml.bz2 partition (gzip hid the bug because
+        _PaddedFile hardcodes seekable()=True)."""
+        import bz2
+
+        from xml_hive_spark.reader import open_xml
+
+        m1 = bz2.compress(b"<r><i><a>1</a></i><i><a>2</a></i></r>")
+        p = tmp_path / "d.xml.bz2"
+        p.write_bytes(m1)
+        recorded = p.stat().st_size
+        p.write_bytes(m1 + bz2.compress(b"<r><i><a>99</a></i></r>"))
+
+        with open_xml(str(p), raw_limit=recorded) as f:
+            assert f.seekable()
+            data = f.read()
+            f.seek(0)  # the _Buf rewind path the streaming source exercises
+            assert f.read() == data
+        assert b"<a>2</a>" in data and b"99" not in data
+
+    def test_stream_source_reads_bz2_partition(self, tmp_path):
+        """End-to-end: the streaming source's read() path over a .xml.bz2
+        file (regression — previously crashed with AttributeError on
+        _BoundedRaw.seekable)."""
+        import bz2
+
+        from xml_hive_spark.sources.xml_stream import XmlStreamReader
+
+        (tmp_path / "x.xml.bz2").write_bytes(bz2.compress(_corpus(20)))
+        rd = XmlStreamReader(SCHEMA, {"path": str(tmp_path), "rowtag": "rec"})
+        parts = rd.partitions(rd.initialOffset(), rd.latestOffset())
+        assert len(parts) == 1
+        rows = list(rd.read(parts[0]))
+        total = sum(getattr(b, "num_rows", 1) for b in rows)
+        assert total == 20
+
     def test_stream_partition_carries_raw_limit(self, tmp_path):
         """The streaming source records the admitted size as the
         partition's raw cap and absorbs checkpointed offsets into the

@@ -23,23 +23,31 @@ TABLES = (
 
 
 def _norm(v):
+    import numpy as np
+
     if v is None:
         return "∅"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return "1" if v else "0"
-    if isinstance(v, float):
-        # exact repr — the driver's value hash may be bit-exact, so the
-        # local gate must be at least as strict
+    if isinstance(v, (float, np.floating)):
+        # exact repr of the PYTHON float — the driver's value hash may be
+        # bit-exact, so the local gate must be at least as strict (numpy 2.x
+        # repr would print np.float64(...), which Spark's side never emits)
+        v = float(v)
         if math.isnan(v):
             return "nan"
         return repr(v)
+    if isinstance(v, np.integer):
+        return str(int(v))
     if isinstance(v, Decimal):
         return repr(float(v))
     if isinstance(v, datetime):
+        if v != v:  # pandas NaT (satisfies isinstance datetime)
+            return "∅"
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)
 
@@ -81,7 +89,12 @@ def main() -> int:
         try:
             res = con.sql(qd.oracle)
             d_cols = [c for c in res.columns]
-            d_rows = res.fetchall()
+            # go through pandas like the driver's canonicalizer does — this
+            # is what surfaced the r5/r6 misses (DuckDB HUGEINT → pandas
+            # float64 renders "7712.0" while Spark's long renders "7712");
+            # fetchall() hid that class of mismatch
+            pdf = res.fetchdf()
+            d_rows = list(pdf.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:200]}")

@@ -145,20 +145,39 @@ def _build(spark: SparkSession, sf_dir: str, k: int, iters: int,
             tmp.rename(out)
         except OSError:
             # a concurrent writer re-occupied the slot mid-repair: serve
-            # the fresh build from tmp (never pair fresh model arrays
-            # with someone else's lists)
-            return IvfPqIndex(centroids, books, str(tmp / "lists"))
+            # the fresh build (never pair fresh model arrays with someone
+            # else's lists) — but move it into per-process scratch first
+            # so it is reaped at exit instead of stranding a full index
+            # under the shared cache root, where the cached lists_path
+            # would also die with any tmp reaping
+            from xml_hive_spark.session import scratch_dir
+
+            home = Path(scratch_dir("ann-race-")) / "idx"
+            try:
+                tmp.rename(home)
+            except OSError:
+                shutil.copytree(tmp, home)
+                shutil.rmtree(tmp, ignore_errors=True)
+            return IvfPqIndex(centroids, books, str(home / "lists"))
     return IvfPqIndex(centroids, books, str(out / "lists"))
 
 
 def _load(out: Path) -> IvfPqIndex | None:
     import numpy as np
 
+    lists = out / "lists"
+    try:
+        # a partially-reaped artifact (model.npz intact, lists/ deleted by
+        # a tmp cleaner — the scenario the repair branch anticipates) must
+        # trigger a rebuild, not get served and memo-cached only to fail
+        # at the first idx.lists(spark) scan
+        if not any(lists.glob("**/*.parquet")):
+            return None
+    except OSError:
+        return None
     try:
         with np.load(out / "model.npz") as model:
-            return IvfPqIndex(
-                model["centroids"], model["books"], str(out / "lists")
-            )
+            return IvfPqIndex(model["centroids"], model["books"], str(lists))
     except Exception:  # truncated zip, bad pickle, missing key, IO error —
         return None  # any unloadable artifact means: rebuild
 

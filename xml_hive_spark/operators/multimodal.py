@@ -345,8 +345,8 @@ def decode_png_stage(df: DataFrame, id_col: str = "doc_id",
 SELECT d.doc_id,
        CAST(8 + d.doc_id % 9 AS INT) AS width,
        CAST(8 + (d.doc_id * 3) % 7 AS INT) AS height,
-       SUM((d.doc_id * 2654435761 + t.i * 40503) % 256) AS px_sum,
-       SUM(t.i * ((d.doc_id * 2654435761 + t.i * 40503) % 256)) AS px_dot
+       CAST(SUM((d.doc_id * 2654435761 + t.i * 40503) % 256) AS BIGINT) AS px_sum,
+       CAST(SUM(t.i * ((d.doc_id * 2654435761 + t.i * 40503) % 256)) AS BIGINT) AS px_dot
 FROM documents d
 CROSS JOIN range(0, 224) t(i)  -- 224 = max w*h = 16*14
 WHERE t.i < (8 + d.doc_id % 9) * (8 + (d.doc_id * 3) % 7)
@@ -445,8 +445,8 @@ SELECT d.doc_id,
        CAST(64 + d.doc_id % 97 AS INT) AS n_frames,
        CAST(1 + d.doc_id % 2 AS INT) AS channels,
        CAST(8000 + (d.doc_id % 5) * 4000 AS INT) AS sample_rate,
-       SUM((d.doc_id * 48271 + t.k * 12345) % 65536 - 32768) AS s_sum,
-       SUM(t.k * ((d.doc_id * 48271 + t.k * 12345) % 65536 - 32768)) AS s_dot
+       CAST(SUM((d.doc_id * 48271 + t.k * 12345) % 65536 - 32768) AS BIGINT) AS s_sum,
+       CAST(SUM(t.k * ((d.doc_id * 48271 + t.k * 12345) % 65536 - 32768)) AS BIGINT) AS s_dot
 FROM documents d
 CROSS JOIN range(0, 320) t(k)  -- 320 = max frames*ch = 160*2
 WHERE t.k < (64 + d.doc_id % 97) * (1 + d.doc_id % 2)
@@ -538,11 +538,11 @@ def decode_gif_stage(df: DataFrame, id_col: str = "doc_id",
     "multimodal_gif_codec",
     oracle="""
 SELECT s.doc_id, s.width, s.height, s.n_colors,
-       (SELECT SUM((s.doc_id * 7919 + t.i * 104729) % s.n_colors)
+       (SELECT CAST(SUM((s.doc_id * 7919 + t.i * 104729) % s.n_colors) AS BIGINT)
         FROM range(0, 224) t(i) WHERE t.i < s.width * s.height) AS idx_sum,
-       (SELECT SUM(t.i * ((s.doc_id * 7919 + t.i * 104729) % s.n_colors))
+       (SELECT CAST(SUM(t.i * ((s.doc_id * 7919 + t.i * 104729) % s.n_colors)) AS BIGINT)
         FROM range(0, 224) t(i) WHERE t.i < s.width * s.height) AS idx_dot,
-       (SELECT SUM((s.doc_id * 31 + (p.j // 3) * 37 + (p.j % 3) * 101) % 256)
+       (SELECT CAST(SUM((s.doc_id * 31 + (p.j // 3) * 37 + (p.j % 3) * 101) % 256) AS BIGINT)
         FROM range(0, 48) p(j) WHERE p.j < s.n_colors * 3) AS pal_sum
 FROM (
   SELECT doc_id,
@@ -631,12 +631,12 @@ def decode_jpeg_stage(df: DataFrame, id_col: str = "doc_id",
     "multimodal_jpeg_codec",
     oracle="""
 SELECT s.doc_id, s.width, s.height,
-       SUM(2 * ((s.doc_id * 6151
+       CAST(SUM(2 * ((s.doc_id * 6151
                  + (((t.i // s.width) // 8) * (s.width // 8)
-                    + (t.i % s.width) // 8) * 9173) % 128)) AS px_sum,
-       SUM(t.i * (2 * ((s.doc_id * 6151
+                    + (t.i % s.width) // 8) * 9173) % 128)) AS BIGINT) AS px_sum,
+       CAST(SUM(t.i * (2 * ((s.doc_id * 6151
                  + (((t.i // s.width) // 8) * (s.width // 8)
-                    + (t.i % s.width) // 8) * 9173) % 128))) AS px_dot
+                    + (t.i % s.width) // 8) * 9173) % 128))) AS BIGINT) AS px_dot
 FROM (
   SELECT doc_id,
          CAST(8 * (1 + doc_id % 3) AS INT) AS width,

@@ -116,6 +116,14 @@ class _BoundedRaw:
     def readable(self):
         return True
 
+    def seekable(self):
+        # BZ2File.seek() routes through DecompressReader.seekable(), which
+        # asks the underlying raw object; without this, every bounded bz2
+        # read that seeks (e.g. _Buf rewinds in the streaming source) dies
+        # with AttributeError (gzip survives only because _PaddedFile
+        # hardcodes seekable() = True)
+        return self._f.seekable()
+
     def close(self):
         self._f.close()
 
