@@ -49,6 +49,9 @@ HEADLINE = [
     # real-codec multimodal round trip (round 6): PNG is the
     # representative — zlib inflate + scanline unfilter per document
     "multimodal_png_codec",
+    # warehouse/MERGE family (round 7): SCD2 history build + as-of
+    # dimension lookup composed — tracks the MERGE path like the ANN ladder
+    "scd2_point_in_time_join",
     # GB-scale XML source scan (1 GiB at sf0.1): the engine's raison
     # d'être — file generated once and cached under $TMPDIR/xmlhive_bench
     "xml_scan_bench",

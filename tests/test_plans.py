@@ -135,6 +135,23 @@ def test_ntile_no_global_single_partition_sort(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 2
 
 
+def test_bm25_topk_is_take_ordered_not_global_window(spark, sf_dir):
+    """BM25 top-10: every doc containing >=1 query term must NOT funnel
+    into one reducer for ranking — the limit is a TakeOrderedAndProject
+    (per-partition partial top-k) and the only window runs over the 10
+    surviving rows, above the TakeOrdered in the plan."""
+    plan = plan_of(spark, sf_dir, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines)
+               if "Window" in l and "row_number" in l]
+    take_idx = [i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l]
+    assert len(win_idx) == 1
+    # executedPlan prints top-down: the rank window must sit ABOVE (before)
+    # the TakeOrdered node, i.e. consume only its 10 output rows
+    assert win_idx[0] < min(take_idx)
+
+
 def test_vocab_topk_partial_agg_and_heap(spark, sf_dir):
     """Vocabulary build: the shuffle must carry (word, partial_count)
     pairs (map-side combine), and the top-k must be per-partition heaps

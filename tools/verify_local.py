@@ -44,6 +44,13 @@ def _norm(v):
     if isinstance(v, datetime):
         if v != v:  # pandas NaT (satisfies isinstance datetime)
             return "∅"
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            # DATE columns arrive as datetime.date from Spark's toPandas
+            # but datetime64-at-midnight from DuckDB's fetchdf; normalize
+            # midnight datetimes to the date form ON BOTH SIDES so the
+            # asymmetry cancels (a true timestamp at exact midnight
+            # normalizes identically in both engines — still symmetric)
+            return v.date().isoformat()
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
         return v.isoformat()
@@ -78,7 +85,11 @@ def main() -> int:
         try:
             df = qd.fn(spark, sf_dir)
             s_cols = df.columns
-            s_rows = [tuple(r) for r in df.collect()]
+            # toPandas, NOT collect: the driver canonicalizes the Spark
+            # side through pandas too, so nulls in numeric columns become
+            # NaN on BOTH engines (collect's None vs fetchdf's NaN was a
+            # local-gate-only asymmetry the driver never sees)
+            s_rows = list(df.toPandas().itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:200]}")

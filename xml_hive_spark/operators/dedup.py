@@ -587,7 +587,13 @@ def setsim_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
 
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     pref = (
-        toks.join(F.broadcast(freq), "tok")  # vocabulary-sized: broadcast
+        # no broadcast HINT: the shingle-vocabulary df table grows with the
+        # corpus (12.9k rows here; multi-GB at 100 TB), and a forced
+        # F.broadcast can never be demoted by AQE — let AQE pick broadcast
+        # while freq is under the threshold and fall back to a shuffled
+        # equi-join on tok when it is not (the toks side shuffles either
+        # way for the doc_id window that follows)
+        toks.join(freq, "tok")
         .withColumn("rn", F.row_number().over(w))
         .join(sets.select("doc_id", "sz"), "doc_id")
         .filter(

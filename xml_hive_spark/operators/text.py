@@ -290,10 +290,14 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
             .alias("score")
         )
     )
+    # top-10 FIRST via orderBy+limit — planned as TakeOrderedAndProject
+    # (per-partition partial top-k, no single-reducer Exchange of every
+    # matching doc); the rank window then runs over only the 10 survivors
+    # (pinned in test_plans.py next to the ntile pin)
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
     w = Window.orderBy(F.col("score").desc(), "doc_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("doc_id", F.round("score", 4).alias("bm25"), "rank")
         .orderBy("rank")
     )
