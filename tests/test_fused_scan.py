@@ -510,3 +510,97 @@ def test_run_batched_emits_multi_record_runs(tmp_path):
                 runs.append(len(item[0]))
     assert runs and max(runs) > 1
     assert sum(runs) >= 190  # nearly the whole doc rides the run path
+
+
+# -------------------------- layout-drift re-learn (multi-writer files)
+
+
+def _two_writer_doc(n_a=300, n_b=300):
+    """Block A: id attribute first; block B: a second writer emits the
+    same data with the attributes reordered and elements swapped — the
+    real-world 'files concatenated from two producers' shape."""
+    recs = [
+        f'<rec id="{i}" src="a"><cat>c{i % 5}</cat><val>{i * 3}</val></rec>'
+        for i in range(n_a)
+    ] + [
+        f'<rec src="b" id="{i}"><val>{i * 3}</val><cat>c{i % 5}</cat></rec>'
+        for i in range(n_a, n_a + n_b)
+    ]
+    return ("<dataset>\n" + "\n".join(recs) + "\n</dataset>").encode()
+
+
+def test_layout_drift_relearns_template(tmp_path):
+    """After the writer-A block ends, the scan must adopt a writer-B
+    template (not pay the exact path for the whole B block), and both
+    the row and columnar paths must equal the reference pipeline."""
+    from xml_hive_spark import flat as flat_mod
+
+    data = _two_writer_doc()
+    asm = FlatAssembler.try_create(_int_schema(), "PERMISSIVE")
+    splits = [("", 0, len(data), "TEXT", 0)]
+
+    learns = []
+    orig_learn = flat_mod._Template.learn
+
+    def spy(sample, fields):
+        t = orig_learn(sample, fields)
+        learns.append(sample[:40])
+        return t
+
+    flat_mod._Template.learn = spy
+    try:
+        want = _span_path_rows(asm, data, "rec", splits)
+        got = _fused_rows(asm, tmp_path, data, "rec", splits)
+    finally:
+        flat_mod._Template.learn = orig_learn
+    assert got == want and len(got) == 600
+    # one learn per writer layout: the B block triggered a re-learn
+    assert len(learns) == 2
+    assert learns[0].startswith(b'<rec id=') and learns[1].startswith(b'<rec src="b"')
+
+
+def test_layout_drift_columnar_equals_row_path(tmp_path):
+    """The mid-batch template switch must flush caps under the template
+    that produced them (the _TmplChange sentinel): columnar == row path
+    across batch sizes that put the switch mid-batch and at edges."""
+    data = _two_writer_doc()
+    asm = FlatAssembler.try_create(_int_schema(), "PERMISSIVE")
+    n = len(data)
+    for fence in ({0, n}, {0, n // 2, n}):
+        splits = _chained(data, "rec", sorted(fence))
+        for batch_rows in (7, 128, 32768):
+            tn, to_ = _tables(asm, tmp_path, data, "rec", splits, batch_rows)
+            assert tn.equals(to_), f"fence={fence} batch_rows={batch_rows}"
+            assert tn.num_rows == 600
+
+
+def test_alternating_layouts_do_not_thrash(tmp_path):
+    """Strictly alternating layouts never reach the 3-miss streak, so
+    the learn budget is not burned; results still exact."""
+    from xml_hive_spark import flat as flat_mod
+
+    recs = []
+    for i in range(400):
+        if i % 2:
+            recs.append(f'<rec a="x" id="{i}"><cat>c</cat><val>{i}</val></rec>')
+        else:
+            recs.append(f'<rec id="{i}"><cat>c</cat><val>{i}</val></rec>')
+    data = ("<dataset>\n" + "\n".join(recs) + "\n</dataset>").encode()
+    asm = FlatAssembler.try_create(_int_schema(), "PERMISSIVE")
+    splits = [("", 0, len(data), "TEXT", 0)]
+
+    learns = []
+    orig_learn = flat_mod._Template.learn
+
+    def spy(sample, fields):
+        learns.append(1)
+        return orig_learn(sample, fields)
+
+    flat_mod._Template.learn = spy
+    try:
+        want = _span_path_rows(asm, data, "rec", splits)
+        got = _fused_rows(asm, tmp_path, data, "rec", splits)
+    finally:
+        flat_mod._Template.learn = orig_learn
+    assert got == want and len(got) == 400
+    assert len(learns) == 1  # no re-learn churn on alternation

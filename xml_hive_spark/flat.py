@@ -405,6 +405,18 @@ class _Template:
         return tuple(vals)
 
 
+class _TmplChange:
+    """Raw-mode scan sentinel: the active template changed (first learn
+    or a drift re-learn). The columnar sink must flush caps accumulated
+    under the PREVIOUS template before interpreting any further run
+    captures — capture group order is template-specific."""
+
+    __slots__ = ("tmpl",)
+
+    def __init__(self, tmpl):
+        self.tmpl = tmpl
+
+
 class _NeedRowPath(Exception):
     """Columnar conversion met a construct whose semantics are defined
     per-row (entities, exotic whitespace, cast failure, markup in an
@@ -595,20 +607,48 @@ class FlatAssembler:
         rec_start: int | None = None
         tmpl: _Template | None = None
         learn_budget = 8
+        miss_streak = 0
+        tmpl_epoch = 0  # bumped on every (re)learn; raw mode emits a
+        sent_epoch = 0  # _TmplChange sentinel when they diverge
         fast_row = self.fast_row
         search_from = pos  # proven token-free below this (refill re-scans)
 
         def emit(rec: bytes):
-            nonlocal tmpl, learn_budget
+            nonlocal tmpl, learn_budget, miss_streak, tmpl_epoch
             vals = tmpl.extract(rec) if tmpl is not None else None
-            if vals is None:
-                vals = fast_row(rec)
-                if vals is not None and tmpl is None and learn_budget > 0:
+            if vals is not None:
+                miss_streak = 0
+                return vals
+            vals = fast_row(rec)
+            if vals is not None and learn_budget > 0:
+                if tmpl is None:
                     learn_budget -= 1
                     tmpl = _Template.learn(rec, self.fields)
                     # the columnar sink reads the learned template to map
                     # run-match captures back to schema fields
                     self._scan_tmpl = tmpl
+                    if tmpl is not None:
+                        tmpl_epoch += 1
+                else:
+                    # LAYOUT-DRIFT RE-LEARN: the active template keeps
+                    # rejecting records that parse cleanly (attribute
+                    # order flipped, whitespace changed, a second writer's
+                    # block starts) — after 3 consecutive such misses,
+                    # adopt a template from the new layout so the fused
+                    # run loop resumes instead of the rest of the split
+                    # paying the exact path per record. Alternating
+                    # layouts never reach the streak (resets on every
+                    # template hit), so no thrash; the budget bounds total
+                    # learns per split either way.
+                    miss_streak += 1
+                    if miss_streak >= 3:
+                        miss_streak = 0
+                        learn_budget -= 1
+                        nt = _Template.learn(rec, self.fields)
+                        if nt is not None:
+                            tmpl = nt
+                            self._scan_tmpl = nt
+                            tmpl_epoch += 1
             if vals is None:
                 vals = parse_record_safe(rec, self.struct, self.mode)
             return vals
@@ -691,6 +731,11 @@ class FlatAssembler:
                         rel = m.end()
                         advanced = True
                     if advanced:
+                        # template hits ride the hot loop (never emit):
+                        # they must still reset the drift-miss streak or
+                        # alternating layouts would count only the misses
+                        # and churn through the learn budget
+                        miss_streak = 0
                         pos = base + rel
                         search_from = pos
                         if rel > (1 << 22):
@@ -736,6 +781,9 @@ class FlatAssembler:
                     d -= 1
                     if d == 0 and rec_start is not None:
                         vals = emit(buf.slice(rec_start, ne))
+                        if raw and tmpl_epoch != sent_epoch:
+                            sent_epoch = tmpl_epoch
+                            yield _TmplChange(tmpl)
                         if vals is not None:
                             yield vals
                         rec_start = None
@@ -747,6 +795,9 @@ class FlatAssembler:
                 if self_closing:
                     if d == 0:
                         vals = emit(buf.slice(s, after))
+                        if raw and tmpl_epoch != sent_epoch:
+                            sent_epoch = tmpl_epoch
+                            yield _TmplChange(tmpl)
                         if vals is not None:
                             yield vals
                 else:
@@ -808,11 +859,23 @@ class FlatAssembler:
         # records (re-read recovers per-record spans via rx_run)
         exacts: list = []  # (row_idx_within_batch, value tuple)
         n = 0
+        cur_tmpl = None  # the template that produced the pending caps
         from xml_hive_spark.reader import open_xml
 
         with open_xml(path) as f:
             for item in self._fused_scan(f, row_tag, a, b, state, depth,
                                          raw=True):
+                if type(item) is _TmplChange:
+                    # capture order is template-specific: anything
+                    # accumulated under the previous template must flush
+                    # before runs of the new one land in the same batch
+                    if caps:
+                        yield self._flush_columnar(
+                            caps, spans, exacts, n, path, cur_tmpl
+                        )
+                        caps, spans, exacts, n = [], [], [], 0
+                    cur_tmpl = item.tmpl
+                    continue
                 if type(item) is tuple:
                     exacts.append((n, item))
                     n += 1
@@ -827,10 +890,14 @@ class FlatAssembler:
                         spans.append((1, item[1], item[2]))
                         n += 1
                 if n >= batch_rows:
-                    yield self._flush_columnar(caps, spans, exacts, n, path)
+                    yield self._flush_columnar(
+                        caps, spans, exacts, n, path, cur_tmpl
+                    )
                     caps, spans, exacts, n = [], [], [], 0
             if n:
-                yield self._flush_columnar(caps, spans, exacts, n, path)
+                yield self._flush_columnar(
+                    caps, spans, exacts, n, path, cur_tmpl
+                )
 
     def _arrow_schema(self):
         """Arrow image of the StructType, computed once per assembler
@@ -846,16 +913,18 @@ class FlatAssembler:
         return cached
 
     def _flush_columnar(self, caps: list, spans: list, exacts: list,
-                        n: int, path: str):
+                        n: int, path: str, tmpl=None):
         import numpy as np
         import pyarrow as pa
 
+        if tmpl is None:
+            tmpl = self._scan_tmpl
         aschema, atypes = self._arrow_schema()
         idx_exact = np.fromiter(
             (i for i, _ in exacts), dtype=np.int64, count=len(exacts)
         )
         try:
-            run_cols = self._convert_run_columns(caps, atypes)
+            run_cols = self._convert_run_columns(caps, atypes, tmpl)
         except _NeedRowPath:
             # something in this batch needs exact per-row semantics:
             # convert run matches row-wise (with record re-parse fallback
@@ -863,7 +932,7 @@ class FlatAssembler:
             run_global = np.setdiff1d(np.arange(n), idx_exact)
             tuples = [
                 (int(run_global[j]), vals)
-                for j, vals in self._run_rows(caps, spans, path)
+                for j, vals in self._run_rows(caps, spans, path, tmpl)
             ] + exacts
             tuples.sort()
             return self._tuples_to_batch(
@@ -885,7 +954,7 @@ class FlatAssembler:
             cols.append(pa.concat_arrays([run_arr, exact_arr]).take(take_arr))
         return pa.RecordBatch.from_arrays(cols, schema=aschema)
 
-    def _run_rows(self, caps: list, spans: list, path: str):
+    def _run_rows(self, caps: list, spans: list, path: str, tmpl=None):
         """Per-row conversion of template captures — the exact-path
         fallback for batches the columnar checks flag. Mirrors emit():
         template-capture extraction first; a rejected row re-reads its
@@ -897,7 +966,8 @@ class FlatAssembler:
         decomposition."""
         out = []
         fh = None
-        tmpl = self._scan_tmpl
+        if tmpl is None:
+            tmpl = self._scan_tmpl
 
         def reparse(rec: bytes):
             vals = self.fast_row(rec)
@@ -915,8 +985,7 @@ class FlatAssembler:
                 # exactly like longer runs — otherwise the reparsed (and
                 # corrupt-captured) text would differ by batch shape
                 vlist = [
-                    self._extract_from_groups(caps[j + i])
-                    for i in range(count)
+                    tmpl.extract_groups(caps[j + i]) for i in range(count)
                 ]
                 if any(v is None for v in vlist):
                     if fh is None:
@@ -950,12 +1019,7 @@ class FlatAssembler:
                 fh.close()
         return out
 
-    def _extract_from_groups(self, groups_raw) -> tuple | None:
-        """extract_match's value pipeline over already-copied capture
-        bytes (same None-reject contract; see _Template.extract_groups)."""
-        return self._scan_tmpl.extract_groups(groups_raw)
-
-    def _convert_run_columns(self, caps: list, atypes: list):
+    def _convert_run_columns(self, caps: list, atypes: list, tmpl=None):
         """Bulk-convert run-match captures with pyarrow compute; raises
         :class:`_NeedRowPath` whenever a bulk check cannot PROVE the
         columnar result equals the per-row pipeline:
@@ -979,7 +1043,8 @@ class FlatAssembler:
         R = len(caps)
         if R == 0:  # batch of exact-path rows only (e.g. pre-template)
             return [pa.nulls(0, t) for t in atypes]
-        tmpl = self._scan_tmpl
+        if tmpl is None:
+            tmpl = self._scan_tmpl
         covered = {}
         for gi, (fi, _conv, is_elem) in enumerate(tmpl.groups):
             covered[fi] = (gi, is_elem)
