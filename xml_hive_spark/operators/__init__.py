@@ -202,6 +202,7 @@ def all_queries() -> dict[str, QueryDef]:
             relational2,
             relational3,
             relational4,
+            scaleops,
             similarity,
             storage,
             text,

@@ -1,0 +1,292 @@
+"""Scale-technique operators: explicit bloom-filter join pruning,
+Z-order clustered layout with data skipping, and schema-evolution reads.
+
+None of these exist in the reference (its relational tier is Hive
+delegation with no layout or join-pruning control — SURVEY.md §2.B);
+they are the techniques a 100 TB deployment of this engine leans on:
+prune a fact-table shuffle with a few KB of broadcast bloom bits,
+cluster cold data so multi-column box queries skip row groups, and read
+a parquet lake whose schema widened over time. Each is expressed as
+pure JVM-side DataFrame ops (no UDFs) with a full DuckDB oracle — the
+optimization must be invisible in the RESULT and visible only in the
+plan, which the tests pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xml_hive_spark.operators import dsum, query, t
+
+# ---------------------------------------------------------------- bloom
+
+_BLOOM_BITS = 1 << 16  # 64 Kibit = 8 KiB of broadcast state
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_SEEDS = ("b0", "b1", "b2")  # k = 3 hash functions
+
+
+def _bloom_pos(col, seed: str):
+    """Bit position in [0, 2^16) from md5(key || seed): 4 hex chars.
+    Engine-portable and deterministic — the same scheme as the count-min
+    sketch's bucket hash (text.py), so a bloom built here could be
+    verified bit-for-bit by any engine with md5."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(col.cast("string"), F.lit("#" + seed))
+                  .cast("binary")),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def bloom_build(df: DataFrame, key: str) -> list:
+    """Distributed bloom build: every key sets k bit positions; positions
+    aggregate into 64-bit words via bit_or — one partial+final hash-agg
+    over ≤ k·|keys| skinny rows, then a BOUNDED collect (exactly
+    _BLOOM_WORDS longs = 8 KiB regardless of corpus size — the same
+    bounded-model-state contract as the k-means centroids)."""
+    kc = F.col(key)
+    pos = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(kc, s) for s in _BLOOM_SEEDS])
+        ).alias("p")
+    )
+    words = (
+        pos.groupBy((F.col("p") / 64).cast("int").alias("w"))
+        # SQL shiftleft takes a column bit-count (the Python wrapper
+        # insists on a literal int)
+        .agg(F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))"
+        ).alias("bits"))
+        .collect()
+    )
+    arr = [0] * _BLOOM_WORDS
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    return arr
+
+
+def bloom_might_contain(arr: list, col):
+    """JVM-side membership test against the broadcast word array: k
+    md5 positions, each checked with element_at + shiftright + bit-AND —
+    whole-stage-codegen expressions, no UDF. False positives possible,
+    false negatives impossible (verified property-style in tests)."""
+    lit_arr = F.array(*[F.lit(w).cast("long") for w in arr])
+    cond = F.lit(True)
+    for s in _BLOOM_SEEDS:
+        p = _bloom_pos(col, s)
+        word = F.element_at(lit_arr, (p / 64).cast("int") + F.lit(1))
+        cond = cond & (F.bit_get(word, (p % 64).cast("int")) == 1)
+    return cond
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+SELECT s.s_nationkey AS nation,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_acctbal > 4000
+GROUP BY s.s_nationkey
+ORDER BY nation
+""",
+    tags=("join", "bloom", "prune", "scale"),
+)
+def join_bloom_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-table join with EXPLICIT bloom-filter pre-pruning: an 8 KiB
+    deterministic bloom over the filtered supplier keys is built
+    distributed (one hash-agg, bounded collect), broadcast as a literal
+    word array, and applied to lineitem BEFORE the join — rows failing
+    the bloom never enter the join exchange. The actual equi-join then
+    removes bloom false positives, so the RESULT is exactly the plain
+    inner join (the oracle) while the join-side shuffle carries only
+    ~|matching| + fp rows instead of the whole fact table.
+
+    Spark's own runtime bloom join
+    (spark.sql.optimizer.runtime.bloomFilter.*) does this adaptively
+    for suitable shapes; this operator is the explicit, engine-portable
+    variant — the bloom bits are reproducible md5 arithmetic, so a
+    downstream system (or DuckDB) can re-derive the identical filter.
+    At 100 TB: the build side is a broadcast-sized dim scan; the probe
+    side prunes at scan-adjacent cost (4 md5 calls/row, codegen'd)
+    against an 8 KiB array — no shuffle is added, one is shrunk.
+    Plan pinned in tests/test_scaleops.py: the bloom condition sits
+    below the join, and pruned-row counts bound the false-positive
+    rate."""
+    sup = (
+        t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 4000)
+        .select("s_suppkey", "s_nationkey")
+    )
+    arr = bloom_build(sup, "s_suppkey")
+    li = t(spark, sf, "lineitem").select("l_suppkey", "l_extendedprice")
+    pruned = li.filter(bloom_might_contain(arr, F.col("l_suppkey")))
+    return (
+        pruned.join(sup, pruned["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------- zorder
+
+
+def _part1by1(col):
+    """Interleave zeros between the low 16 bits of ``col`` (morton
+    spread): 0bABCD -> 0b0A0B0C0D, via the classic shift-or-mask ladder
+    as JVM bitwise expressions."""
+    x = col.cast("long").bitwiseAND(F.lit(0xFFFF).cast("long"))
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                       (2, 0x33333333), (1, 0x55555555)):
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(
+            F.lit(mask).cast("long")
+        )
+    return x
+
+
+def zvalue(a, b):
+    """Morton/Z-order interleave of two 16-bit-clamped dimensions —
+    pure codegen bit arithmetic, no UDF."""
+    return _part1by1(a).bitwiseOR(F.shiftleft(_part1by1(b), 1))
+
+
+@query(
+    "zorder_write_skipping",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 500
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+""",
+    tags=("storage", "zorder", "skipping", "scale"),
+)
+def zorder_write_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-ORDER clustered rewrite + multi-column box query: orders are
+    rewritten to parquet clustered on the Morton interleave of
+    (o_custkey, days(o_orderdate)) — range-partitioned AND sorted
+    within files on the z-value — then a 2-D box query (customer range
+    × one year) runs against the clustered copy. The oracle runs the
+    same box on the ORIGINAL table: clustering must be value-invisible.
+
+    Why this layout at 100 TB: a sort on either single column makes the
+    OTHER column's per-row-group min/max spans useless; the z-curve
+    bounds BOTH dimensions per row group, so parquet predicate pushdown
+    (min/max stats) skips every row group outside the box — the
+    lakehouse OPTIMIZE ZORDER BY capability, reproduced with plain
+    DataFrame ops. The write is one range-exchange (sampled
+    boundaries) + in-partition sort; the read shows PushedFilters on
+    both columns (pinned with the skipping measurement in
+    tests/test_scaleops.py)."""
+    from xml_hive_spark.session import scratch_dir
+
+    orders = t(spark, sf, "orders")
+    z = zvalue(
+        F.col("o_custkey"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")),
+    )
+    out = scratch_dir("zorder-") + "/orders_z"
+    (
+        orders.withColumn("_z", z)
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    clustered = spark.read.parquet(out)
+    return clustered.filter(
+        F.col("o_custkey").between(100, 500)
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+# ----------------------------------------------------- schema evolution
+
+
+@query(
+    "schema_evolution_read",
+    oracle="""
+SELECT era,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(priority) AS BIGINT) AS n_with_priority,
+       CAST(sum(CAST(total AS DECIMAL(30,6))) AS DOUBLE) AS sum_total
+FROM (
+  SELECT 'v1' AS era, o_orderkey AS id, o_totalprice AS total,
+         CAST(NULL AS VARCHAR) AS priority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'v2' AS era, o_orderkey AS id, o_totalprice AS total,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY era ORDER BY era
+""",
+    tags=("storage", "schema-evolution", "parquet"),
+)
+def schema_evolution_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution read over a parquet lake written in two epochs:
+    epoch v1 wrote (era, id, total); epoch v2 added a ``priority``
+    column. ``mergeSchema`` unions the footers so old files surface the
+    new column as NULL — the exact lake shape a long-lived 100 TB
+    dataset grows into (backfills are the expensive alternative this
+    read path avoids). The oracle reconstructs the same union with an
+    explicit NULL cast.
+
+    Scale note: mergeSchema=true costs a distributed footer read ONCE
+    per query planning; steady-state deployments persist the merged
+    schema in the catalog instead — both paths produce this plan."""
+    from xml_hive_spark.session import scratch_dir
+
+    orders = t(spark, sf, "orders")
+    base = scratch_dir("evo-") + "/lake"
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.lit("v1").alias("era"),
+            F.col("o_orderkey").alias("id"),
+            F.col("o_totalprice").alias("total"),
+        )
+        .write.mode("overwrite")
+        .parquet(base + "/epoch=1")
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select(
+            F.lit("v2").alias("era"),
+            F.col("o_orderkey").alias("id"),
+            F.col("o_totalprice").alias("total"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .write.mode("overwrite")
+        .parquet(base + "/epoch=2")
+    )
+    lake = spark.read.option("mergeSchema", "true").parquet(
+        base + "/epoch=1", base + "/epoch=2"
+    )
+    return (
+        lake.groupBy("era")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("priority").alias("n_with_priority"),
+            dsum("total").alias("sum_total"),
+        )
+        .orderBy("era")
+    )
