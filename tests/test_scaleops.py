@@ -159,3 +159,21 @@ class TestSchemaEvolution:
         rows = {r["era"]: r for r in df.collect()}
         assert rows["v1"]["n_with_priority"] == 0  # old files -> NULL
         assert rows["v2"]["n_with_priority"] == rows["v2"]["n"]
+
+
+class TestPortableHll:
+    def test_estimate_within_error_bound(self, spark, sf_dir):
+        """HLL std error = 1.04/sqrt(m) ~ 6.5% at m=256; assert the
+        estimate lands within 3 sigma of truth."""
+        r = all_queries()["sketch_hll_portable"].fn(spark, sf_dir).collect()[0]
+        rel = abs(r["hll_est"] - r["n_exact"]) / r["n_exact"]
+        assert rel < 3 * 1.04 / 16.0, r
+
+    def test_register_agg_is_mergeable(self, spark, sf_dir):
+        """The register build must be a partial+final hash-agg (max is
+        mergeable) — the property that makes the sketch a bounded
+        summary at any scale."""
+        df = all_queries()["sketch_hll_portable"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("HashAggregate") >= 2
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -218,6 +218,122 @@ def zorder_write_skipping(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ hll
+
+
+@query(
+    "sketch_hll_portable",
+    oracle="""
+WITH h AS (
+  SELECT md5(CAST(l_partkey AS VARCHAR)) AS hx FROM lineitem
+),
+r AS (
+  SELECT (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
+         CASE WHEN ltrim(substr(hx, 3, 12), '0') = '' THEN 49
+              ELSE 4 * (12 - length(ltrim(substr(hx, 3, 12), '0')))
+                   + CASE substr(ltrim(substr(hx, 3, 12), '0'), 1, 1)
+                       WHEN '1' THEN 3
+                       WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1
+                       WHEN '6' THEN 1 WHEN '7' THEN 1
+                       ELSE 0 END
+                   + 1 END AS rho
+  FROM h
+),
+m AS (
+  SELECT reg, MAX(rho) AS mx FROM r GROUP BY reg
+),
+s AS (
+  SELECT CAST(SUM(1::BIGINT << (49 - mx)) AS BIGINT)
+         + (256 - COUNT(*)) * (1::BIGINT << 49) AS ssum,
+         CAST(256 - COUNT(*) AS BIGINT) AS zeros
+  FROM m
+)
+SELECT (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+         AS n_exact,
+       CAST(256 - zeros AS BIGINT) AS nonzero_registers,
+       round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * 562949953421312.0 / CAST(ssum AS DOUBLE)
+                       <= 640.0
+                   AND zeros > 0
+                  THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * 562949953421312.0 / CAST(ssum AS DOUBLE) END,
+             4) AS hll_est
+FROM s
+""",
+    tags=("sketch", "hll", "distinct", "scale"),
+)
+def sketch_hll_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-engine-portable HyperLogLog distinct count with a FULL
+    value oracle — the engine-agnostic sibling of
+    ``agg_approx_distinct`` (whose Spark HLL++ registers are not
+    reproducible outside the JVM) and the count-min entry's design
+    twin: m = 256 registers addressed by the first md5 byte, rho =
+    leading-zero rank of the next 48 hash bits computed with pure
+    string/CASE arithmetic (bit-identical in any engine with md5), and
+    the harmonic sum kept EXACT as the integer Σ 2^(49−M[reg]) — so
+    both engines divide the same two integers and the only floating
+    noise left is one ln in the small-range branch, absorbed by
+    round(…,4) (the BM25 precedent).
+
+    Scale shape: the register table is a mergeable ≤256-row summary —
+    one map-side-combined hash-agg regardless of corpus size, vs one
+    shuffled row per distinct key for the exact count. The exact
+    count is computed alongside as the honesty column (same contract
+    as ``sketch_count_min``'s exact_n)."""
+    li = t(spark, sf, "lineitem").select(
+        F.md5(F.col("l_partkey").cast("string").cast("binary")).alias("hx")
+    )
+    sfx = F.substring("hx", 3, 12)
+    stripped = F.expr("trim(LEADING '0' FROM substring(hx, 3, 12))")
+    nib = F.substring(stripped, 1, 1)
+    rho = F.when(stripped == "", F.lit(49)).otherwise(
+        4 * (F.length(sfx) - F.length(stripped))
+        + F.when(nib == "1", 3)
+        .when(nib.isin("2", "3"), 2)
+        .when(nib.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+        + 1
+    )
+    reg = (
+        (F.conv(F.substring("hx", 1, 1), 16, 10).cast("int") * 16)
+        + F.conv(F.substring("hx", 2, 1), 16, 10).cast("int")
+    )
+    regs = (
+        li.select(reg.alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    s = regs.agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - mx)"))
+            + (F.lit(256) - F.count(F.lit(1)))
+            * F.lit(1 << 49).cast("long")
+        ).alias("ssum"),
+        (F.lit(256) - F.count(F.lit(1))).cast("long").alias("zeros"),
+    )
+    exact = t(spark, sf, "lineitem").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_exact")
+    )
+    raw = (
+        F.lit(0.7213 / (1.0 + 1.079 / 256.0))
+        * F.lit(65536.0)
+        * F.lit(562949953421312.0)
+        / F.col("ssum").cast("double")
+    )
+    est = F.when(
+        (raw <= 640.0) & (F.col("zeros") > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("zeros").cast("double")),
+    ).otherwise(raw)
+    return exact.crossJoin(s).select(
+        "n_exact",
+        (F.lit(256) - F.col("zeros")).cast("long").alias("nonzero_registers"),
+        F.round(est, 4).alias("hll_est"),
+    )
+
+
 # ----------------------------------------------------- schema evolution
 
 
