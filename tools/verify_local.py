@@ -22,9 +22,10 @@ TABLES = (
 ).split()
 
 
-def _norm(v):
-    import numpy as np
+import numpy as np  # noqa: E402
 
+
+def _norm(v):
     if v is None:
         return "∅"
     if isinstance(v, (bool, np.bool_)):

@@ -136,8 +136,8 @@ def _build(spark: SparkSession, sf_dir: str, k: int, iters: int,
         # of it). In the latter case REPAIR the slot — clear the corpse
         # and retry once — so the disk cache heals instead of every
         # future process rebuilding and stranding a tmp index
-        existing = _load(out)
-        if existing is not None and Path(existing.lists_path).exists():
+        existing = _load(out)  # None unless model AND lists are usable
+        if existing is not None:
             shutil.rmtree(tmp, ignore_errors=True)
             return existing
         shutil.rmtree(out, ignore_errors=True)
