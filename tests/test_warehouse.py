@@ -120,3 +120,34 @@ class TestScd2PointInTimeJoin:
         }
         for r in out:
             assert r.version_from <= orders[r.o_orderkey].date()
+
+
+class TestWeightedPoisson:
+    def test_expected_size_and_weight_bias(self, spark, sf_dir):
+        """Realized sample size is near the expected k=100, and because
+        inclusion probability is proportional to o_totalprice the mean
+        sampled weight must exceed the corpus mean weight."""
+        from pyspark.sql import functions as F
+
+        from xml_hive_spark.operators import all_queries, t
+
+        got = all_queries()["sample_weighted_poisson"].fn(spark, sf_dir)
+        rows = got.collect()
+        assert 50 <= len(rows) <= 200  # k=100 with Poisson variance
+        mean_sampled = sum(r["o_totalprice"] for r in rows) / len(rows)
+        mean_all = (
+            t(spark, sf_dir, "orders")
+            .agg(F.avg("o_totalprice"))
+            .collect()[0][0]
+        )
+        assert mean_sampled > mean_all
+
+    def test_membership_is_key_pure(self, spark, sf_dir):
+        """Same rows on every evaluation (no RNG state): two runs return
+        identical key sets."""
+        from xml_hive_spark.operators import all_queries
+
+        q = all_queries()["sample_weighted_poisson"].fn
+        a = sorted(r["o_orderkey"] for r in q(spark, sf_dir).collect())
+        b = sorted(r["o_orderkey"] for r in q(spark, sf_dir).collect())
+        assert a == b

@@ -163,6 +163,64 @@ def sample_hash_bucket(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted_poisson",
+    oracle="""
+WITH w AS (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+    AS w_sum
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders, w
+WHERE CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)
+                AS BIGINT) AS DOUBLE) * w.w_sum
+      < 100.0 * o_totalprice * 281474976710656.0
+""",
+    tags=("sampling", "weighted", "hash"),
+)
+def sample_weighted_poisson(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic WEIGHTED Poisson sampling (expected k=100 rows,
+    inclusion probability ∝ o_totalprice): item i is kept iff
+    u_i < k·w_i / W, with u_i a 48-bit md5-derived uniform — the
+    importance-sampling primitive of pipeline auditing (sample heavy
+    orders more) with ``sample_hash_bucket``'s portability contract:
+    membership is a pure function of the key, identical on every run,
+    engine, and parallelism. The comparison is written as
+    u48 · W < k · w · 2^48 with W the DECIMAL-summed (exact,
+    associative) total weight, the same operand association on both
+    engines — every multiply is IEEE-identical, so the oracle IS the
+    cross-engine proof. Items with k·w > W are always kept (their
+    inclusion probability caps at 1), the standard Poisson-sampling
+    boundary.
+
+    Scale shape: one scalar aggregate (W) broadcast into a scan-level
+    filter — no shuffle, no coordination, no collect of data rows; at
+    100 TB the sample is a filter pass exactly like the uniform
+    variant."""
+    orders = t(spark, sf, "orders")
+    w_sum = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("w_sum")
+    )
+    u48 = F.conv(
+        F.substring(
+            F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        orders.crossJoin(F.broadcast(w_sum))
+        .filter(
+            u48.cast("double") * F.col("w_sum")
+            < F.lit(100.0) * F.col("o_totalprice") * F.lit(281474976710656.0)
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
     "dq_expectations",
     oracle="""
 SELECT 'orders_null_custkey' AS rule,
