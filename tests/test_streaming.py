@@ -219,3 +219,32 @@ def test_streaming_neardup_equals_batch_twin(spark, sf_dir):
     assert not diff, f"{len(diff)} mismatched docs, e.g. {sorted(diff)[:5]}"
     # sanity: the corpus actually contains both classes
     assert any(want.values()) and not all(want.values())
+
+
+def test_streaming_hll_equals_batch_registers(spark, sf_dir):
+    """The streaming HLL drain must produce the exact batch register
+    table (max is order-insensitive, availableNow is batch-equivalent),
+    so the streamed estimate equals a batch-computed estimate over the
+    same key column, and the estimate tracks the true distinct count."""
+    from pyspark.sql import functions as F
+
+    from xml_hive_spark.operators import t
+    from xml_hive_spark.operators.scaleops import (
+        hll_estimate_from_registers,
+        hll_register_cols,
+    )
+    from xml_hive_spark.streaming.windowed import run_streaming_hll
+
+    got = run_streaming_hll(spark, sf_dir).collect()[0]
+
+    ev = t(spark, sf_dir, "events")
+    reg, rho = hll_register_cols(F.col("user_id").cast("string"))
+    batch_regs = (
+        ev.select(reg.alias("reg"), rho.alias("rho"))
+        .groupBy("reg").agg(F.max("rho").alias("mx"))
+    )
+    want = hll_estimate_from_registers(batch_regs).collect()[0]
+    assert tuple(got) == tuple(want)
+
+    n_exact = ev.select("user_id").distinct().count()
+    assert abs(got["hll_est"] - n_exact) / n_exact < 3 * 1.04 / 16.0

@@ -283,11 +283,30 @@ def sketch_hll_portable(spark: SparkSession, sf: str) -> DataFrame:
     shuffled row per distinct key for the exact count. The exact
     count is computed alongside as the honesty column (same contract
     as ``sketch_count_min``'s exact_n)."""
-    li = t(spark, sf, "lineitem").select(
-        F.md5(F.col("l_partkey").cast("string").cast("binary")).alias("hx")
+    li = t(spark, sf, "lineitem")
+    reg, rho = hll_register_cols(F.col("l_partkey").cast("string"))
+    regs = (
+        li.select(reg.alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("mx"))
     )
-    sfx = F.substring("hx", 3, 12)
-    stripped = F.expr("trim(LEADING '0' FROM substring(hx, 3, 12))")
+    exact = t(spark, sf, "lineitem").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_exact")
+    )
+    return exact.crossJoin(
+        hll_estimate_from_registers(regs)
+    ).select("n_exact", "nonzero_registers", "hll_est")
+
+
+def hll_register_cols(key_col):
+    """(register, rho) column pair for one string key: register = first
+    md5 byte, rho = leading-zero rank of the next 48 bits via pure
+    string/CASE arithmetic. Shared by the batch and streaming HLL
+    entries so both sketches are definitionally identical."""
+    hx = F.md5(key_col.cast("binary"))
+    sfx = F.substring(hx, 3, 12)
+    # == ltrim(sfx, '0') in the DuckDB oracles: strip leading zero nibbles
+    stripped = F.regexp_replace(sfx, "^0+", "")
     nib = F.substring(stripped, 1, 1)
     rho = F.when(stripped == "", F.lit(49)).otherwise(
         4 * (F.length(sfx) - F.length(stripped))
@@ -298,14 +317,16 @@ def sketch_hll_portable(spark: SparkSession, sf: str) -> DataFrame:
         + 1
     )
     reg = (
-        (F.conv(F.substring("hx", 1, 1), 16, 10).cast("int") * 16)
-        + F.conv(F.substring("hx", 2, 1), 16, 10).cast("int")
+        (F.conv(F.substring(hx, 1, 1), 16, 10).cast("int") * 16)
+        + F.conv(F.substring(hx, 2, 1), 16, 10).cast("int")
     )
-    regs = (
-        li.select(reg.alias("reg"), rho.alias("rho"))
-        .groupBy("reg")
-        .agg(F.max("rho").alias("mx"))
-    )
+    return reg, rho
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """Final HLL harmonic estimate from a (reg, mx) register table —
+    exact-integer power sum, float math only in the last expression
+    (identical association to the DuckDB oracles)."""
     s = regs.agg(
         (
             F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - mx)"))
@@ -313,9 +334,6 @@ def sketch_hll_portable(spark: SparkSession, sf: str) -> DataFrame:
             * F.lit(1 << 49).cast("long")
         ).alias("ssum"),
         (F.lit(256) - F.count(F.lit(1))).cast("long").alias("zeros"),
-    )
-    exact = t(spark, sf, "lineitem").agg(
-        F.countDistinct("l_partkey").cast("long").alias("n_exact")
     )
     raw = (
         F.lit(0.7213 / (1.0 + 1.079 / 256.0))
@@ -327,8 +345,7 @@ def sketch_hll_portable(spark: SparkSession, sf: str) -> DataFrame:
         (raw <= 640.0) & (F.col("zeros") > 0),
         F.lit(256.0) * F.log(F.lit(256.0) / F.col("zeros").cast("double")),
     ).otherwise(raw)
-    return exact.crossJoin(s).select(
-        "n_exact",
+    return s.select(
         (F.lit(256) - F.col("zeros")).cast("long").alias("nonzero_registers"),
         F.round(est, 4).alias("hll_est"),
     )

@@ -113,3 +113,91 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("availableNow drain did not finish within 120s")
     return spark.table(name)
+
+
+def run_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user count via the portable HLL sketch: the
+    register table (reg → max rho) is a streaming aggregate in complete
+    mode — max is mergeable, so state is bounded at 256 rows FOREVER,
+    where streaming count(DISTINCT) is unsupported and
+    dropDuplicates-then-count state grows with cardinality. The drained
+    registers equal the batch registers exactly (availableNow), so the
+    estimate admits a FULL DuckDB oracle — a value-checked streaming
+    query, like streaming_static_join."""
+    from xml_hive_spark.operators.scaleops import hll_register_cols
+
+    ev = streaming_events(spark, sf_dir)
+    reg, rho = hll_register_cols(F.col("user_id").cast("string"))
+    regs = (
+        ev.select(reg.alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", scratch_dir("ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("availableNow drain did not finish within 120s")
+    from xml_hive_spark.operators.scaleops import hll_estimate_from_registers
+
+    return hll_estimate_from_registers(spark.table(name))
+
+
+@query(
+    "streaming_hll_distinct",
+    oracle="""
+WITH h AS (
+  SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+),
+r AS (
+  SELECT (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
+         CASE WHEN ltrim(substr(hx, 3, 12), '0') = '' THEN 49
+              ELSE 4 * (12 - length(ltrim(substr(hx, 3, 12), '0')))
+                   + CASE substr(ltrim(substr(hx, 3, 12), '0'), 1, 1)
+                       WHEN '1' THEN 3
+                       WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1
+                       WHEN '6' THEN 1 WHEN '7' THEN 1
+                       ELSE 0 END
+                   + 1 END AS rho
+  FROM h
+),
+m AS (
+  SELECT reg, MAX(rho) AS mx FROM r GROUP BY reg
+),
+s AS (
+  SELECT CAST(SUM(1::BIGINT << (49 - mx)) AS BIGINT)
+         + (256 - COUNT(*)) * (1::BIGINT << 49) AS ssum,
+         CAST(256 - COUNT(*) AS BIGINT) AS zeros
+  FROM m
+)
+SELECT CAST(256 - zeros AS BIGINT) AS nonzero_registers,
+       round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * 562949953421312.0 / CAST(ssum AS DOUBLE)
+                       <= 640.0
+                   AND zeros > 0
+                  THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * 562949953421312.0 / CAST(ssum AS DOUBLE) END,
+             4) AS hll_est
+FROM s
+""",
+    tags=("streaming", "sketch", "hll"),
+)
+def streaming_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry entry: bounded-state streaming distinct-count. The
+    256-row register aggregate is the ONLY streaming state; the final
+    harmonic estimate runs batch-side over the drained memory table.
+    Full value oracle (DuckDB recomputes the identical registers from
+    the identical md5 hashes — availableNow makes the drain
+    batch-equivalent); stream-equals-batch is additionally pinned in
+    tests/test_streaming.py."""
+    return run_streaming_hll(spark, sf)
