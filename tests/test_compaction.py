@@ -43,3 +43,25 @@ def test_max_records_per_file_caps_file_size(spark, sf_dir, tmp_path):
     # one writer task, but the record cap splits output into ceil(n/100)
     assert len(files) == -(-n // 100)
     assert spark.read.parquet(out).count() == n
+
+
+def test_compact_small_files_query_reduces_files(spark, sf_dir):
+    """The registry compaction op must actually reduce the file count to
+    the size-aware target (tiny corpus -> 1 file) while the oracle
+    (run by verify_local/the driver) proves values are untouched."""
+    from xml_hive_spark.operators import all_queries
+
+    df = all_queries()["compact_small_files"].fn(spark, sf_dir)
+    assert df.count() >= 1  # materializes the whole pipeline
+    # the compacted dir is the newest 'compact-*' scratch: locate via
+    # the scratch root of this process
+    import glob
+    import os
+    import tempfile
+
+    roots = glob.glob(os.path.join(tempfile.gettempdir(),
+                                   "xmlhive-scratch-*", "compact-*",
+                                   "compacted"))
+    newest = max(roots, key=os.path.getmtime)
+    files = _parquet_files(newest)
+    assert 1 <= len(files) <= 2  # sf0.001 events << 32 MiB target

@@ -219,3 +219,60 @@ def avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     write_avro_ocf(nation, out)
     return read_avro_ocf(spark, out, nation.schema)
+
+
+@query(
+    "compact_small_files",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("storage", "compaction", "maintenance"),
+)
+def compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-files compaction as a query: fragment the events table
+    into ~48 tiny files (the shape a per-trigger streaming sink or an
+    over-parallel task wave leaves behind), then compact SIZE-AWARE —
+    target file count = ceil(total_bytes / 32 MiB), floored at 1 — and
+    aggregate from the compacted copy. The oracle aggregates the
+    original table: compaction must be value-invisible; the file-count
+    and size-bound effects are asserted in tests/test_compaction.py.
+
+    Why it's an operator and not an afterthought: at 100 TB a
+    landing-zone table accretes millions of KB-files and every scan
+    pays one task + one open per file; scheduled compaction is the
+    maintenance op that keeps scans at maxPartitionBytes granularity.
+    The rewrite is one exchange (repartition to the computed count);
+    reading back the compacted copy proves the round trip, exactly like
+    the format round-trip family above."""
+    from xml_hive_spark.session import scratch_dir
+
+    ev = t(spark, sf, "events")
+    frag = scratch_dir("compact-") + "/frag"
+    ev.repartition(48).write.mode("overwrite").parquet(frag)
+
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(frag)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // (32 * 1024 * 1024)))
+    out = scratch_dir("compact-") + "/compacted"
+    (
+        spark.read.parquet(frag)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -382,3 +382,103 @@ def scd2_point_in_time_join(spark: SparkSession, sf: str) -> DataFrame:
             F.col("effective_from").alias("version_from"),
         )
     )
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+WITH snap AS (
+  SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+  FROM customer WHERE c_custkey <= 1000
+),
+cdc AS (
+  -- deterministic change batch derived from orders: the latest
+  -- pre-1996 order per customer drives an upsert (D for keys divisible
+  -- by 10, U otherwise); keys > 1000 with orders become inserts
+  SELECT o_custkey AS id,
+         CASE WHEN o_custkey % 10 = 0 THEN 'D'
+              WHEN o_custkey <= 1000 THEN 'U' ELSE 'I' END AS op,
+         'cdc-' || CAST(o_orderkey AS VARCHAR) AS name,
+         o_totalprice AS bal
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01')
+  WHERE rn = 1
+)
+SELECT s.id, coalesce(c.name, s.name) AS name,
+       coalesce(c.bal, s.bal) AS bal
+FROM snap s LEFT JOIN cdc c USING (id)
+WHERE c.op IS NULL OR c.op = 'U'
+UNION ALL
+SELECT c.id, c.name, c.bal
+FROM cdc c LEFT JOIN snap s USING (id)
+WHERE c.op = 'I' AND s.id IS NULL
+""",
+    tags=("cdc", "merge", "warehouse"),
+)
+def cdc_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-data-capture APPLY: merge an (op, key, values) change
+    batch — I/U/D per key — into a snapshot in ONE co-keyed pass:
+    deletes drop the row, updates overwrite in place, inserts add new
+    keys, untouched rows pass through. This is the ingestion half of
+    the lakehouse MERGE family (``scd2_merge`` keeps history; CDC apply
+    keeps only current state — both are one full/left outer join plus
+    conditional projection, no row explosion).
+
+    The change batch derives deterministically from orders (latest
+    pre-1996 order per customer; op by key arithmetic) so the oracle
+    reconstructs it exactly. Scale shape: snapshot and batch shuffle
+    once on the key; at 100 TB the batch side is typically
+    broadcast-sized and AQE demotes the shuffle — either way a single
+    join, never a per-row driver loop."""
+    snap = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_custkey") <= 1000)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    cdc = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("id"),
+            F.when(F.col("o_custkey") % 10 == 0, "D")
+            .when(F.col("o_custkey") <= 1000, "U")
+            .otherwise("I")
+            .alias("op"),
+            F.concat(F.lit("cdc-"), F.col("o_orderkey").cast("string"))
+            .alias("name"),
+            F.col("o_totalprice").alias("bal"),
+        )
+    )
+    c = cdc.select(
+        F.col("id").alias("c_id"), "op",
+        F.col("name").alias("c_name"), F.col("bal").alias("c_bal"),
+    )
+    kept = (
+        snap.join(c, snap["id"] == c["c_id"], "left")
+        .filter(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            "id",
+            F.coalesce("c_name", "name").alias("name"),
+            F.coalesce("c_bal", "bal").alias("bal"),
+        )
+    )
+    inserts = (
+        c.filter(F.col("op") == "I")
+        .join(snap, c["c_id"] == snap["id"], "left_anti")
+        .select(
+            F.col("c_id").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_bal").alias("bal"),
+        )
+    )
+    return kept.unionAll(inserts)
