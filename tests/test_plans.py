@@ -86,6 +86,12 @@ class TestTopK:
         "setsim_join_prefix",
         "funnel_conversion",
         "dq_expectations",
+        # round-7 join shapes (the bloom/sampler scalar cross joins are
+        # 1-row broadcasts, which must never plan as CartesianProduct)
+        "join_bloom_pruned",
+        "cdc_apply_changes",
+        "sample_weighted_poisson",
+        "scd2_point_in_time_join",
     ],
 )
 def test_no_cartesian_products(spark, sf_dir, name):

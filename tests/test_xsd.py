@@ -179,6 +179,25 @@ class TestPrimitiveMapping:
         st = g.struct_for("cType")
         assert st["v"].dataType.simpleString() == "string"
 
+    def test_list_keeps_lexical_string(self):
+        """xs:list (space-separated items) keeps its lexical form as
+        string — explicit widening, not an accidental default; the
+        reference raises on xs:list entirely."""
+        xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          <xs:simpleType name="intList">
+            <xs:list itemType="xs:int"/>
+          </xs:simpleType>
+          <xs:complexType name="cType">
+            <xs:sequence>
+              <xs:element name="vals" type="intList"/>
+            </xs:sequence>
+          </xs:complexType>
+        </xs:schema>"""
+        g = XsdGraph()
+        g.parse_source(xsd)
+        st = g.struct_for("cType")
+        assert st["vals"].dataType.simpleString() == "string"
+
 
 @pytest.mark.skipif(
     not REFERENCE_FIXTURES.exists(), reason="reference tree not mounted"

@@ -120,14 +120,15 @@ _LOADED = False
 # the 11 late-r6 additions never driver-checked (9 full-oracle; pagerank +
 # streaming minhash dedup rows-only by design, asserted in tests/) + the
 # 4 codec queries whose r6 reds are fixed (oracle SUMs now CAST AS BIGINT
-# — the DuckDB-HUGEINT→pandas-float64 canonicalizer artifact) + all 31
-# oracled queries last checked r4 + 4 r5-checked canaries (the flagship
-# q1, the pushdown canary q6, window_rank_topn, xml_write_roundtrip) = 50.
-# After this round every registry query has a driver row ≤3 rounds old
-# and none is unchecked; next rotation: the r5 block (28 remaining) and
-# the r6 block. Outside-window queries are covered meanwhile by the
-# identical local gate (tools/verify_local.py, now pandas-canonicalizing
-# like the driver). Tally: README "Correctness rotation".
+# — the DuckDB-HUGEINT→pandas-float64 canonicalizer artifact) + the 8
+# queries NEW this round (all full-oracle) + 23 oracled queries last
+# checked r4 + 4 r5-checked canaries (the flagship q1, the pushdown
+# canary q6, window_rank_topn, xml_write_roundtrip) = 50. After this
+# round no query is driver-unchecked; r8 rotation leads with the 8
+# displaced r4 function-coverage canaries, then the r5 block.
+# Outside-window queries are covered meanwhile by the identical local
+# gate (tools/verify_local.py, now pandas-canonicalizing like the
+# driver). Tally: README "Correctness rotation".
 _DRIVER_WINDOW = [
     # --- never driver-checked (late r6 additions) (11) ---
     "setsim_join_prefix",
@@ -146,19 +147,28 @@ _DRIVER_WINDOW = [
     "multimodal_wav_codec",
     "multimodal_gif_codec",
     "multimodal_jpeg_codec",
-    # --- oracled, last driver-checked r4 (31) ---
-    "scalar_subquery_ratio",
-    "conditional_functions",
-    "string_predicates",
+    # --- NEW this round, taking their first driver check (8, all full
+    # oracles): scale techniques (bloom-pruned join, Z-order skipping,
+    # schema evolution, portable HLL batch+streaming), weighted
+    # sampling, CDC apply, size-aware compaction ---
+    "join_bloom_pruned",
+    "zorder_write_skipping",
+    "schema_evolution_read",
+    "sketch_hll_portable",
+    "streaming_hll_distinct",
+    "sample_weighted_poisson",
+    "cdc_apply_changes",
+    "compact_small_files",
+    # --- oracled, last driver-checked r4 (23; the 8 displaced
+    # function-coverage canaries — scalar_subquery_ratio,
+    # conditional_functions, string_predicates, from_json_struct,
+    # map_functions, explode_outer_empty_arrays, array_higher_order,
+    # source_stats — are local-gate green and lead the r8 rotation) ---
     "sort_within_partitions",
     "apply_in_pandas_centered",
-    "from_json_struct",
-    "map_functions",
     "salted_join_agg",
     "agg_percentiles",
     "variant_json_access",
-    "explode_outer_empty_arrays",
-    "array_higher_order",
     "cosine_topk_bruteforce",
     "embedding_label_centroids",
     "csv_roundtrip",
@@ -167,7 +177,6 @@ _DRIVER_WINDOW = [
     "text_quality_score",
     "text_language_id",
     "text_fingerprint",
-    "source_stats",
     "text_clean_normalize",
     "vocab_topk",
     "pack_sequences",

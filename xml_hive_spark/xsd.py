@@ -281,10 +281,14 @@ class XsdGraph:
         base_ref = (XS_NS, "string")
         enum_values: list[str] = []
         for child in node:
-            if _local(child.tag) == "union":
+            if _local(child.tag) in ("union", "list"):
                 # BEYOND-reference: xs:union widens to string — the one
-                # primitive every member type's lexical form fits
-                # (explicit; unknown children already string-default)
+                # primitive every member type's lexical form fits —
+                # and xs:list keeps its space-separated LEXICAL form as
+                # string (split with F.split(col, ' ') downstream when
+                # array semantics are wanted; the reference raises on
+                # both constructs). Unknown children already
+                # string-default; these two are explicit.
                 base_ref = (XS_NS, "string")
             elif _local(child.tag) == "restriction":
                 base = child.get("base")
