@@ -482,3 +482,81 @@ def cdc_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return kept.unionAll(inserts)
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         AS total_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         / count(*) AS avg_price
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY o_orderpriority
+ORDER BY priority
+""",
+    tags=("warehouse", "incremental", "materialized-view"),
+)
+def incremental_agg_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-priority
+    (count, decimal-sum) aggregate over orders before 1996 is
+    MATERIALIZED to parquet (the view as of the last refresh); when the
+    1996-Q1 delta lands, the refresh merges the delta's partial
+    aggregate INTO the stored partials — sum-of-counts, sum-of-sums,
+    avg re-derived from the merged pair — without ever rescanning the
+    base fact rows. The oracle computes the same view directly over the
+    full range: the incremental path must be value-identical to the
+    full recompute.
+
+    This works because count/sum are MERGEABLE aggregates (the same
+    algebra Spark's own partial+final hash-agg exploits inside one
+    query, lifted across refresh cycles); avg is NOT mergeable and must
+    be stored as its (sum, count) parts — storing avg itself is the
+    classic incremental-view bug. Decimal sums keep the merge exact, so
+    cross-engine doubles agree bit-for-bit. At 100 TB the refresh cost
+    is O(delta) + O(|view|), independent of base-table size — the
+    entire reason materialized views scale."""
+    from xml_hive_spark.session import scratch_dir
+
+    orders = t(spark, sf, "orders")
+
+    def partial(df):
+        return df.groupBy(
+            F.col("o_orderpriority").alias("priority")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("sum_dec"),
+        )
+
+    view_path = scratch_dir("mview-") + "/orders_by_priority"
+    partial(
+        orders.filter(
+            F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+        )
+    ).write.mode("overwrite").parquet(view_path)
+
+    delta = partial(
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+    )
+    merged = (
+        spark.read.parquet(view_path)
+        .unionByName(delta)
+        .groupBy("priority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+    )
+    return merged.select(
+        "priority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_dec").cast("double").alias("total_price"),
+        (F.col("sum_dec").cast("double") / F.col("n_orders"))
+        .alias("avg_price"),
+    ).orderBy("priority")
