@@ -248,3 +248,45 @@ def test_streaming_hll_equals_batch_registers(spark, sf_dir):
 
     n_exact = ev.select("user_id").distinct().count()
     assert abs(got["hll_est"] - n_exact) / n_exact < 3 * 1.04 / 16.0
+
+
+def test_streaming_cdc_upsert_batch_boundary_independent(spark, sf_dir):
+    """The upserted state must be independent of micro-batch slicing:
+    a 1-batch drain and the 4-batch drain produce identical final
+    states (last-write-wins keys on (ts, event_id), not arrival), and
+    both equal the batch latest-per-user window."""
+    from pyspark.sql import functions as F
+
+    from xml_hive_spark.operators import t
+    from xml_hive_spark.streaming import upsert as up
+
+    four = [tuple(r) for r in up.run_streaming_cdc_upsert(spark, sf_dir).collect()]
+
+    orig = up.stage_event_chunks
+    up.stage_event_chunks = lambda s, d, n_files=4: orig(s, d, n_files=1)
+    try:
+        one = [tuple(r) for r in up.run_streaming_cdc_upsert(spark, sf_dir).collect()]
+    finally:
+        up.stage_event_chunks = orig
+    assert four == one
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = [
+        tuple(r)
+        for r in t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+        .collect()
+    ]
+    assert four == want

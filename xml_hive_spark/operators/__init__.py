@@ -224,6 +224,7 @@ def all_queries() -> dict[str, QueryDef]:
             joins,
             neardup,
             stateful,
+            upsert,
             windowed,
         )
 
