@@ -459,29 +459,25 @@ def cdc_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
             F.col("o_totalprice").alias("bal"),
         )
     )
+    # ONE co-keyed full-outer join covers every branch (scd2_merge's
+    # plan discipline): snap-only → pass-through; matched U → overwrite;
+    # matched D (or a matched I, which this batch derivation never
+    # produces) → drop; cdc-only I → insert; cdc-only U/D → no-op.
     c = cdc.select(
         F.col("id").alias("c_id"), "op",
         F.col("name").alias("c_name"), F.col("bal").alias("c_bal"),
     )
-    kept = (
-        snap.join(c, snap["id"] == c["c_id"], "left")
-        .filter(F.col("op").isNull() | (F.col("op") == "U"))
-        .select(
-            "id",
-            F.coalesce("c_name", "name").alias("name"),
-            F.coalesce("c_bal", "bal").alias("bal"),
-        )
+    j = snap.join(c, snap["id"] == c["c_id"], "full_outer")
+    keep = (
+        (F.col("c_id").isNull())  # snap-only: untouched
+        | (F.col("id").isNotNull() & (F.col("op") == "U"))  # update
+        | (F.col("id").isNull() & (F.col("op") == "I"))  # insert
     )
-    inserts = (
-        c.filter(F.col("op") == "I")
-        .join(snap, c["c_id"] == snap["id"], "left_anti")
-        .select(
-            F.col("c_id").alias("id"),
-            F.col("c_name").alias("name"),
-            F.col("c_bal").alias("bal"),
-        )
+    return j.filter(keep).select(
+        F.coalesce("id", "c_id").alias("id"),
+        F.coalesce("c_name", "name").alias("name"),
+        F.coalesce("c_bal", "bal").alias("bal"),
     )
-    return kept.unionAll(inserts)
 
 
 @query(
