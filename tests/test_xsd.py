@@ -290,3 +290,102 @@ class TestPerNodeNamespaceScope:
         st = g.struct_for("OuterType", "urn:outer")
         assert st["outer_child"].dataType.fieldNames() == ["v"]
         assert st["inner_child"].dataType.fieldNames() == ["s"]
+
+
+class TestGroupRefs:
+    """xs:group / xs:attributeGroup reference splicing — BEYOND the
+    reference, which has no group support at all."""
+
+    GROUPED = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+      <xs:complexType name="person">
+        <xs:sequence>
+          <xs:group ref="nameGroup"/>
+          <xs:element name="age" type="xs:int"/>
+        </xs:sequence>
+        <xs:attributeGroup ref="idAttrs"/>
+      </xs:complexType>
+      <xs:group name="nameGroup">
+        <xs:sequence>
+          <xs:element name="first" type="xs:string"/>
+          <xs:element name="last" type="xs:string"/>
+        </xs:sequence>
+      </xs:group>
+      <xs:attributeGroup name="idAttrs">
+        <xs:attribute name="id" type="xs:long" use="required"/>
+        <xs:attribute name="rev" type="xs:int"/>
+      </xs:attributeGroup>
+    </xs:schema>"""
+
+    def test_groups_splice_inline(self):
+        """Definition-after-use in the same file resolves (pre-pass);
+        elements and attributes land with their declared types and
+        cardinality."""
+        g = XsdGraph()
+        g.parse_source(self.GROUPED)
+        st = g.struct_for("person")
+        got = [(f.name, f.dataType.simpleString(), f.nullable)
+               for f in st.fields]
+        assert got == [
+            ("id", "bigint", False),
+            ("rev", "int", True),
+            ("first", "string", False),
+            ("last", "string", False),
+            ("age", "int", False),
+        ]
+
+    def test_cyclic_group_ref_terminates(self):
+        """A self-referencing group must splice once, not recurse."""
+        xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          <xs:group name="loop">
+            <xs:sequence>
+              <xs:element name="x" type="xs:int"/>
+              <xs:group ref="loop"/>
+            </xs:sequence>
+          </xs:group>
+          <xs:complexType name="c">
+            <xs:sequence><xs:group ref="loop"/></xs:sequence>
+          </xs:complexType>
+        </xs:schema>"""
+        g = XsdGraph()
+        g.parse_source(xsd)
+        st = g.struct_for("c")
+        assert [f.name for f in st.fields] == ["x"]
+
+    def test_missing_group_ref_is_silently_empty(self):
+        """An unresolvable ref splices nothing (the pre-support
+        behavior), never raises."""
+        xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          <xs:complexType name="c">
+            <xs:sequence>
+              <xs:group ref="nowhere"/>
+              <xs:element name="k" type="xs:string"/>
+            </xs:sequence>
+          </xs:complexType>
+        </xs:schema>"""
+        g = XsdGraph()
+        g.parse_source(xsd)
+        assert [f.name for f in g.struct_for("c").fields] == ["k"]
+
+    def test_group_schema_reads_xml_end_to_end(self, spark, tmp_path):
+        """The spliced schema drives a real read: all group-derived
+        fields extract from records."""
+        from xml_hive_spark.reader import read_xml
+
+        g = XsdGraph()
+        g.parse_source(self.GROUPED)
+        schema = g.struct_for("person")
+        p = tmp_path / "people.xml"
+        p.write_text(
+            "<people>"
+            '<p id="1" rev="2"><first>Ada</first><last>L</last>'
+            "<age>36</age></p>"
+            '<p id="2"><first>Alan</first><last>T</last><age>41</age></p>'
+            "</people>"
+        )
+        rows = sorted(
+            map(tuple, read_xml(spark, str(p), "p", schema=schema).collect())
+        )
+        assert rows == [
+            (1, 2, "Ada", "L", 36),
+            (2, None, "Alan", "T", 41),
+        ]

@@ -142,6 +142,16 @@ class XsdGraph:
         self.complex_types: dict[tuple[str, str], XsdComplexType] = {}
         self.simple_types: dict[tuple[str, str], XsdSimpleType] = {}
         self.root_elements: dict[tuple[str, str], XsdElement] = {}
+        # named model/attribute groups: (ns, name) → (node, scopes of the
+        # defining tree). BEYOND-reference (it has no group support at
+        # all): refs are spliced inline at the use site. Nodes are kept
+        # with their OWN prefix scopes so a group defined in one file
+        # resolves its type prefixes correctly when referenced from
+        # another (definition must parse before use across files;
+        # same-file order is free via the pre-pass)
+        self.model_groups: dict[tuple[str, str], tuple] = {}
+        self.attr_groups: dict[tuple[str, str], tuple] = {}
+        self._group_stack: set[tuple[str, str, str]] = set()
 
     # ---------------------------------------------------------------- parse
 
@@ -188,6 +198,16 @@ class XsdGraph:
         # the walk runs so ids stay unique
         self._scopes, self._scope_root = scopes, root
         try:
+            # pre-pass: register named groups so same-file definition
+            # order doesn't matter (the tree and its scopes are retained
+            # by the registry entries for later cross-file use)
+            for child in root:
+                tag = _local(child.tag)
+                gname = child.get("name")
+                if tag == "group" and gname:
+                    self.model_groups[(tns, gname)] = (child, scopes)
+                elif tag == "attributeGroup" and gname:
+                    self.attr_groups[(tns, gname)] = (child, scopes)
             for child in root:
                 tag = _local(child.tag)
                 if tag == "complexType":
@@ -237,7 +257,74 @@ class XsdGraph:
                 # then forced nullable (min_occurs=0), the standard
                 # relational flattening of an exclusive alternative
                 self._parse_choice(child, ct, tns)
+            elif tag == "group":
+                self._splice_model_group(child, ct, tns)
+            elif tag == "attributeGroup":
+                self._splice_attr_group(child, ct, tns)
         return (tns, name)
+
+    def _resolve_group_ref(self, node: ET.Element, registry, tns: str):
+        """(key, node, scopes) for a group/attributeGroup ref, or None
+        (missing definition / no ref attr: splice nothing — the silent
+        pre-support behavior, never an error)."""
+        ref = node.get("ref")
+        if not ref:
+            return None
+        key = _split_type(ref, self._ns(node), tns)
+        entry = registry.get(key) or registry.get((tns, key[1]))
+        if entry is None:
+            return None
+        return key, entry[0], entry[1]
+
+    def _splice_model_group(
+        self, node: ET.Element, ct: XsdComplexType, tns: str
+    ) -> None:
+        hit = self._resolve_group_ref(node, self.model_groups, tns)
+        if hit is None:
+            return
+        key, gnode, gscopes = hit
+        guard = ("g", *key)
+        if guard in self._group_stack:  # cyclic ref: splice once
+            return
+        self._group_stack.add(guard)
+        prev = self._scopes
+        self._scopes = gscopes
+        try:
+            for child in gnode:  # model group content: sequence/all/choice
+                tag = _local(child.tag)
+                if tag in ("sequence", "all"):
+                    self._parse_sequence(child, ct, key[0] or tns)
+                elif tag == "choice":
+                    self._parse_choice(child, ct, key[0] or tns)
+        finally:
+            self._scopes = prev
+            self._group_stack.discard(guard)
+
+    def _splice_attr_group(
+        self, node: ET.Element, ct: XsdComplexType, tns: str
+    ) -> None:
+        hit = self._resolve_group_ref(node, self.attr_groups, tns)
+        if hit is None:
+            return
+        key, gnode, gscopes = hit
+        guard = ("a", *key)
+        if guard in self._group_stack:
+            return
+        self._group_stack.add(guard)
+        prev = self._scopes
+        self._scopes = gscopes
+        try:
+            for child in gnode:
+                tag = _local(child.tag)
+                if tag == "attribute":
+                    ct.attributes.append(
+                        self._parse_attribute(child, key[0] or tns)
+                    )
+                elif tag == "attributeGroup":  # nested group refs
+                    self._splice_attr_group(child, ct, key[0] or tns)
+        finally:
+            self._scopes = prev
+            self._group_stack.discard(guard)
 
     def _parse_choice(
         self, node: ET.Element, ct: XsdComplexType, tns: str
@@ -260,6 +347,8 @@ class XsdGraph:
                 self._parse_sequence(child, ct, tns)
             elif tag == "choice":
                 self._parse_choice(child, ct, tns)
+            elif tag == "group":
+                self._splice_model_group(child, ct, tns)
 
     def _parse_attribute(
         self, node: ET.Element, tns: str
