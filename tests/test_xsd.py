@@ -389,3 +389,89 @@ class TestGroupRefs:
             (1, 2, "Ada", "L", 36),
             (2, None, "Alan", "T", 41),
         ]
+
+
+class TestComplexContent:
+    """xs:complexContent extension (type inheritance) — BEYOND the
+    reference, which drops the construct entirely."""
+
+    XSD = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+      <xs:complexType name="vehicle">
+        <xs:sequence>
+          <xs:element name="make" type="xs:string"/>
+          <xs:element name="year" type="xs:int"/>
+        </xs:sequence>
+        <xs:attribute name="vin" type="xs:string" use="required"/>
+      </xs:complexType>
+      <xs:complexType name="car">
+        <xs:complexContent>
+          <xs:extension base="vehicle">
+            <xs:sequence>
+              <xs:element name="doors" type="xs:int"/>
+            </xs:sequence>
+            <xs:attribute name="trim" type="xs:string"/>
+          </xs:extension>
+        </xs:complexContent>
+      </xs:complexType>
+    </xs:schema>"""
+
+    def test_extension_inherits_base_first(self):
+        g = XsdGraph()
+        g.parse_source(self.XSD)
+        st = g.struct_for("car")
+        assert _names_types(st) == [
+            ("vin", "string", False),
+            ("trim", "string", True),
+            ("make", "string", False),
+            ("year", "int", False),
+            ("doors", "int", False),
+        ]
+
+    def test_base_type_unaffected(self):
+        g = XsdGraph()
+        g.parse_source(self.XSD)
+        assert [f.name for f in g.struct_for("vehicle").fields] == [
+            "vin", "make", "year",
+        ]
+
+    def test_restriction_uses_own_content_only(self):
+        xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          <xs:complexType name="base">
+            <xs:sequence>
+              <xs:element name="a" type="xs:string"/>
+              <xs:element name="b" type="xs:int"/>
+            </xs:sequence>
+          </xs:complexType>
+          <xs:complexType name="narrow">
+            <xs:complexContent>
+              <xs:restriction base="base">
+                <xs:sequence><xs:element name="a" type="xs:string"/></xs:sequence>
+              </xs:restriction>
+            </xs:complexContent>
+          </xs:complexType>
+        </xs:schema>"""
+        g = XsdGraph()
+        g.parse_source(xsd)
+        assert [f.name for f in g.struct_for("narrow").fields] == ["a"]
+
+    def test_extension_schema_reads_xml_end_to_end(self, spark, tmp_path):
+        from xml_hive_spark.reader import read_xml
+
+        g = XsdGraph()
+        g.parse_source(self.XSD)
+        schema = g.struct_for("car")
+        p = tmp_path / "cars.xml"
+        p.write_text(
+            "<lot>"
+            '<car vin="V1" trim="GT"><make>A</make><year>2020</year>'
+            "<doors>2</doors></car>"
+            '<car vin="V2"><make>B</make><year>2021</year><doors>4</doors></car>'
+            "</lot>"
+        )
+        rows = sorted(
+            map(tuple, read_xml(spark, str(p), "car", schema=schema).collect())
+        )
+        assert rows == [
+            ("V1", "GT", "A", 2020, 2),
+            ("V2", None, "B", 2021, 4),
+        ]

@@ -124,6 +124,10 @@ class XsdComplexType:
     attributes: list[XsdAttribute] = dc_field(default_factory=list)
     # (ns, name) of the simpleContent extension base, if any → _Value field
     simple_content_base: tuple[str, str] | None = None
+    # (ns, name) of a complexContent extension base (type inheritance):
+    # the base type's fields precede this type's own — resolved lazily at
+    # struct_for time so definition order across files doesn't matter
+    complex_content_base: tuple[str, str] | None = None
 
 
 @dataclass
@@ -261,6 +265,33 @@ class XsdGraph:
                 self._splice_model_group(child, ct, tns)
             elif tag == "attributeGroup":
                 self._splice_attr_group(child, ct, tns)
+            elif tag == "complexContent":
+                # BEYOND-reference: type inheritance. extension = base
+                # fields (resolved lazily; see struct_for) + own content;
+                # restriction redeclares what it keeps, so only its own
+                # content parses (no base splice)
+                for inner in child:
+                    itag = _local(inner.tag)
+                    if itag in ("extension", "restriction"):
+                        base = inner.get("base")
+                        if itag == "extension" and base:
+                            ct.complex_content_base = _split_type(
+                                base, self._ns(inner), tns
+                            )
+                        for sub in inner:
+                            stag = _local(sub.tag)
+                            if stag in ("sequence", "all"):
+                                self._parse_sequence(sub, ct, tns)
+                            elif stag == "choice":
+                                self._parse_choice(sub, ct, tns)
+                            elif stag == "attribute":
+                                ct.attributes.append(
+                                    self._parse_attribute(sub, tns)
+                                )
+                            elif stag == "group":
+                                self._splice_model_group(sub, ct, tns)
+                            elif stag == "attributeGroup":
+                                self._splice_attr_group(sub, ct, tns)
         return (tns, name)
 
     def _resolve_group_ref(self, node: ET.Element, registry, tns: str):
@@ -479,7 +510,7 @@ class XsdGraph:
         struct directly from the graph.
         """
         key = self._resolve_key(type_name, ns, self.complex_types)
-        ct = self.complex_types[key]
+        ct = self._with_inherited(key)
         fields: list[StructField] = []
         element_names = {e.name for e in ct.elements}
 
@@ -523,6 +554,34 @@ class XsdGraph:
                     )
                 )
         return StructType(fields)
+
+    def _with_inherited(self, key: tuple[str, str]) -> XsdComplexType:
+        """The type with its complexContent base chain spliced in,
+        base-first (XML serializes inherited content before the derived
+        type's own). Resolved lazily so the base may be defined in any
+        file/order; a cyclic or missing base just stops the walk."""
+        ct = self.complex_types[key]
+        if ct.complex_content_base is None:
+            return ct
+        chain: list[XsdComplexType] = []
+        seen: set[tuple[str, str]] = set()
+        cur: XsdComplexType | None = ct
+        while cur is not None:
+            chain.append(cur)
+            base = cur.complex_content_base
+            cur = None
+            if base is not None and base not in seen:
+                seen.add(base)
+                cur = self.complex_types.get(base) or self.complex_types.get(
+                    (ct.ns, base[1])
+                )
+        merged = XsdComplexType(name=ct.name, ns=ct.ns)
+        for part in reversed(chain):  # base-first
+            merged.attributes.extend(part.attributes)
+            merged.elements.extend(part.elements)
+            if part.simple_content_base is not None:
+                merged.simple_content_base = part.simple_content_base
+        return merged
 
     def struct_for_root_element(
         self, element_name: str, ns: str | None = None, rich_types: bool = False
