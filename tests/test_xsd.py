@@ -475,3 +475,72 @@ class TestComplexContent:
             ("V1", "GT", "A", 2020, 2),
             ("V2", None, "B", 2021, 4),
         ]
+
+
+class TestElementRefs:
+    """<xs:element ref=...> resolution — name/type from the global
+    element, occurs from the ref site. BEYOND the reference, which
+    emits a nameless field for refs."""
+
+    def test_ref_resolves_name_and_type(self):
+        xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          <xs:element name="title" type="xs:string"/>
+          <xs:complexType name="doc">
+            <xs:sequence>
+              <xs:element ref="title" minOccurs="0"/>
+              <xs:element name="pages" type="xs:int"/>
+            </xs:sequence>
+          </xs:complexType>
+        </xs:schema>"""
+        g = XsdGraph()
+        g.parse_source(xsd)
+        st = g.struct_for("doc")
+        assert _names_types(st) == [
+            ("title", "string", True),  # ref-site minOccurs=0 wins
+            ("pages", "int", False),
+        ]
+
+    def test_unresolvable_ref_drops_silently(self):
+        xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          <xs:complexType name="doc">
+            <xs:sequence>
+              <xs:element ref="ghost"/>
+              <xs:element name="k" type="xs:string"/>
+            </xs:sequence>
+          </xs:complexType>
+        </xs:schema>"""
+        g = XsdGraph()
+        g.parse_source(xsd)
+        assert [f.name for f in g.struct_for("doc").fields] == ["k"]
+
+    def test_ref_to_complex_global_element(self, spark, tmp_path):
+        """A ref to a global element of a complex type nests its struct,
+        and the whole schema drives a real read."""
+        from xml_hive_spark.reader import read_xml
+
+        xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          <xs:complexType name="addr">
+            <xs:sequence>
+              <xs:element name="city" type="xs:string"/>
+            </xs:sequence>
+          </xs:complexType>
+          <xs:element name="address" type="addr"/>
+          <xs:complexType name="person">
+            <xs:sequence>
+              <xs:element name="nm" type="xs:string"/>
+              <xs:element ref="address"/>
+            </xs:sequence>
+          </xs:complexType>
+        </xs:schema>"""
+        g = XsdGraph()
+        g.parse_source(xsd)
+        schema = g.struct_for("person")
+        assert schema["address"].dataType.simpleString() == \
+            "struct<city:string>"
+        p = tmp_path / "p.xml"
+        p.write_text(
+            "<ps><p><nm>A</nm><address><city>Oslo</city></address></p></ps>"
+        )
+        rows = [tuple(r) for r in
+                read_xml(spark, str(p), "p", schema=schema).collect()]
+        assert rows == [("A", ("Oslo",))]

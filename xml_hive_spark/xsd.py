@@ -114,6 +114,10 @@ class XsdElement:
     type_ref: tuple[str, str]
     min_occurs: int
     max_occurs: int  # -1 == unbounded
+    # (ns, name) of a global element this is a ref= to; name/type resolve
+    # lazily at struct_for time (the target may be declared later or in
+    # another file), while occurs stay those of the ref SITE (XSD rules)
+    ref: tuple[str, str] | None = None
 
 
 @dataclass
@@ -444,6 +448,16 @@ class XsdGraph:
         max_occurs_s = occurs("maxOccurs", "1")
         max_occurs = -1 if max_occurs_s == "unbounded" else int(max_occurs_s)
 
+        ref_s = node.get("ref")
+        if not name and ref_s:
+            return XsdElement(
+                name="",
+                type_ref=(XS_NS, "string"),  # placeholder until resolution
+                min_occurs=int(min_occurs),
+                max_occurs=max_occurs,
+                ref=_split_type(ref_s, self._ns(node), tns),
+            )
+
         type_s = node.get("type")
         if type_s is not None:
             type_ref = _split_type(type_s, self._ns(node), tns)
@@ -511,8 +525,12 @@ class XsdGraph:
         """
         key = self._resolve_key(type_name, ns, self.complex_types)
         ct = self._with_inherited(key)
+        elements = [
+            e for e in (self._deref_element(e) for e in ct.elements)
+            if e is not None
+        ]
         fields: list[StructField] = []
-        element_names = {e.name for e in ct.elements}
+        element_names = {e.name for e in elements}
 
         # attributes first, matching the reference's field order
         # (XMLToAvroSchema.scala:92-116 emits attributes before elements)
@@ -535,7 +553,7 @@ class XsdGraph:
                     metadata={"xmlKind": "text"},
                 )
             )
-        for elm in ct.elements:
+        for elm in elements:
             etype = self.spark_type_of(elm.type_ref, rich_types)
             meta = {"xmlKind": "element", "xmlName": elm.name}
             if elm.max_occurs == -1 or elm.max_occurs > 1:
@@ -554,6 +572,27 @@ class XsdGraph:
                     )
                 )
         return StructType(fields)
+
+    def _deref_element(self, elm: XsdElement) -> XsdElement | None:
+        """Resolve an ``<xs:element ref=...>`` against the global element
+        table: name and type come from the target, occurs stay the ref
+        site's. Unresolvable refs drop silently (the pre-support
+        behavior — never an error)."""
+        if elm.ref is None:
+            return elm
+        target = self.root_elements.get(elm.ref)
+        if target is None:
+            matches = [v for k, v in self.root_elements.items()
+                       if k[1] == elm.ref[1]]
+            target = matches[0] if matches else None
+        if target is None:
+            return None
+        return XsdElement(
+            name=target.name,
+            type_ref=target.type_ref,
+            min_occurs=elm.min_occurs,
+            max_occurs=elm.max_occurs,
+        )
 
     def _with_inherited(self, key: tuple[str, str]) -> XsdComplexType:
         """The type with its complexContent base chain spliced in,
