@@ -544,3 +544,43 @@ class TestElementRefs:
         rows = [tuple(r) for r in
                 read_xml(spark, str(p), "p", schema=schema).collect()]
         assert rows == [("A", ("Oslo",))]
+
+
+class TestIncludeImport:
+    def test_include_closure_resolves_types(self, tmp_path):
+        """A single-file entry point pulls in its xs:include/xs:import
+        closure (relative schemaLocation, cycles guarded)."""
+        (tmp_path / "base.xsd").write_text(
+            """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+              <xs:include schemaLocation="main.xsd"/>
+              <xs:complexType name="addr">
+                <xs:sequence><xs:element name="city" type="xs:string"/></xs:sequence>
+              </xs:complexType>
+            </xs:schema>"""
+        )
+        (tmp_path / "main.xsd").write_text(
+            """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+              <xs:include schemaLocation="base.xsd"/>
+              <xs:complexType name="person">
+                <xs:sequence>
+                  <xs:element name="nm" type="xs:string"/>
+                  <xs:element name="home" type="addr"/>
+                </xs:sequence>
+              </xs:complexType>
+            </xs:schema>"""
+        )
+        g = XsdGraph.parse_file(tmp_path / "main.xsd")
+        st = g.struct_for("person")
+        assert st["home"].dataType.simpleString() == "struct<city:string>"
+
+    def test_missing_include_is_nonfatal(self, tmp_path):
+        (tmp_path / "m.xsd").write_text(
+            """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+              <xs:include schemaLocation="gone.xsd"/>
+              <xs:complexType name="c">
+                <xs:sequence><xs:element name="k" type="xs:string"/></xs:sequence>
+              </xs:complexType>
+            </xs:schema>"""
+        )
+        g = XsdGraph.parse_file(tmp_path / "m.xsd")
+        assert [f.name for f in g.struct_for("c").fields] == ["k"]

@@ -193,8 +193,33 @@ class XsdGraph:
 
     @classmethod
     def parse_file(cls, path: str | Path) -> "XsdGraph":
+        """Parse one XSD file plus its ``xs:include`` / ``xs:import``
+        closure (schemaLocation resolved relative to the including
+        file, cycle-guarded) — a single-file entry point no longer
+        silently misses types factored into sibling schemas. BEYOND
+        the reference, which only ever walks a whole directory
+        (HFSReader.scala:10-18) and ignores include/import."""
         graph = cls()
-        graph.parse_source(Path(path).read_text())
+        seen: set[str] = set()
+
+        def load(p: Path) -> None:
+            rp = str(p.resolve())
+            if rp in seen or not p.is_file():
+                return
+            seen.add(rp)
+            text = p.read_text()
+            graph.parse_source(text)
+            try:
+                root = ET.fromstring(text)
+            except ET.ParseError:
+                return
+            for child in root:
+                if _local(child.tag) in ("include", "import"):
+                    loc = child.get("schemaLocation")
+                    if loc and "://" not in loc:
+                        load(p.parent / loc)
+
+        load(Path(path))
         return graph
 
     def parse_source(self, xsd_text: str) -> None:
