@@ -584,3 +584,56 @@ class TestIncludeImport:
         )
         g = XsdGraph.parse_file(tmp_path / "m.xsd")
         assert [f.name for f in g.struct_for("c").fields] == ["k"]
+
+
+class TestSubstitutionGroups:
+    XSD = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+      <xs:element name="shape" type="xs:string" abstract="true"/>
+      <xs:element name="circle" type="xs:string" substitutionGroup="shape"/>
+      <xs:element name="square" type="xs:int" substitutionGroup="shape"/>
+      <xs:complexType name="drawing">
+        <xs:sequence>
+          <xs:element name="title" type="xs:string"/>
+          <xs:element ref="shape"/>
+        </xs:sequence>
+      </xs:complexType>
+    </xs:schema>"""
+
+    def test_abstract_head_expands_to_members_only(self):
+        g = XsdGraph()
+        g.parse_source(self.XSD)
+        st = g.struct_for("drawing")
+        assert _names_types(st) == [
+            ("title", "string", False),
+            ("circle", "string", True),
+            ("square", "int", True),
+        ]
+
+    def test_concrete_head_included_optional(self):
+        xsd = self.XSD.replace(' abstract="true"', "")
+        g = XsdGraph()
+        g.parse_source(xsd)
+        st = g.struct_for("drawing")
+        assert [f.name for f in st.fields] == [
+            "title", "shape", "circle", "square",
+        ]
+        for f in ("shape", "circle", "square"):
+            assert st[f].nullable, f
+
+    def test_substitution_read_end_to_end(self, spark, tmp_path):
+        from xml_hive_spark.reader import read_xml
+
+        g = XsdGraph()
+        g.parse_source(self.XSD)
+        schema = g.struct_for("drawing")
+        p = tmp_path / "d.xml"
+        p.write_text(
+            "<ds>"
+            "<d><title>a</title><circle>big</circle></d>"
+            "<d><title>b</title><square>4</square></d>"
+            "</ds>"
+        )
+        rows = sorted(
+            map(tuple, read_xml(spark, str(p), "d", schema=schema).collect())
+        )
+        assert rows == [("a", "big", None), ("b", None, 4)]

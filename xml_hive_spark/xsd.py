@@ -160,6 +160,10 @@ class XsdGraph:
         self.model_groups: dict[tuple[str, str], tuple] = {}
         self.attr_groups: dict[tuple[str, str], tuple] = {}
         self._group_stack: set[tuple[str, str, str]] = set()
+        # substitution groups: head (ns, name) → member elements; heads
+        # declared abstract never appear in instances themselves
+        self.substitution_members: dict[tuple[str, str], list] = {}
+        self.abstract_elements: set[tuple[str, str]] = set()
 
     # ---------------------------------------------------------------- parse
 
@@ -250,6 +254,14 @@ class XsdGraph:
                 elif tag == "element":
                     elm = self._parse_element(child, None, tns)
                     self.root_elements[(tns, elm.name)] = elm
+                    if child.get("abstract") == "true":
+                        self.abstract_elements.add((tns, elm.name))
+                    sub = child.get("substitutionGroup")
+                    if sub:
+                        head = _split_type(sub, self._ns(child), tns)
+                        self.substitution_members.setdefault(
+                            head, []
+                        ).append(elm)
         finally:
             self._scopes, self._scope_root = None, None
 
@@ -551,8 +563,7 @@ class XsdGraph:
         key = self._resolve_key(type_name, ns, self.complex_types)
         ct = self._with_inherited(key)
         elements = [
-            e for e in (self._deref_element(e) for e in ct.elements)
-            if e is not None
+            r for e in ct.elements for r in self._deref_element(e)
         ]
         fields: list[StructField] = []
         element_names = {e.name for e in elements}
@@ -598,26 +609,41 @@ class XsdGraph:
                 )
         return StructType(fields)
 
-    def _deref_element(self, elm: XsdElement) -> XsdElement | None:
+    def _deref_element(self, elm: XsdElement) -> list[XsdElement]:
         """Resolve an ``<xs:element ref=...>`` against the global element
         table: name and type come from the target, occurs stay the ref
-        site's. Unresolvable refs drop silently (the pre-support
-        behavior — never an error)."""
+        site's. A target that heads a SUBSTITUTION GROUP expands to the
+        whole group — head (unless abstract) plus every member, all
+        optional, the standard relational flattening of "any of these
+        elements may appear here". Unresolvable refs drop silently (the
+        pre-support behavior — never an error)."""
         if elm.ref is None:
-            return elm
-        target = self.root_elements.get(elm.ref)
+            return [elm]
+        key = elm.ref
+        target = self.root_elements.get(key)
         if target is None:
-            matches = [v for k, v in self.root_elements.items()
-                       if k[1] == elm.ref[1]]
-            target = matches[0] if matches else None
-        if target is None:
-            return None
-        return XsdElement(
-            name=target.name,
-            type_ref=target.type_ref,
-            min_occurs=elm.min_occurs,
-            max_occurs=elm.max_occurs,
-        )
+            matches = [(k, v) for k, v in self.root_elements.items()
+                       if k[1] == key[1]]
+            if not matches:
+                return []
+            key, target = matches[0]
+        members = self.substitution_members.get(key, [])
+        out: list[XsdElement] = []
+        if key not in self.abstract_elements:
+            out.append(XsdElement(
+                name=target.name,
+                type_ref=target.type_ref,
+                min_occurs=0 if members else elm.min_occurs,
+                max_occurs=elm.max_occurs,
+            ))
+        for m in members:
+            out.append(XsdElement(
+                name=m.name,
+                type_ref=m.type_ref,
+                min_occurs=0,  # exclusive alternatives → all optional
+                max_occurs=elm.max_occurs,
+            ))
+        return out
 
     def _with_inherited(self, key: tuple[str, str]) -> XsdComplexType:
         """The type with its complexContent base chain spliced in,
