@@ -15,7 +15,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xml_hive_spark.operators import query
+from xml_hive_spark.operators import dsum, query, t
 
 _FIXTURE = Path(__file__).resolve().parent.parent.parent / "tests" / "fixtures" / "books"
 
@@ -411,4 +411,97 @@ def xml_to_parquet_etl(spark: SparkSession, sf: str) -> DataFrame:
             .alias("total_bal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+_ADVANCED_XSD = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:attributeGroup name="idAttrs">
+    <xs:attribute name="id" type="xs:long" use="required"/>
+  </xs:attributeGroup>
+  <xs:group name="balGroup">
+    <xs:sequence><xs:element name="bal" type="xs:double"/></xs:sequence>
+  </xs:group>
+  <xs:element name="segment" type="xs:string"/>
+  <xs:element name="contact" type="xs:string" abstract="true"/>
+  <xs:element name="phone" type="xs:string" substitutionGroup="contact"/>
+  <xs:element name="email" type="xs:string" substitutionGroup="contact"/>
+  <xs:complexType name="party">
+    <xs:sequence><xs:element name="nm" type="xs:string"/></xs:sequence>
+    <xs:attributeGroup ref="idAttrs"/>
+  </xs:complexType>
+  <xs:complexType name="custType">
+    <xs:complexContent>
+      <xs:extension base="party">
+        <xs:sequence>
+          <xs:group ref="balGroup"/>
+          <xs:element ref="segment"/>
+          <xs:element ref="contact" minOccurs="0"/>
+        </xs:sequence>
+      </xs:extension>
+    </xs:complexContent>
+  </xs:complexType>
+</xs:schema>"""
+
+
+@query(
+    "xml_scan_advanced_xsd",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal,
+       CAST(count(CASE WHEN c_custkey % 2 = 0 THEN 1 END) AS BIGINT)
+         AS n_phone,
+       CAST(count(CASE WHEN c_custkey % 2 = 1 THEN 1 END) AS BIGINT)
+         AS n_email
+FROM customer GROUP BY c_mktsegment ORDER BY segment
+""",
+    tags=("xml", "source", "xsd", "advanced"),
+)
+def xml_scan_advanced_xsd(spark: SparkSession, sf: str) -> DataFrame:
+    """The advanced-XSD constructs driven END TO END with a full value
+    oracle: customers are exported as XML whose schema uses every
+    beyond-reference converter feature at once — an ``attributeGroup``
+    (the id attribute), a named model ``group`` (the balance element),
+    ``complexContent`` extension (custType inherits party's name
+    element), an ``element ref`` (segment), and an abstract
+    SUBSTITUTION-GROUP head (contact → phone for even keys, email for
+    odd). The XSD-derived schema then drives OUR reader and the
+    aggregate is hash-checked against the original parquet — so a
+    regression in any of the five constructs (missing field, wrong
+    nullability, dropped group) breaks the driver hash, not just a
+    unit test. The reference raises or drops on ALL five constructs
+    (XMLToAvroSchema.scala:247-249)."""
+    from xml_hive_spark.reader import read_xml
+    from xml_hive_spark.sources.xml_sink import write_xml
+
+    cust = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("_id"),
+        F.col("c_name").alias("nm"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("555-0100")).alias("phone"),
+        F.when(F.col("c_custkey") % 2 == 1, F.lit("x@example.com")).alias(
+            "email"
+        ),
+    )
+    base = _scratch("advxsd-")
+    out = base + "/cust_xml"
+    write_xml(cust, out, row_tag="cust", root_tag="customers")
+    xsd_path = base + "/schema.xsd"
+    with open(xsd_path, "w") as f:
+        f.write(_ADVANCED_XSD)
+
+    back = read_xml(
+        spark, out + "/*.xml", row_tag="cust", xsd=xsd_path,
+        sep_tag_type="custType",
+    )
+    return (
+        back.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("bal").alias("total_bal"),
+            F.count("phone").alias("n_phone"),
+            F.count("email").alias("n_email"),
+        )
+        .orderBy("segment")
     )
