@@ -637,3 +637,89 @@ class TestSubstitutionGroups:
             map(tuple, read_xml(spark, str(p), "d", schema=schema).collect())
         )
         assert rows == [("a", "big", None), ("b", None, 4)]
+
+
+class TestCrossFileGroups:
+    """Review findings: group refs across xs:include boundaries must
+    resolve regardless of file parse order, and cyclic complexContent
+    chains must not duplicate fields."""
+
+    def test_entry_uses_groups_from_included_file(self, tmp_path):
+        (tmp_path / "common.xsd").write_text(
+            """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+              <xs:group name="nameGroup">
+                <xs:sequence>
+                  <xs:element name="first" type="xs:string"/>
+                </xs:sequence>
+              </xs:group>
+              <xs:attributeGroup name="idAttrs">
+                <xs:attribute name="id" type="xs:long" use="required"/>
+              </xs:attributeGroup>
+            </xs:schema>"""
+        )
+        (tmp_path / "main.xsd").write_text(
+            """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+              <xs:include schemaLocation="common.xsd"/>
+              <xs:complexType name="person">
+                <xs:sequence>
+                  <xs:group ref="nameGroup"/>
+                  <xs:element name="age" type="xs:int"/>
+                </xs:sequence>
+                <xs:attributeGroup ref="idAttrs"/>
+              </xs:complexType>
+            </xs:schema>"""
+        )
+        g = XsdGraph.parse_file(tmp_path / "main.xsd")
+        assert [f.name for f in g.struct_for("person").fields] == [
+            "id", "first", "age",
+        ]
+
+    def test_included_file_uses_entry_groups(self, tmp_path):
+        """The reverse order (included complexType referencing a group
+        defined in the INCLUDING file) resolves via the lazy retry."""
+        (tmp_path / "types.xsd").write_text(
+            """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+              <xs:complexType name="person">
+                <xs:sequence>
+                  <xs:group ref="nameGroup"/>
+                  <xs:element name="age" type="xs:int"/>
+                </xs:sequence>
+                <xs:attributeGroup ref="idAttrs"/>
+              </xs:complexType>
+            </xs:schema>"""
+        )
+        (tmp_path / "main.xsd").write_text(
+            """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+              <xs:include schemaLocation="types.xsd"/>
+              <xs:group name="nameGroup">
+                <xs:sequence>
+                  <xs:element name="first" type="xs:string"/>
+                </xs:sequence>
+              </xs:group>
+              <xs:attributeGroup name="idAttrs">
+                <xs:attribute name="id" type="xs:long" use="required"/>
+              </xs:attributeGroup>
+            </xs:schema>"""
+        )
+        g = XsdGraph.parse_file(tmp_path / "main.xsd")
+        assert [f.name for f in g.struct_for("person").fields] == [
+            "id", "first", "age",
+        ]
+
+    def test_cyclic_inheritance_no_duplicate_fields(self):
+        xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          <xs:complexType name="A">
+            <xs:complexContent><xs:extension base="B">
+              <xs:sequence><xs:element name="a" type="xs:string"/></xs:sequence>
+            </xs:extension></xs:complexContent>
+          </xs:complexType>
+          <xs:complexType name="B">
+            <xs:complexContent><xs:extension base="A">
+              <xs:sequence><xs:element name="b" type="xs:string"/></xs:sequence>
+            </xs:extension></xs:complexContent>
+          </xs:complexType>
+        </xs:schema>"""
+        g = XsdGraph()
+        g.parse_source(xsd)
+        names = [f.name for f in g.struct_for("A").fields]
+        assert names == ["b", "a"]  # each exactly once, base-first

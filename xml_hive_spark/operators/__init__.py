@@ -120,11 +120,11 @@ _LOADED = False
 # the 11 late-r6 additions never driver-checked (9 full-oracle; pagerank +
 # streaming minhash dedup rows-only by design, asserted in tests/) + the
 # 4 codec queries whose r6 reds are fixed (oracle SUMs now CAST AS BIGINT
-# — the DuckDB-HUGEINT→pandas-float64 canonicalizer artifact) + the 8
-# queries NEW this round (all full-oracle) + 23 oracled queries last
+# — the DuckDB-HUGEINT→pandas-float64 canonicalizer artifact) + the 11
+# queries NEW this round (all full-oracle) + 20 oracled queries last
 # checked r4 + 4 r5-checked canaries (the flagship q1, the pushdown
 # canary q6, window_rank_topn, xml_write_roundtrip) = 50. After this
-# round no query is driver-unchecked; r8 rotation leads with the 8
+# round no query is driver-unchecked; r8 rotation leads with the 11
 # displaced r4 function-coverage canaries, then the r5 block.
 # Outside-window queries are covered meanwhile by the identical local
 # gate (tools/verify_local.py, now pandas-canonicalizing like the
@@ -147,10 +147,11 @@ _DRIVER_WINDOW = [
     "multimodal_wav_codec",
     "multimodal_gif_codec",
     "multimodal_jpeg_codec",
-    # --- NEW this round, taking their first driver check (8, all full
+    # --- NEW this round, taking their first driver check (11, all full
     # oracles): scale techniques (bloom-pruned join, Z-order skipping,
     # schema evolution, portable HLL batch+streaming), weighted
-    # sampling, CDC apply, size-aware compaction ---
+    # sampling, CDC apply + streaming upsert, incremental view merge,
+    # size-aware compaction, and the advanced-XSD end-to-end scan ---
     "join_bloom_pruned",
     "zorder_write_skipping",
     "schema_evolution_read",
@@ -159,16 +160,18 @@ _DRIVER_WINDOW = [
     "sample_weighted_poisson",
     "cdc_apply_changes",
     "compact_small_files",
-    # --- oracled, last driver-checked r4 (23; the 8 displaced
+    "incremental_agg_merge",
+    "streaming_cdc_upsert",
+    "xml_scan_advanced_xsd",
+    # --- oracled, last driver-checked r4 (20; the 11 displaced
     # function-coverage canaries — scalar_subquery_ratio,
     # conditional_functions, string_predicates, from_json_struct,
     # map_functions, explode_outer_empty_arrays, array_higher_order,
-    # source_stats — are local-gate green and lead the r8 rotation) ---
-    "sort_within_partitions",
-    "apply_in_pandas_centered",
+    # source_stats, sort_within_partitions, apply_in_pandas_centered,
+    # variant_json_access — are local-gate green and lead the r8
+    # rotation) ---
     "salted_join_agg",
     "agg_percentiles",
-    "variant_json_access",
     "cosine_topk_bruteforce",
     "embedding_label_centroids",
     "csv_roundtrip",

@@ -118,6 +118,10 @@ class XsdElement:
     # lazily at struct_for time (the target may be declared later or in
     # another file), while occurs stay those of the ref SITE (XSD rules)
     ref: tuple[str, str] | None = None
+    # (ns, name) of a model group whose definition wasn't registered yet
+    # at parse time (defined in a file parsed later): expands lazily at
+    # struct_for time, preserving its position in the sequence
+    group_ref: tuple[str, str] | None = None
 
 
 @dataclass
@@ -126,6 +130,10 @@ class XsdComplexType:
     ns: str
     elements: list[XsdElement] = dc_field(default_factory=list)
     attributes: list[XsdAttribute] = dc_field(default_factory=list)
+    # attributeGroup refs unresolved at parse time → retried lazily
+    deferred_attr_groups: list[tuple[str, str]] = dc_field(
+        default_factory=list
+    )
     # (ns, name) of the simpleContent extension base, if any → _Value field
     simple_content_base: tuple[str, str] | None = None
     # (ns, name) of a complexContent extension base (type inheritance):
@@ -212,16 +220,25 @@ class XsdGraph:
                 return
             seen.add(rp)
             text = p.read_text()
-            graph.parse_source(text)
+            # POST-ORDER: includes parse before the including file, so
+            # their named groups/attributeGroups are registered by the
+            # time this file's complexTypes splice refs eagerly (element
+            # refs and complexContent bases resolve lazily and would
+            # tolerate any order; group splicing would not). The
+            # discovery parse below is include-scan only — a discovery
+            # failure just means no includes; parse_source raises the
+            # real error on the same text either way
             try:
                 root = ET.fromstring(text)
             except ET.ParseError:
-                return
-            for child in root:
-                if _local(child.tag) in ("include", "import"):
-                    loc = child.get("schemaLocation")
-                    if loc and "://" not in loc:
-                        load(p.parent / loc)
+                root = None
+            if root is not None:
+                for child in root:
+                    if _local(child.tag) in ("include", "import"):
+                        loc = child.get("schemaLocation")
+                        if loc and "://" not in loc:
+                            load(p.parent / loc)
+            graph.parse_source(text)
 
         load(Path(path))
         return graph
@@ -353,6 +370,16 @@ class XsdGraph:
     ) -> None:
         hit = self._resolve_group_ref(node, self.model_groups, tns)
         if hit is None:
+            # not registered yet (defined in a file parsed later): leave
+            # a position-preserving placeholder; _deref_element retries
+            # against the full registry at struct_for time
+            ref = node.get("ref")
+            if ref:
+                ct.elements.append(XsdElement(
+                    name="", type_ref=(XS_NS, "string"), min_occurs=1,
+                    max_occurs=1,
+                    group_ref=_split_type(ref, self._ns(node), tns),
+                ))
             return
         key, gnode, gscopes = hit
         guard = ("g", *key)
@@ -377,6 +404,11 @@ class XsdGraph:
     ) -> None:
         hit = self._resolve_group_ref(node, self.attr_groups, tns)
         if hit is None:
+            ref = node.get("ref")
+            if ref:  # retried lazily at struct_for time
+                ct.deferred_attr_groups.append(
+                    _split_type(ref, self._ns(node), tns)
+                )
             return
         key, gnode, gscopes = hit
         guard = ("a", *key)
@@ -565,12 +597,31 @@ class XsdGraph:
         elements = [
             r for e in ct.elements for r in self._deref_element(e)
         ]
+        attributes = list(ct.attributes)
+        for gkey in ct.deferred_attr_groups:
+            entry = self.attr_groups.get(gkey) or next(
+                (v for k, v in self.attr_groups.items() if k[1] == gkey[1]),
+                None,
+            )
+            if entry is None:
+                continue
+            gnode, gscopes = entry
+            prev = self._scopes
+            self._scopes = gscopes
+            try:
+                for child in gnode:
+                    if _local(child.tag) == "attribute":
+                        attributes.append(
+                            self._parse_attribute(child, gkey[0])
+                        )
+            finally:
+                self._scopes = prev
         fields: list[StructField] = []
         element_names = {e.name for e in elements}
 
         # attributes first, matching the reference's field order
         # (XMLToAvroSchema.scala:92-116 emits attributes before elements)
-        for attr in ct.attributes:
+        for attr in attributes:
             fname = attr.name if attr.name not in element_names else f"_{attr.name}"
             fields.append(
                 StructField(
@@ -617,6 +668,31 @@ class XsdGraph:
         optional, the standard relational flattening of "any of these
         elements may appear here". Unresolvable refs drop silently (the
         pre-support behavior — never an error)."""
+        if elm.group_ref is not None:
+            # deferred model group: the definition may have been parsed
+            # after the use site (cross-file includes in any order) —
+            # retry against the now-complete registry
+            entry = self.model_groups.get(elm.group_ref)
+            if entry is None:
+                matches = [v for k, v in self.model_groups.items()
+                           if k[1] == elm.group_ref[1]]
+                entry = matches[0] if matches else None
+            if entry is None:
+                return []
+            gnode, gscopes = entry
+            tmp = XsdComplexType(name="", ns=elm.group_ref[0])
+            prev = self._scopes
+            self._scopes = gscopes
+            try:
+                for child in gnode:
+                    tag = _local(child.tag)
+                    if tag in ("sequence", "all"):
+                        self._parse_sequence(child, tmp, elm.group_ref[0])
+                    elif tag == "choice":
+                        self._parse_choice(child, tmp, elm.group_ref[0])
+            finally:
+                self._scopes = prev
+            return [r for e in tmp.elements for r in self._deref_element(e)]
         if elm.ref is None:
             return [elm]
         key = elm.ref
@@ -654,7 +730,10 @@ class XsdGraph:
         if ct.complex_content_base is None:
             return ct
         chain: list[XsdComplexType] = []
-        seen: set[tuple[str, str]] = set()
+        # seed with the starting type: a cyclic chain (A extends B
+        # extends A) must stop when it comes back around, not append
+        # the derived type twice and emit duplicate struct fields
+        seen: set[tuple[str, str]] = {key}
         cur: XsdComplexType | None = ct
         while cur is not None:
             chain.append(cur)
@@ -668,6 +747,7 @@ class XsdGraph:
         merged = XsdComplexType(name=ct.name, ns=ct.ns)
         for part in reversed(chain):  # base-first
             merged.attributes.extend(part.attributes)
+            merged.deferred_attr_groups.extend(part.deferred_attr_groups)
             merged.elements.extend(part.elements)
             if part.simple_content_base is not None:
                 merged.simple_content_base = part.simple_content_base
