@@ -723,3 +723,77 @@ class TestCrossFileGroups:
         g.parse_source(xsd)
         names = [f.name for f in g.struct_for("A").fields]
         assert names == ["b", "a"]  # each exactly once, base-first
+
+
+# ---------------------------------------------- property: converter totality
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _schema_doc(draw):
+    """Random schema exercising the full construct surface: sequences,
+    choices, groups (possibly dangling/cyclic refs), attributeGroups,
+    complexContent chains (possibly cyclic), element refs, substitution
+    groups — the shapes the converter must never crash or loop on."""
+    n_types = draw(st.integers(1, 4))
+    n_groups = draw(st.integers(0, 2))
+    parts = []
+    type_names = [f"T{i}" for i in range(n_types)]
+    group_names = [f"G{i}" for i in range(n_groups)]
+    for gn in group_names:
+        inner = draw(st.sampled_from(["sequence", "choice"]))
+        ref = draw(st.sampled_from(group_names + ["nowhere"]))
+        parts.append(
+            f'<xs:group name="{gn}"><xs:{inner}>'
+            f'<xs:element name="e_{gn}" type="xs:string"/>'
+            f'<xs:group ref="{ref}"/>'
+            f"</xs:{inner}></xs:group>"
+        )
+    parts.append(
+        '<xs:attributeGroup name="AG">'
+        '<xs:attribute name="ga" type="xs:int"/></xs:attributeGroup>'
+    )
+    parts.append('<xs:element name="head" type="xs:string" abstract="true"/>')
+    parts.append(
+        '<xs:element name="member" type="xs:int" substitutionGroup="head"/>'
+    )
+    for i, tn in enumerate(type_names):
+        base = draw(st.sampled_from(type_names + ["missing"]))
+        use_cc = draw(st.booleans())
+        body = (
+            f'<xs:element name="x{i}" type="xs:string" minOccurs="0"/>'
+            + (f'<xs:group ref="{draw(st.sampled_from(group_names))}"/>'
+               if group_names and draw(st.booleans()) else "")
+            + ('<xs:element ref="head"/>' if draw(st.booleans()) else "")
+            + ('<xs:element ref="ghost"/>' if draw(st.booleans()) else "")
+        )
+        seq = f"<xs:sequence>{body}</xs:sequence>"
+        if use_cc:
+            inner = (f'<xs:complexContent><xs:extension base="{base}">'
+                     f"{seq}</xs:extension></xs:complexContent>")
+        else:
+            inner = seq + '<xs:attributeGroup ref="AG"/>'
+        parts.append(f'<xs:complexType name="{tn}">{inner}</xs:complexType>')
+    return (
+        '<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">'
+        + "".join(parts)
+        + "</xs:schema>"
+    )
+
+
+@settings(max_examples=80, deadline=None)
+@given(doc=_schema_doc())
+def test_converter_total_over_generated_schemas(doc):
+    """parse + struct_for must terminate without raising on any
+    generated schema (dangling refs, cyclic groups, cyclic inheritance
+    included), and every emitted field keeps its xmlKind metadata."""
+    g = XsdGraph()
+    g.parse_source(doc)
+    for (ns, name) in list(g.complex_types):
+        st_ = g.struct_for(name, ns)
+        for f in st_.fields:
+            assert f.metadata.get("xmlKind") in ("attribute", "element",
+                                                 "text")
+            assert f.name  # never an empty-named field (pre-ref-fix bug)
