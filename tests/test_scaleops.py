@@ -177,3 +177,10 @@ class TestPortableHll:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("HashAggregate") >= 2
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_grouped_estimates_within_bound(self, spark, sf_dir):
+        rows = all_queries()["sketch_hll_grouped"].fn(spark, sf_dir).collect()
+        assert len(rows) >= 2
+        for r in rows:
+            rel = abs(r["hll_est"] - r["n_exact"]) / max(r["n_exact"], 1)
+            assert rel < 3 * 1.04 / 16.0, r

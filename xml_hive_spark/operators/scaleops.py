@@ -351,6 +351,101 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "sketch_hll_grouped",
+    oracle="""
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+),
+r AS (
+  SELECT event_type,
+         (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
+         CASE WHEN ltrim(substr(hx, 3, 12), '0') = '' THEN 49
+              ELSE 4 * (12 - length(ltrim(substr(hx, 3, 12), '0')))
+                   + CASE substr(ltrim(substr(hx, 3, 12), '0'), 1, 1)
+                       WHEN '1' THEN 3
+                       WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1
+                       WHEN '6' THEN 1 WHEN '7' THEN 1
+                       ELSE 0 END
+                   + 1 END AS rho
+  FROM h
+),
+m AS (
+  SELECT event_type, reg, MAX(rho) AS mx FROM r GROUP BY event_type, reg
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(1::BIGINT << (49 - mx)) AS BIGINT)
+         + (256 - COUNT(*)) * (1::BIGINT << 49) AS ssum,
+         CAST(256 - COUNT(*) AS BIGINT) AS zeros
+  FROM m GROUP BY event_type
+),
+e AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type, e.n_exact,
+       round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * 562949953421312.0 / CAST(ssum AS DOUBLE)
+                       <= 640.0
+                   AND zeros > 0
+                  THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * 562949953421312.0 / CAST(ssum AS DOUBLE) END,
+             4) AS hll_est
+FROM s JOIN e USING (event_type)
+ORDER BY event_type
+""",
+    tags=("sketch", "hll", "distinct", "grouped"),
+)
+def sketch_hll_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPED portable-HLL distinct counts — distinct users PER EVENT
+    TYPE, the everyday analytics shape of approximate distinct. Same
+    cross-engine register arithmetic as ``sketch_hll_portable``; the
+    register table is (group × ≤256) rows and the whole computation is
+    two mergeable hash-aggs, so per-group distinct over any number of
+    groups stays one shuffle of bounded rows per group — where exact
+    per-group count(DISTINCT) shuffles one row per (group, key) pair.
+    Exact counts ride along per group as the honesty column; the
+    estimate itself is value-oracled (DuckDB recomputes identical
+    registers)."""
+    ev = t(spark, sf, "events")
+    reg, rho = hll_register_cols(F.col("user_id").cast("string"))
+    regs = (
+        ev.select("event_type", reg.alias("reg"), rho.alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    s = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - mx)"))
+            + (F.lit(256) - F.count(F.lit(1)))
+            * F.lit(1 << 49).cast("long")
+        ).alias("ssum"),
+        (F.lit(256) - F.count(F.lit(1))).cast("long").alias("zeros"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    raw = (
+        F.lit(0.7213 / (1.0 + 1.079 / 256.0))
+        * F.lit(65536.0)
+        * F.lit(562949953421312.0)
+        / F.col("ssum").cast("double")
+    )
+    est = F.when(
+        (raw <= 640.0) & (F.col("zeros") > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("zeros").cast("double")),
+    ).otherwise(raw)
+    return (
+        s.join(exact, "event_type")
+        .select("event_type", "n_exact", F.round(est, 4).alias("hll_est"))
+        .orderBy("event_type")
+    )
+
+
 # ----------------------------------------------------- schema evolution
 
 
