@@ -120,12 +120,12 @@ _LOADED = False
 # the 11 late-r6 additions never driver-checked (9 full-oracle; pagerank +
 # streaming minhash dedup rows-only by design, asserted in tests/) + the
 # 4 codec queries whose r6 reds are fixed (oracle SUMs now CAST AS BIGINT
-# — the DuckDB-HUGEINT→pandas-float64 canonicalizer artifact) + the 11
-# queries NEW this round (all full-oracle) + 20 oracled queries last
+# — the DuckDB-HUGEINT→pandas-float64 canonicalizer artifact) + the 12
+# queries NEW this round (all full-oracle) + 19 oracled queries last
 # checked r4 + 4 r5-checked canaries (the flagship q1, the pushdown
 # canary q6, window_rank_topn, xml_write_roundtrip) = 50. After this
-# round no query is driver-unchecked; r8 rotation leads with the 11
-# displaced r4 function-coverage canaries, then the r5 block.
+# round no query is driver-unchecked; r8 rotation leads with the 12
+# displaced r4 canaries (json_roundtrip included), then the r5 block.
 # Outside-window queries are covered meanwhile by the identical local
 # gate (tools/verify_local.py, now pandas-canonicalizing like the
 # driver). Tally: README "Correctness rotation".
@@ -147,11 +147,12 @@ _DRIVER_WINDOW = [
     "multimodal_wav_codec",
     "multimodal_gif_codec",
     "multimodal_jpeg_codec",
-    # --- NEW this round, taking their first driver check (11, all full
+    # --- NEW this round, taking their first driver check (12, all full
     # oracles): scale techniques (bloom-pruned join, Z-order skipping,
     # schema evolution, portable HLL batch+streaming), weighted
     # sampling, CDC apply + streaming upsert, incremental view merge,
-    # size-aware compaction, and the advanced-XSD end-to-end scan ---
+    # size-aware compaction, the advanced-XSD end-to-end scan, and the
+    # grouped HLL ---
     "join_bloom_pruned",
     "zorder_write_skipping",
     "schema_evolution_read",
@@ -163,19 +164,19 @@ _DRIVER_WINDOW = [
     "incremental_agg_merge",
     "streaming_cdc_upsert",
     "xml_scan_advanced_xsd",
-    # --- oracled, last driver-checked r4 (20; the 11 displaced
-    # function-coverage canaries — scalar_subquery_ratio,
-    # conditional_functions, string_predicates, from_json_struct,
-    # map_functions, explode_outer_empty_arrays, array_higher_order,
-    # source_stats, sort_within_partitions, apply_in_pandas_centered,
-    # variant_json_access — are local-gate green and lead the r8
-    # rotation) ---
+    "sketch_hll_grouped",
+    # --- oracled, last driver-checked r4 (19; the 12 displaced
+    # canaries — scalar_subquery_ratio, conditional_functions,
+    # string_predicates, from_json_struct, map_functions,
+    # explode_outer_empty_arrays, array_higher_order, source_stats,
+    # sort_within_partitions, apply_in_pandas_centered,
+    # variant_json_access, json_roundtrip — are local-gate green and
+    # lead the r8 rotation) ---
     "salted_join_agg",
     "agg_percentiles",
     "cosine_topk_bruteforce",
     "embedding_label_centroids",
     "csv_roundtrip",
-    "json_roundtrip",
     "text_token_stats",
     "text_quality_score",
     "text_language_id",
