@@ -218,17 +218,14 @@ def zorder_write_skipping(spark: SparkSession, sf: str) -> DataFrame:
 
 # ------------------------------------------------------------------ hll
 
-
-@query(
-    "sketch_hll_portable",
-    oracle="""
-WITH h AS (
-  SELECT md5(CAST(l_partkey AS VARCHAR)) AS hx FROM lineitem
-),
-r AS (
-  SELECT (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
-         CASE WHEN ltrim(substr(hx, 3, 12), '0') = '' THEN 49
+# Shared oracle-SQL fragments for the portable HLL. The batch, grouped,
+# and streaming entries advertise "definitionally identical" sketches —
+# these fragments are interpolated into all three oracle strings at
+# import time so the register/rho/estimate arithmetic cannot drift
+# between copies. DuckDB dialect (strpos/ltrim/::BIGINT).
+HLL_REG_SQL = """(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)"""
+HLL_RHO_SQL = """CASE WHEN ltrim(substr(hx, 3, 12), '0') = '' THEN 49
               ELSE 4 * (12 - length(ltrim(substr(hx, 3, 12), '0')))
                    + CASE substr(ltrim(substr(hx, 3, 12), '0'), 1, 1)
                        WHEN '1' THEN 3
@@ -236,29 +233,42 @@ r AS (
                        WHEN '4' THEN 1 WHEN '5' THEN 1
                        WHEN '6' THEN 1 WHEN '7' THEN 1
                        ELSE 0 END
-                   + 1 END AS rho
-  FROM h
-),
-m AS (
-  SELECT reg, MAX(rho) AS mx FROM r GROUP BY reg
-),
-s AS (
-  SELECT CAST(SUM(1::BIGINT << (49 - mx)) AS BIGINT)
+                   + 1 END"""
+HLL_SUM_SQL = """CAST(SUM(1::BIGINT << (49 - mx)) AS BIGINT)
          + (256 - COUNT(*)) * (1::BIGINT << 49) AS ssum,
-         CAST(256 - COUNT(*) AS BIGINT) AS zeros
-  FROM m
-)
-SELECT (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
-         AS n_exact,
-       CAST(256 - zeros AS BIGINT) AS nonzero_registers,
-       round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+         CAST(256 - COUNT(*) AS BIGINT) AS zeros"""
+HLL_EST_SQL = """round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
                        * 562949953421312.0 / CAST(ssum AS DOUBLE)
                        <= 640.0
                    AND zeros > 0
                   THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
                   ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
                        * 562949953421312.0 / CAST(ssum AS DOUBLE) END,
-             4) AS hll_est
+             4)"""
+
+
+@query(
+    "sketch_hll_portable",
+    oracle=f"""
+WITH h AS (
+  SELECT md5(CAST(l_partkey AS VARCHAR)) AS hx FROM lineitem
+),
+r AS (
+  SELECT {HLL_REG_SQL} AS reg,
+         {HLL_RHO_SQL} AS rho
+  FROM h
+),
+m AS (
+  SELECT reg, MAX(rho) AS mx FROM r GROUP BY reg
+),
+s AS (
+  SELECT {HLL_SUM_SQL}
+  FROM m
+)
+SELECT (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+         AS n_exact,
+       CAST(256 - zeros AS BIGINT) AS nonzero_registers,
+       {HLL_EST_SQL} AS hll_est
 FROM s
 """,
     tags=("sketch", "hll", "distinct", "scale"),
@@ -321,18 +331,23 @@ def hll_register_cols(key_col):
     return reg, rho
 
 
-def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+def hll_estimate_from_registers(regs: DataFrame, group_cols=()) -> DataFrame:
     """Final HLL harmonic estimate from a (reg, mx) register table —
     exact-integer power sum, float math only in the last expression
-    (identical association to the DuckDB oracles)."""
-    s = regs.agg(
+    (identical association to the DuckDB oracles). With ``group_cols``,
+    the same arithmetic runs per group over a (group…, reg, mx) table;
+    the delicate constants and the linear-counting switch live ONLY
+    here, shared by the batch, grouped, and streaming entries."""
+    gc = [F.col(c) for c in group_cols]
+    agg_exprs = [
         (
             F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - mx)"))
             + (F.lit(256) - F.count(F.lit(1)))
             * F.lit(1 << 49).cast("long")
         ).alias("ssum"),
         (F.lit(256) - F.count(F.lit(1))).cast("long").alias("zeros"),
-    )
+    ]
+    s = regs.groupBy(*gc).agg(*agg_exprs) if gc else regs.agg(*agg_exprs)
     raw = (
         F.lit(0.7213 / (1.0 + 1.079 / 256.0))
         * F.lit(65536.0)
@@ -344,6 +359,7 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
         F.lit(256.0) * F.log(F.lit(256.0) / F.col("zeros").cast("double")),
     ).otherwise(raw)
     return s.select(
+        *gc,
         (F.lit(256) - F.col("zeros")).cast("long").alias("nonzero_registers"),
         F.round(est, 4).alias("hll_est"),
     )
@@ -351,23 +367,14 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
 
 @query(
     "sketch_hll_grouped",
-    oracle="""
+    oracle=f"""
 WITH h AS (
   SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
 ),
 r AS (
   SELECT event_type,
-         (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
-         CASE WHEN ltrim(substr(hx, 3, 12), '0') = '' THEN 49
-              ELSE 4 * (12 - length(ltrim(substr(hx, 3, 12), '0')))
-                   + CASE substr(ltrim(substr(hx, 3, 12), '0'), 1, 1)
-                       WHEN '1' THEN 3
-                       WHEN '2' THEN 2 WHEN '3' THEN 2
-                       WHEN '4' THEN 1 WHEN '5' THEN 1
-                       WHEN '6' THEN 1 WHEN '7' THEN 1
-                       ELSE 0 END
-                   + 1 END AS rho
+         {HLL_REG_SQL} AS reg,
+         {HLL_RHO_SQL} AS rho
   FROM h
 ),
 m AS (
@@ -375,9 +382,7 @@ m AS (
 ),
 s AS (
   SELECT event_type,
-         CAST(SUM(1::BIGINT << (49 - mx)) AS BIGINT)
-         + (256 - COUNT(*)) * (1::BIGINT << 49) AS ssum,
-         CAST(256 - COUNT(*) AS BIGINT) AS zeros
+         {HLL_SUM_SQL}
   FROM m GROUP BY event_type
 ),
 e AS (
@@ -385,14 +390,7 @@ e AS (
   FROM events GROUP BY event_type
 )
 SELECT s.event_type, e.n_exact,
-       round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
-                       * 562949953421312.0 / CAST(ssum AS DOUBLE)
-                       <= 640.0
-                   AND zeros > 0
-                  THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
-                  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
-                       * 562949953421312.0 / CAST(ssum AS DOUBLE) END,
-             4) AS hll_est
+       {HLL_EST_SQL} AS hll_est
 FROM s JOIN e USING (event_type)
 ORDER BY event_type
 """,
@@ -416,30 +414,13 @@ def sketch_hll_grouped(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type", "reg")
         .agg(F.max("rho").alias("mx"))
     )
-    s = regs.groupBy("event_type").agg(
-        (
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - mx)"))
-            + (F.lit(256) - F.count(F.lit(1)))
-            * F.lit(1 << 49).cast("long")
-        ).alias("ssum"),
-        (F.lit(256) - F.count(F.lit(1))).cast("long").alias("zeros"),
-    )
+    est = hll_estimate_from_registers(regs, group_cols=("event_type",))
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("n_exact")
     )
-    raw = (
-        F.lit(0.7213 / (1.0 + 1.079 / 256.0))
-        * F.lit(65536.0)
-        * F.lit(562949953421312.0)
-        / F.col("ssum").cast("double")
-    )
-    est = F.when(
-        (raw <= 640.0) & (F.col("zeros") > 0),
-        F.lit(256.0) * F.log(F.lit(256.0) / F.col("zeros").cast("double")),
-    ).otherwise(raw)
     return (
-        s.join(exact, "event_type")
-        .select("event_type", "n_exact", F.round(est, 4).alias("hll_est"))
+        est.join(exact, "event_type")
+        .select("event_type", "n_exact", "hll_est")
         .orderBy("event_type")
     )
 

@@ -18,6 +18,14 @@ from pyspark.sql.types import LongType, TimestampNTZType
 
 
 from xml_hive_spark.operators import query
+from xml_hive_spark.operators.scaleops import (
+    HLL_EST_SQL,
+    HLL_REG_SQL,
+    HLL_RHO_SQL,
+    HLL_SUM_SQL,
+    hll_estimate_from_registers,
+    hll_register_cols,
+)
 
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,8 +132,6 @@ def run_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers equal the batch registers exactly (availableNow), so the
     estimate admits a FULL DuckDB oracle — a value-checked streaming
     query, like streaming_static_join."""
-    from xml_hive_spark.operators.scaleops import hll_register_cols
-
     ev = streaming_events(spark, sf_dir)
     reg, rho = hll_register_cols(F.col("user_id").cast("string"))
     regs = (
@@ -145,49 +151,29 @@ def run_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(120):
         q.stop()
         raise TimeoutError("availableNow drain did not finish within 120s")
-    from xml_hive_spark.operators.scaleops import hll_estimate_from_registers
-
     return hll_estimate_from_registers(spark.table(name))
 
 
 @query(
     "streaming_hll_distinct",
-    oracle="""
+    oracle=f"""
 WITH h AS (
   SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
 ),
 r AS (
-  SELECT (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
-         CASE WHEN ltrim(substr(hx, 3, 12), '0') = '' THEN 49
-              ELSE 4 * (12 - length(ltrim(substr(hx, 3, 12), '0')))
-                   + CASE substr(ltrim(substr(hx, 3, 12), '0'), 1, 1)
-                       WHEN '1' THEN 3
-                       WHEN '2' THEN 2 WHEN '3' THEN 2
-                       WHEN '4' THEN 1 WHEN '5' THEN 1
-                       WHEN '6' THEN 1 WHEN '7' THEN 1
-                       ELSE 0 END
-                   + 1 END AS rho
+  SELECT {HLL_REG_SQL} AS reg,
+         {HLL_RHO_SQL} AS rho
   FROM h
 ),
 m AS (
   SELECT reg, MAX(rho) AS mx FROM r GROUP BY reg
 ),
 s AS (
-  SELECT CAST(SUM(1::BIGINT << (49 - mx)) AS BIGINT)
-         + (256 - COUNT(*)) * (1::BIGINT << 49) AS ssum,
-         CAST(256 - COUNT(*) AS BIGINT) AS zeros
+  SELECT {HLL_SUM_SQL}
   FROM m
 )
 SELECT CAST(256 - zeros AS BIGINT) AS nonzero_registers,
-       round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
-                       * 562949953421312.0 / CAST(ssum AS DOUBLE)
-                       <= 640.0
-                   AND zeros > 0
-                  THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
-                  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
-                       * 562949953421312.0 / CAST(ssum AS DOUBLE) END,
-             4) AS hll_est
+       {HLL_EST_SQL} AS hll_est
 FROM s
 """,
     tags=("streaming", "sketch", "hll"),
