@@ -92,12 +92,24 @@ class TestTopK:
         "cdc_apply_changes",
         "sample_weighted_poisson",
         "scd2_point_in_time_join",
+        "decontaminate_eval_ngrams",
+        "text_repetition_score",
     ],
 )
 def test_no_cartesian_products(spark, sf_dir, name):
     """No operator may degrade to an unbounded cross product."""
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
+
+
+def test_decontamination_eval_side_broadcast(spark, sf_dir):
+    """The eval n-gram set is bounded by benchmark size (not corpus
+    size), so its join against training grams must ride a broadcast —
+    and the training side must join on 8-byte xxhash64 keys, never the
+    raw gram strings."""
+    plan = plan_of(spark, sf_dir, "decontaminate_eval_ngrams")
+    assert "BroadcastHashJoin" in plan
+    assert "xxhash64" in plan
 
 
 def test_q19_disjunction_partially_pushed(spark, sf_dir):

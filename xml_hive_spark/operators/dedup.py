@@ -648,3 +648,96 @@ def setsim_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("inter_n") * T_DEN >= F.col("union_n") * T_NUM)
     )
+
+
+@query(
+    "decontaminate_eval_ngrams",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+), idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM words
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS g
+  FROM idx
+), eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+), tr AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams WHERE doc_id % 50 <> 0
+  GROUP BY doc_id
+), hits AS (
+  SELECT g.doc_id, count(*) AS n_shared
+  FROM grams g JOIN eval_grams e USING (g)
+  WHERE g.doc_id % 50 <> 0
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       round(CAST(coalesce(h.n_shared, 0) AS DOUBLE) / t.n_grams, 4)
+           AS contamination,
+       coalesce(h.n_shared, 0) > 0 AS contaminated
+FROM tr t LEFT JOIN hits h USING (doc_id)
+""",
+    tags=("dedup", "decontamination", "ngram"),
+)
+def decontaminate_eval_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval decontamination by word-8-gram overlap — the standard
+    leakage guard of an LLM data pipeline (GPT-3 used 13-grams; 8 fits
+    these short docs): every training document is scored by how many of
+    its distinct 8-grams appear anywhere in the held-out eval split
+    (``doc_id % 50 = 0`` stands in for the benchmark set). Near-dups of
+    eval documents surface with contamination ≈ 1; clean docs ride
+    along with 0 so the output is the full scored training corpus.
+
+    Scale shape: the eval n-gram set is bounded by the BENCHMARK size
+    (fixed, small — thousands of docs regardless of corpus scale), so
+    it is the one side this repo broadcasts on principle; the training
+    side never shuffles raw n-gram strings — both sides join on
+    ``xxhash64`` of the gram (8-byte keys; same trick as
+    dedup_exact_by_hash), and per-doc distinct-gram dedup happens
+    map-side before the join. One broadcast hash join + one hash-agg,
+    no all-pairs anything."""
+    docs = t(spark, sf, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    grams = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 7),"
+                        " i -> array_join(slice(w, i, 8), ' '))"
+                    )
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.xxhash64("g").alias("gh"))
+    )
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_grams = grams.filter(is_eval).select("gh").distinct()
+    train = grams.filter(~is_eval)
+    n_grams = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    hits = (
+        train.join(F.broadcast(eval_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    shared = F.coalesce(F.col("n_shared"), F.lit(0).cast("long"))
+    return (
+        n_grams.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            shared.alias("n_shared"),
+            F.round(shared.cast("double") / F.col("n_grams"), 4).alias(
+                "contamination"
+            ),
+            (shared > 0).alias("contaminated"),
+        )
+    )

@@ -405,3 +405,88 @@ def sketch_count_min(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("token", "exact_n")
         .agg(F.min("n").alias("cm_est"))
     )
+
+
+@query(
+    "text_repetition_score",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+), idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM words
+), big AS (
+  SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS bg
+  FROM idx
+), bgc AS (
+  SELECT doc_id, MAX(c) AS max_bg FROM (
+    SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+), wstats AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct
+  FROM words
+)
+SELECT s.doc_id,
+       CAST(s.n_words AS BIGINT) AS n_words,
+       round(1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_words, 4) AS dup_word_ratio,
+       round(CAST(b.max_bg AS DOUBLE) / (s.n_words - 1), 4) AS top_bigram_ratio,
+       (round(CAST(b.max_bg AS DOUBLE) / (s.n_words - 1), 4) > 0.08
+        OR round(1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_words, 4) > 0.65)
+           AS repetitive
+FROM wstats s JOIN bgc b USING (doc_id)
+""",
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition-based quality gate (the Gopher/MassiveText rule family,
+    Rae et al. 2021 §A1.1): fraction of duplicate word occurrences and
+    the fraction of all bigrams taken by the single most frequent
+    bigram. Boilerplate, keyword-stuffed, and looping generated text
+    score high on both; the flag thresholds (0.08 / 0.65) are applied
+    to the ROUNDED ratios in both engines so the boundary comparison is
+    bit-identical cross-engine.
+
+    Scale shape: everything before the final per-doc aggregate is a
+    per-row array expression (JVM codegen, zero shuffle); the bigram
+    histogram is an explode → two-level hash-agg keyed on (doc_id,
+    bigram) — map-side partial combine absorbs the intra-doc repeats,
+    so the shuffle carries at most the distinct-bigram count per doc.
+    No driver state, no window over the corpus; at 100 TB this is one
+    shuffle of bounded per-doc summaries. The reference has no text
+    analytics (delegates everything to Hive; SURVEY.md §2.B) — this is
+    part of the LLM-pipeline extension family."""
+    docs = t(spark, sf, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    base = docs.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    stats = base.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1),"
+                " (x, i) -> concat(x, ' ', element_at(w, i + 2)))"
+            )
+        ).alias("bg"),
+    )
+    max_bg = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bg"))
+    )
+    dup_ratio = F.round(
+        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words"), 4
+    )
+    top_bg = F.round(
+        F.col("max_bg").cast("double") / (F.col("n_words") - 1), 4
+    )
+    return stats.join(max_bg, "doc_id").select(
+        "doc_id",
+        "n_words",
+        dup_ratio.alias("dup_word_ratio"),
+        top_bg.alias("top_bigram_ratio"),
+        ((top_bg > 0.08) | (dup_ratio > 0.65)).alias("repetitive"),
+    )
