@@ -70,3 +70,53 @@ def test_decontamination_planted_overlap(spark, planted_sf):
         assert got[clean_id]["n_shared"] == 0
         assert got[clean_id]["contaminated"] is False
         assert got[clean_id]["contamination"] == 0.0
+
+
+def test_split_covers_corpus_and_no_clique_straddles(spark, sf_dir):
+    """The three splits must partition the corpus exactly, and no
+    duplicate clique (lang, n_chars DIV 50) may straddle splits — the
+    invariant the operator exists for. Re-derives the per-doc
+    assignment from the same deterministic hash contract."""
+    from pyspark.sql import Window, functions as F
+
+    from xml_hive_spark.operators import t
+    from xml_hive_spark.operators.dedup import split_leakage_safe
+
+    agg = {r["split"]: r for r in split_leakage_safe(spark, sf_dir).collect()}
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in agg.values()) == n_docs
+    n_cliques = (
+        docs.select("lang", (F.col("n_chars") / 50).cast("bigint"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_clusters"] for r in agg.values()) == n_cliques
+    # per-doc re-derivation: each clique maps to exactly one split
+    wc = Window.partitionBy("lang", (F.col("n_chars") / 50).cast("bigint"))
+    u48 = F.conv(
+        F.substring(
+            F.md5(
+                F.min("doc_id").over(wc).cast("string").cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    split = (
+        F.when(u48 * 10 < F.lit(2251799813685248), "train")
+        .when(u48 * 10 < F.lit(2533274790395904), "val")
+        .otherwise("test")
+    )
+    per_clique = (
+        docs.select(
+            "lang",
+            (F.col("n_chars") / 50).cast("bigint").alias("bucket"),
+            split.alias("split"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.countDistinct("split").alias("k"))
+    )
+    assert per_clique.filter(F.col("k") > 1).count() == 0

@@ -94,6 +94,8 @@ class TestTopK:
         "scd2_point_in_time_join",
         "decontaminate_eval_ngrams",
         "text_repetition_score",
+        "split_leakage_safe",
+        "sketch_hll_union",
     ],
 )
 def test_no_cartesian_products(spark, sf_dir, name):

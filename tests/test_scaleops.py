@@ -184,3 +184,32 @@ class TestPortableHll:
         for r in rows:
             rel = abs(r["hll_est"] - r["n_exact"]) / max(r["n_exact"], 1)
             assert rel < 3 * 1.04 / 16.0, r
+
+
+def test_hll_union_merge_equals_direct(spark, sf_dir):
+    """Register max is associative: merging six monthly sketches must
+    reproduce the direct one-scan sketch bit-for-bit (estimate AND
+    nonzero-register count)."""
+    from pyspark.sql import functions as F
+
+    from xml_hive_spark.operators import t
+    from xml_hive_spark.operators.scaleops import (
+        hll_estimate_from_registers,
+        hll_register_cols,
+        sketch_hll_union,
+    )
+
+    merged_row = sketch_hll_union(spark, sf_dir).collect()[0]
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    reg, rho = hll_register_cols(F.col("o_custkey").cast("string"))
+    direct = (
+        orders.select(reg.alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    direct_row = hll_estimate_from_registers(direct).collect()[0]
+    assert merged_row["hll_est"] == direct_row["hll_est"]
+    assert merged_row["nonzero_registers"] == direct_row["nonzero_registers"]

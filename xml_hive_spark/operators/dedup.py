@@ -741,3 +741,82 @@ def decontaminate_eval_ngrams(spark: SparkSession, sf: str) -> DataFrame:
             (shared > 0).alias("contaminated"),
         )
     )
+
+
+@query(
+    "split_leakage_safe",
+    oracle="""
+WITH clus AS (
+  SELECT doc_id, n_chars,
+         min(doc_id) OVER (PARTITION BY lang, n_chars // 50) AS cluster_rep
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, n_chars, cluster_rep,
+         CASE WHEN CAST('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 12)
+                        AS BIGINT) * 10 < 2251799813685248 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 12)
+                        AS BIGINT) * 10 < 2533274790395904 THEN 'val'
+              ELSE 'test' END AS split
+  FROM clus
+)
+SELECT split,
+       CAST(count(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+FROM sp GROUP BY split ORDER BY split
+""",
+    tags=("split", "dedup", "leakage"),
+)
+def split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split (80/10/10): the split is a
+    deterministic hash of the DUPLICATE-CLUSTER representative, not the
+    document — every member of a duplicate cluster lands in the same
+    split, so a training document can never have a near-duplicate in
+    the eval splits (the leakage a per-doc random split guarantees at
+    scale). Clusters here are the duplicate cliques of the blocking
+    key (same language, same 50-char length bucket — the candidate
+    cliques of ``dedup_cluster_components``), keeping the whole
+    composition SQL-derivable for a FULL value oracle; a general
+    near-dup graph plugs its ``connected_components`` label into the
+    identical split expression. The split decision itself is the
+    ``sample_hash_bucket`` portability contract — u48 · 10 < k · 2^48,
+    integer-exact on any engine with md5.
+
+    Scale shape: one window keyed by the blocking key (equivalently a
+    self-join-free groupBy-min broadcast back), a per-row hash
+    expression, and one 3-group aggregate — no corpus self-join, no
+    collect, no skew (bucket sizes are bounded by the blocking
+    design)."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        "n_chars",
+        "lang",
+        (F.col("n_chars") / 50).cast("bigint").alias("bucket"),
+    )
+    wc = Window.partitionBy("lang", "bucket")
+    clus = docs.select(
+        "doc_id", "n_chars", F.min("doc_id").over(wc).alias("cluster_rep")
+    )
+    u48 = F.conv(
+        F.substring(
+            F.md5(F.col("cluster_rep").cast("string").cast("binary")), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    split = (
+        F.when(u48 * 10 < F.lit(2251799813685248), "train")
+        .when(u48 * 10 < F.lit(2533274790395904), "val")
+        .otherwise("test")
+    )
+    return (
+        clus.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.countDistinct("cluster_rep").cast("long").alias("n_clusters"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_sum"),
+        )
+        .orderBy("split")
+    )

@@ -497,3 +497,77 @@ def schema_evolution_read(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("era")
     )
+
+
+@query(
+    "sketch_hll_union",
+    oracle="""
+WITH h AS (
+  SELECT md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1995-07-01'
+),
+r AS (
+  SELECT {HLL_REG_SQL} AS reg,
+         {HLL_RHO_SQL} AS rho
+  FROM h
+),
+m AS (
+  SELECT reg, MAX(rho) AS mx FROM r GROUP BY reg
+),
+s AS (
+  SELECT {HLL_SUM_SQL}
+  FROM m
+)
+SELECT (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1995-07-01') AS n_exact,
+       CAST(256 - zeros AS BIGINT) AS nonzero_registers,
+       {HLL_EST_SQL} AS hll_est
+FROM s
+""".format(
+        HLL_REG_SQL=HLL_REG_SQL,
+        HLL_RHO_SQL=HLL_RHO_SQL,
+        HLL_SUM_SQL=HLL_SUM_SQL,
+        HLL_EST_SQL=HLL_EST_SQL,
+    ),
+    tags=("sketch", "hll", "merge", "scale"),
+)
+def sketch_hll_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch ALGEBRA — the reason portable sketches exist at 100 TB:
+    distinct customers over 1995 H1 computed by max-MERGING six
+    independently-built MONTHLY register tables, never rescanning the
+    union. The oracle builds one direct sketch over the whole half-year;
+    register max is associative and commutative, so merged-monthly must
+    equal direct-scan BIT-FOR-BIT — the equality check IS the
+    mergeability proof. In production the monthly sketches are 256-row
+    stored artifacts (one per partition/day/source); any time range
+    rolls up by register max in milliseconds, where exact distinct
+    would re-shuffle one row per key per query.
+
+    Scale shape: per-month register build is one map-side-combined
+    hash-agg each; the merge is a ≤(6×256)-row aggregate. Driver never
+    sees data rows."""
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    reg, rho = hll_register_cols(F.col("o_custkey").cast("string"))
+    # six independent monthly sketches (the stored-artifact stand-in) ...
+    monthly = (
+        orders.select(
+            F.month("o_orderdate").alias("mth"),
+            reg.alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("mth", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    # ... merged by register max — no rescan of the union
+    merged = monthly.groupBy("reg").agg(F.max("mx").alias("mx"))
+    exact = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    )
+    return exact.crossJoin(
+        hll_estimate_from_registers(merged)
+    ).select("n_exact", "nonzero_registers", "hll_est")
