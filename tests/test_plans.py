@@ -96,6 +96,7 @@ class TestTopK:
         "text_repetition_score",
         "split_leakage_safe",
         "sketch_hll_union",
+        "copurchase_pairs",
     ],
 )
 def test_no_cartesian_products(spark, sf_dir, name):
@@ -112,6 +113,16 @@ def test_decontamination_eval_side_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "decontaminate_eval_ngrams")
     assert "BroadcastHashJoin" in plan
     assert "xxhash64" in plan
+
+
+def test_copurchase_topk_no_global_window(spark, sf_dir):
+    """Pair mining must do ONE basket-keyed shuffle (no self-join of
+    lineitem) and take its top-20 as TakeOrderedAndProject — never a
+    single-partition global sort/window."""
+    plan = plan_of(spark, sf_dir, "copurchase_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" not in plan
 
 
 def test_q19_disjunction_partially_pushed(spark, sf_dir):

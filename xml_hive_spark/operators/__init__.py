@@ -120,11 +120,11 @@ _LOADED = False
 # the 11 late-r6 additions never driver-checked (9 full-oracle; pagerank +
 # streaming minhash dedup rows-only by design, asserted in tests/) + the
 # 4 codec queries whose r6 reds are fixed (oracle SUMs now CAST AS BIGINT
-# — the DuckDB-HUGEINT→pandas-float64 canonicalizer artifact) + the 16
-# queries NEW this round (all full-oracle) + 15 oracled queries last
+# — the DuckDB-HUGEINT→pandas-float64 canonicalizer artifact) + the 17
+# queries NEW this round (all full-oracle) + 14 oracled queries last
 # checked r4 + 4 r5-checked canaries (the flagship q1, the pushdown
 # canary q6, window_rank_topn, xml_write_roundtrip) = 50. After this
-# round no query is driver-unchecked; r8 rotation leads with the 16
+# round no query is driver-unchecked; r8 rotation leads with the 17
 # displaced r4 canaries (json_roundtrip included), then the r5 block.
 # Outside-window queries are covered meanwhile by the identical local
 # gate (tools/verify_local.py, now pandas-canonicalizing like the
@@ -147,13 +147,13 @@ _DRIVER_WINDOW = [
     "multimodal_wav_codec",
     "multimodal_gif_codec",
     "multimodal_jpeg_codec",
-    # --- NEW this round, taking their first driver check (16, all full
+    # --- NEW this round, taking their first driver check (17, all full
     # oracles): scale techniques (bloom-pruned join, Z-order skipping,
-    # schema evolution, portable HLL batch+streaming+grouped+merged),
-    # weighted sampling, CDC apply + streaming upsert, incremental view
-    # merge, size-aware compaction, the advanced-XSD end-to-end scan,
-    # and the LLM-pipeline filters (repetition gate, eval-set
-    # decontamination, leakage-safe split) ---
+    # schema evolution, portable HLL batch+streaming+grouped+merged,
+    # co-purchase pair mining), weighted sampling, CDC apply +
+    # streaming upsert, incremental view merge, size-aware compaction,
+    # the advanced-XSD end-to-end scan, and the LLM-pipeline filters
+    # (repetition gate, eval-set decontamination, leakage-safe split) ---
     "join_bloom_pruned",
     "zorder_write_skipping",
     "schema_evolution_read",
@@ -170,23 +170,23 @@ _DRIVER_WINDOW = [
     "decontaminate_eval_ngrams",
     "split_leakage_safe",
     "sketch_hll_union",
-    # --- oracled, last driver-checked r4 (15; the 16 displaced
+    "copurchase_pairs",
+    # --- oracled, last driver-checked r4 (14; the 17 displaced
     # canaries — scalar_subquery_ratio, conditional_functions,
     # string_predicates, from_json_struct, map_functions,
     # explode_outer_empty_arrays, array_higher_order, source_stats,
     # sort_within_partitions, apply_in_pandas_centered,
     # variant_json_access, json_roundtrip, text_fingerprint,
-    # text_clean_normalize, text_token_stats, text_language_id — are
-    # local-gate green and lead the r8 rotation; first-check priority
-    # put the four new r7 queries above ahead of refreshes, per the
-    # freshness policy) ---
+    # text_clean_normalize, text_token_stats, text_language_id,
+    # vocab_topk — are local-gate green and lead the r8 rotation;
+    # first-check priority put the five new r7 queries above ahead of
+    # refreshes, per the freshness policy) ---
     "salted_join_agg",
     "agg_percentiles",
     "cosine_topk_bruteforce",
     "embedding_label_centroids",
     "csv_roundtrip",
     "text_quality_score",
-    "vocab_topk",
     "pack_sequences",
     "doc_chunks_udtf",
     "quality_filter_verdicts",

@@ -571,3 +571,60 @@ def sketch_hll_union(spark: SparkSession, sf: str) -> DataFrame:
     return exact.crossJoin(
         hll_estimate_from_registers(merged)
     ).select("n_exact", "nonzero_registers", "hll_est")
+
+
+@query(
+    "copurchase_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+""",
+    tags=("itemsets", "pairs", "scale"),
+)
+def copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise frequent-itemset mining (the co-purchase/co-occurrence
+    counting at the heart of market-basket and item-to-item
+    recommendation): for every pair of parts appearing in the same
+    order, count the orders containing both; top-20 under a TOTAL
+    deterministic order (count desc, then both keys).
+
+    Scale shape: the oracle's O(n²)-looking self-join is replaced by
+    ONE shuffle of lineitem keyed on l_orderkey (groupBy collect_set);
+    pairs are generated per basket with nested JVM array transforms —
+    the expansion is bounded by basket size squared (TPC-H baskets ≤ 7
+    lines → ≤ 21 pairs), the property that makes pair mining tractable
+    at 100 TB where a general self-join is not. The final top-20 is
+    orderBy().limit() — TakeOrderedAndProject, partial top-k per
+    partition, no global-window funnel (the BM25 lesson)."""
+    items = (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = items.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
