@@ -52,6 +52,9 @@ HEADLINE = [
     # warehouse/MERGE family (round 7): SCD2 history build + as-of
     # dimension lookup composed — tracks the MERGE path like the ANN ladder
     "scd2_point_in_time_join",
+    # LLM-filter family (round 7): distinct-8-gram explode + hashed
+    # broadcast join against the eval set — the corpus-shaped text path
+    "decontaminate_eval_ngrams",
     # GB-scale XML source scan (1 GiB at sf0.1): the engine's raison
     # d'être — file generated once and cached under $TMPDIR/xmlhive_bench
     "xml_scan_bench",
