@@ -211,9 +211,11 @@ def all_queries() -> dict[str, QueryDef]:
     global _LOADED
     if not _LOADED:
         from xml_hive_spark.operators import (  # noqa: F401
+            analytics,
             dedup,
             embeddings,
             graph,
+            lm,
             multimodal,
             relational,
             relational2,

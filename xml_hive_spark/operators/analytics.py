@@ -1,0 +1,323 @@
+"""Product/behavioral analytics over the ``events`` stream table plus
+table-profiling utilities: cohort retention, Markov transition matrices,
+time-range rolling windows, per-column data profiling, argmax/argmin
+aggregates, and fixed-width histograms.
+
+The reference delegates all relational analytics to Hive
+(AvroFromXmlSerde.scala:13); this module exercises the equivalent
+Catalyst surface on the shapes a production events pipeline actually
+runs. Every query carries a full DuckDB oracle.
+
+Scale notes (100 TB): each query is one or two hash-shuffles keyed on a
+natural high-cardinality key (user_id, doc bucket, column name); no
+driver-side state beyond single scalars; windows are always PARTITIONed
+(never the global-window funnel pinned in test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xml_hive_spark.operators import query, t
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM cohort GROUP BY cohort_week
+)
+SELECT c.cohort_week AS cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.active_week) / 7 AS INT)
+         AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(count(*) AS DOUBLE) / any_value(s.cohort_size) AS retention
+FROM active a
+JOIN cohort c USING (user_id)
+JOIN sizes s ON s.cohort_week = c.cohort_week
+GROUP BY c.cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+    tags=("analytics", "cohort", "retention"),
+)
+def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; for each (cohort week, week offset) the count of cohort
+    members still active and the retention fraction.
+
+    Scale shape: two hash-aggs keyed on user_id (co-partitioned — one
+    shuffle feeds both), a user-keyed equi-join, then a small final agg
+    on (cohort, offset); the cohort-size side is weeks-count rows and
+    broadcast by AQE. Retention is an exact int/int IEEE division —
+    bit-stable cross-engine. date_trunc('week') is cast to DATE on both
+    sides (DuckDB returns DATE, Spark TIMESTAMP)."""
+    ev = t(spark, sf, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS DOUBLE)
+         / sum(count(*)) OVER (PARTITION BY src) AS p
+FROM seq WHERE dst IS NOT NULL
+GROUP BY src, dst
+ORDER BY src, dst
+""",
+    tags=("analytics", "markov", "sequence"),
+)
+def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    for each ordered pair of consecutive event types (per user, by
+    time), the transition count and row-normalized probability.
+
+    Scale shape: ONE shuffle keyed on user_id for the lead() window
+    (per-user partitions — never global), a hash-agg on (src, dst)
+    whose output is |event_types|² rows, and a trivially small window
+    over that for row normalization. p is an exact int/int division."""
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wsrc = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wsrc)).alias("p"),
+    ).orderBy("src", "dst")
+
+
+@query(
+    "window_rolling_1h",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS cents_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+    tags=("analytics", "window", "range-frame"),
+)
+def window_rolling_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user rolling 1-hour event count and value sum (a true
+    time-RANGE frame, not a row frame): every event sees the aggregate
+    of the trailing hour including itself.
+
+    Scale shape: one shuffle keyed on user_id; the range frame runs as
+    a per-partition streaming frame scan (Spark's WindowExec sliding
+    accumulator), never materializing per-row frames. The value sum is
+    pre-quantized to integer cents so the rolling sum is exact and
+    order-free — the repo's standard cross-engine double-sum dodge
+    (see dsum); epoch microseconds give both engines the identical
+    integer ordering key."""
+    ev = t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum(cents).over(w).cast("long").alias("cents_1h"),
+    ).orderBy("event_id")
+
+
+_PROFILE_INT_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+_PROFILE_STR_COLS = ("l_returnflag", "l_linestatus")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_INT_COLS + _PROFILE_STR_COLS:
+        parts.append(
+            f"""
+SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM lineitem"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@query(
+    "table_profile",
+    oracle=_profile_oracle(),
+    tags=("analytics", "profiling", "quality"),
+)
+def table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column data profile of lineitem (row/null/distinct counts,
+    min/max rendered as strings) — the first step of any data-quality
+    or schema-drift pipeline.
+
+    Scale shape: ONE table scan; all 6 columns' stats are computed in a
+    single aggregate (Spark plans the multi-DISTINCT via one Expand —
+    data ×6 through one shuffle, still one pass over storage) and then
+    unpivoted with stack(). At 100 TB you'd swap count(DISTINCT) for
+    approx_count_distinct to drop the Expand; the exact form is kept
+    here because the oracle hashes exact values. min/max string casts
+    are int→string and varchar→varchar — both engines render them
+    identically (no float formatting in play)."""
+    cols = _PROFILE_INT_COLS + _PROFILE_STR_COLS
+    li = t(spark, sf, "lineitem")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_val, max_val)"
+        )
+    ).orderBy("col_name")
+
+
+@query(
+    "agg_argmax_argmin",
+    oracle="""
+SELECT p_brand,
+       arg_max(p_name, CAST(round(p_retailprice * 100) AS BIGINT) * 100000
+                       + p_partkey) AS priciest_part,
+       arg_min(p_name, CAST(round(p_retailprice * 100) AS BIGINT) * 100000
+                       + p_partkey) AS cheapest_part,
+       CAST(round(max(p_retailprice) * 100) AS BIGINT) AS max_cents,
+       CAST(round(min(p_retailprice) * 100) AS BIGINT) AS min_cents
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    tags=("analytics", "argmax", "aggregate"),
+)
+def agg_argmax_argmin(spark: SparkSession, sf: str) -> DataFrame:
+    """arg_max / arg_min (Spark max_by/min_by): per brand, the name of
+    the priciest and cheapest part plus the price extremes in integer
+    cents.
+
+    The ordering value is price-cents * 100000 + partkey — a single
+    integer that is unique per row, making the argmax DETERMINISTIC
+    under price ties (max_by/arg_max tie-breaking is otherwise
+    engine-defined). round-then-cast is used because bare double→int
+    casts disagree across engines (Spark truncates, DuckDB rounds).
+    Scale: one partial+final hash-agg, output |brands| rows."""
+    ordv = (F.round(F.col("p_retailprice") * 100).cast("long") * 100000
+            + F.col("p_partkey"))
+    return (
+        t(spark, sf, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.expr(
+                "max_by(p_name, CAST(round(p_retailprice * 100) AS BIGINT)"
+                " * 100000 + p_partkey)"
+            ).alias("priciest_part"),
+            F.expr(
+                "min_by(p_name, CAST(round(p_retailprice * 100) AS BIGINT)"
+                " * 100000 + p_partkey)"
+            ).alias("cheapest_part"),
+            F.round(F.max("p_retailprice") * 100).cast("long").alias("max_cents"),
+            F.round(F.min("p_retailprice") * 100).cast("long").alias("min_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "histogram_doc_length",
+    oracle="""
+SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY bucket
+ORDER BY bucket
+""",
+    tags=("analytics", "histogram",),
+)
+def histogram_doc_length(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram of document length (100-char buckets) with
+    per-bucket extrema — the distribution profile step of a corpus
+    length-filter pipeline.
+
+    Scale shape: single partial+final hash-agg on the computed bucket
+    key; output is O(max_length / width) rows regardless of corpus
+    size."""
+    docs = t(spark, sf, "documents")
+    bucket = F.floor(F.col("n_chars") / 100.0).cast("long").alias("bucket")
+    return (
+        docs.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )

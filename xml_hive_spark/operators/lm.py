@@ -1,0 +1,313 @@
+"""Corpus language-model statistics for LLM data curation: n-gram
+novelty/memorization scoring, TF-IDF salient terms, and BPE tokenizer
+training (pair-count statistics fully oracled; the iterative merge
+learner rows-only with pure-Python parity in tests/test_lm.py).
+
+These are the corpus-level statistics a pretraining pipeline computes
+between dedup and packing: novelty scores flag boilerplate/memorized
+text, TF-IDF surfaces document keywords for clustering/mixing, and BPE
+merges ARE tokenizer training.
+
+Scale notes (100 TB): every aggregation is keyed on a token/bigram/pair
+(high cardinality, naturally spread); the bigram→count join is the only
+fat shuffle and AQE broadcast-demotes it when the vocabulary side is
+small. The BPE learner collects exactly ONE (pair, count) row per merge
+iteration — bounded model state, like the k-means/PQ codebook loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xml_hive_spark.operators import query, t
+
+# lowercased whitespace tokens, empties dropped — the one tokenizer all
+# three queries and both engines share
+_SPARK_TOKENS = "filter(split(lower(text), '\\\\s+'), w -> w <> '')"
+_DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents
+),
+big AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i + 1])) AS bg
+  FROM tok
+),
+corpus AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY bg
+)
+SELECT b.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_bigrams,
+       CAST(sum(c.c) AS BIGINT) AS freq_sum,
+       CAST(sum(c.c) AS DOUBLE) / count(*) AS avg_bigram_freq
+FROM big b JOIN corpus c USING (bg)
+GROUP BY b.doc_id
+ORDER BY doc_id
+""",
+    tags=("text", "lm", "novelty", "dedup-adjacent"),
+)
+def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document bigram novelty: how many of a doc's word bigrams are
+    unique to it in the corpus, and the average corpus frequency of its
+    bigrams — a standard memorization/boilerplate signal (low novelty +
+    high avg frequency ⇒ templated text; the integer-only cousin of
+    average-n-gram-logprob scoring, chosen so the oracle hash is exact).
+
+    Scale shape: one explode to bigram grain, one hash-agg keyed on the
+    bigram string, one bigram-keyed shuffle join back (skewed head
+    bigrams are spread by Spark's AQE skew-join; at 100 TB you'd salt
+    the top-k head explicitly), one final agg keyed on doc_id. No
+    driver state."""
+    docs = t(spark, sf, "documents")
+    # size guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not
+    # an empty array like DuckDB's generate_series — 1-token docs must be
+    # filtered, not relied on to produce zero bigrams
+    tok = docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    big = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(ws[i - 1], ' ', ws[i]))"
+            )
+        ).alias("bg"),
+    )
+    corpus = big.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return (
+        big.join(corpus, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("novel_bigrams"),
+            F.sum("c").cast("long").alias("freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "novel_bigrams",
+            "freq_sum",
+            (F.col("freq_sum").cast("double") / F.col("n_bigrams")).alias(
+                "avg_bigram_freq"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df
+                                     DESC, tf.term) AS rk
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df, score
+FROM scored WHERE rk <= 3
+ORDER BY doc_id, rk
+""",
+    tags=("text", "tfidf", "keywords"),
+)
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (linear idf = N/df, so the score
+    is an exact two-integer division — same ranking as log-idf for the
+    per-document ordering, without cross-engine libm drift), ties broken
+    by term.
+
+    Scale shape: explode → (doc, term) hash-agg → term-keyed df agg
+    (broadcast back when small, shuffle-join otherwise — AQE decides) →
+    per-document row_number window (PARTITIONed by doc_id: frames are
+    per-doc vocabularies, never a global sort). The corpus size N is the
+    one driver scalar."""
+    docs = t(spark, sf, "documents")
+    n_docs = docs.count()  # one scalar — bounded driver state
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    score = (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(df, "term")
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rk")
+    )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_DUCK_TOKENS}) AS w FROM documents
+),
+wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok
+  WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                               i -> substr(w, CAST(i AS INT), 2))) AS pair,
+         n
+  FROM wf
+)
+SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 20
+""",
+    tags=("text", "bpe", "tokenizer"),
+)
+def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """The first BPE tokenizer-training iteration: corpus-weighted
+    counts of adjacent character pairs, top-20 (the argmax of this table
+    IS the first BPE merge). Pair statistics run over the DISTINCT word
+    table weighted by word frequency — the classic trick that makes BPE
+    training corpus-size-independent (cost scales with |vocab|, not
+    tokens).
+
+    Scale shape: one token explode + word-keyed hash-agg (the corpus
+    pass), then all pair work happens on the distinct-word table — tiny
+    relative to the corpus. Final top-20 is orderBy().limit() →
+    TakeOrderedAndProject, partial top-k per partition."""
+    docs = t(spark, sf, "documents")
+    wf = (
+        docs.select(F.explode(F.expr(_SPARK_TOKENS)).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )
+
+
+# SQL fold that merges every non-overlapping occurrence of the adjacent
+# symbol pair (a, b) in a symbol array, left to right — the BPE apply
+# step, run entirely JVM-side. State: (out array, carry symbol).
+_MERGE_EXPR = """
+CASE WHEN syms IS NULL THEN NULL ELSE
+  aggregate(
+    syms,
+    struct(CAST(array() AS ARRAY<STRING>) AS out, CAST(NULL AS STRING) AS carry),
+    (acc, s) -> CASE
+      WHEN acc.carry = {a} AND s = {b}
+        THEN struct(concat(acc.out, array(concat(acc.carry, s))) AS out,
+                    CAST(NULL AS STRING) AS carry)
+      WHEN acc.carry IS NULL
+        THEN struct(acc.out AS out, s AS carry)
+      ELSE struct(concat(acc.out, array(acc.carry)) AS out, s AS carry)
+    END,
+    acc -> CASE WHEN acc.carry IS NULL THEN acc.out
+                ELSE concat(acc.out, array(acc.carry)) END)
+END
+"""
+
+
+def bpe_learn(spark: SparkSession, sf: str, n_merges: int = 6) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the document corpus.
+
+    Each iteration: count adjacent symbol pairs on the distinct-word
+    table (weighted by word frequency), take the argmax pair — ONE row
+    to the driver, the entire per-iteration model state — then apply
+    the merge to every word's symbol array with a JVM-side aggregate()
+    fold (no Python in the loop). Greedy left-to-right non-overlapping
+    application, the reference BPE semantics (mirrored by the
+    pure-Python implementation in tests/test_lm.py).
+
+    At 100 TB the word-frequency table is the only corpus-sized pass;
+    the merge loop runs on |vocab| rows. Lineage grows by one projection
+    per merge — checkpoint every ~20 merges at real scale (the
+    components-operator pattern)."""
+    docs = t(spark, sf, "documents")
+    wf = (
+        docs.select(F.explode(F.expr(_SPARK_TOKENS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("syms", F.split("w", ""))
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        # sequence(1, 0) is descending in Spark — single-symbol words
+        # must be excluded before pair generation
+        pairs = wf.where(F.size("syms") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                )
+            ).alias("p"),
+            "n",
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()  # exactly one (pair, count) row — the model update
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((rank, a, b, a + b, cnt))
+        la, lb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        wf = wf.withColumn(
+            "syms", F.expr(_MERGE_EXPR.format(a=f"'{la}'", b=f"'{lb}'"))
+        )
+    return spark.createDataFrame(
+        merges, "rank INT, left STRING, right STRING, merged STRING, n BIGINT"
+    )
+
+
+@query("bpe_learn_merges", tags=("text", "bpe", "tokenizer", "iterative"))
+def bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """First 6 learned BPE merges (rank, pair, merged symbol, count).
+
+    Rows-only driver check BY DESIGN: the merge loop is iterative
+    argmax (not SQL-expressible in one statement); exact parity against
+    a pure-Python BPE reference on the same corpus is asserted in
+    tests/test_lm.py."""
+    return bpe_learn(spark, sf, 6)
