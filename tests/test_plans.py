@@ -97,6 +97,12 @@ class TestTopK:
         "split_leakage_safe",
         "sketch_hll_union",
         "copurchase_pairs",
+        # round-7 analytics/linkage/graph join shapes
+        "cohort_retention",
+        "text_ngram_novelty",
+        "tfidf_top_terms",
+        "graph_triangles",
+        "fuzzy_join_levenshtein",
     ],
 )
 def test_no_cartesian_products(spark, sf_dir, name):
@@ -328,3 +334,30 @@ def test_interval_overlap_join_is_equi_bucketed(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "interval_overlap_join")
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan or "explode" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["tfidf_top_terms", "window_rolling_1h", "event_transition_matrix"],
+)
+def test_new_analytics_windows_are_partitioned(spark, sf_dir, name):
+    """Every corpus/event-grain window in the r7 analytics family must
+    be PARTITIONed (per-doc / per-user / per-src frames) — the only
+    tolerated single-partition exchange is a final presentation sort or
+    a post-aggregate window over domain-sized rows (|event_types|)."""
+    plan = plan_of(spark, sf_dir, name)
+    win_lines = [l for l in plan.splitlines() if "Window" in l]
+    assert win_lines, f"no window found in {name}"
+    # a global (unpartitioned) window plans Exchange SinglePartition
+    # directly below WindowExec; none of these queries may have ANY —
+    # their final presentation sorts are range-partitioned
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_triangles_topk_is_take_ordered(spark, sf_dir):
+    """Triangle top-10 must be a TakeOrderedAndProject (partial top-k),
+    and edge construction must be the basket-bounded expansion — no
+    lineitem self-join below the pair aggregation."""
+    plan = plan_of(spark, sf_dir, "graph_triangles")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

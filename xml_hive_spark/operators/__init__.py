@@ -215,6 +215,7 @@ def all_queries() -> dict[str, QueryDef]:
             dedup,
             embeddings,
             graph,
+            linkage,
             lm,
             multimodal,
             relational,
@@ -231,6 +232,7 @@ def all_queries() -> dict[str, QueryDef]:
             xmlio,
         )
         from xml_hive_spark.streaming import (  # noqa: F401
+            dropdup,
             joins,
             neardup,
             stateful,

@@ -94,3 +94,87 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY u, v HAVING count(*) >= 2
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+nodes AS (
+  SELECT a AS part_key FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT part_key, CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY part_key
+ORDER BY n_triangles DESC, part_key
+LIMIT 10
+""",
+    tags=("graph", "triangles", "motif"),
+)
+def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle participation counts on the co-purchase graph (parts
+    that co-occur in >= 2 orders), top-10 parts by triangles touched —
+    the classic graph-motif / community-density primitive.
+
+    Scale shape: edges come from the basket-bounded pair expansion (one
+    shuffle of lineitem keyed on order, pairs bounded by basket size² —
+    never a general self-join; the copurchase_pairs pattern). The
+    triangle enumeration is the oriented two-join algorithm: edges are
+    directed low-id→high-id so each triangle is counted exactly once;
+    the wedge join is keyed on the shared middle vertex and the closing
+    join on the (u, w) pair — both plain shuffle equi-joins. At 100 TB
+    you'd orient by (degree, id) instead of id to bound the wedge
+    blow-up on hubs; id-orientation is kept here for oracle parity and
+    the degree variant is a one-line change to the orientation key."""
+    items = (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    edges = (
+        items.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("part_key"))
+        .unionAll(tri.select(F.col("b").alias("part_key")))
+        .unionAll(tri.select(F.col("c").alias("part_key")))
+    )
+    return (
+        nodes.groupBy("part_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "part_key")
+        .limit(10)
+    )

@@ -505,3 +505,46 @@ def xml_scan_advanced_xsd(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "xml_xpath_functions",
+    oracle="""
+SELECT p_partkey, p_name AS name, p_size AS size,
+       CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+FROM part
+WHERE p_partkey < 100
+ORDER BY p_partkey
+""",
+    tags=("xml", "xpath", "functions"),
+)
+def xml_xpath_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark's JVM xpath_* scalar functions, end-to-end: each part row
+    is serialized to an XML fragment, then every field is re-extracted
+    with xpath_string / xpath_int / xpath_long and must round-trip to
+    the original value — so the oracle simply selects the source
+    columns (the reference's whole premise, XML⇄relational fidelity,
+    exercised at the expression layer rather than the source layer;
+    AvroTransormer.scala holds the reference's record-level analogue).
+
+    Values are constructed (letters/digits/spaces only) so no XML
+    escaping is required. Scale: pure whole-stage-codegen projection —
+    no shuffle, no UDF."""
+    part = t(spark, sf, "part").where(F.col("p_partkey") < 100)
+    xml = F.concat(
+        F.lit("<part><name>"), F.col("p_name"),
+        F.lit("</name><size>"), F.col("p_size").cast("string"),
+        F.lit("</size><cents>"),
+        F.round(F.col("p_retailprice") * 100).cast("long").cast("string"),
+        F.lit("</cents></part>"),
+    )
+    return (
+        part.select("p_partkey", xml.alias("xml"))
+        .select(
+            "p_partkey",
+            F.expr("xpath_string(xml, '/part/name')").alias("name"),
+            F.expr("xpath_int(xml, '/part/size')").alias("size"),
+            F.expr("xpath_long(xml, '/part/cents')").alias("cents"),
+        )
+        .orderBy("p_partkey")
+    )
