@@ -46,6 +46,8 @@ def test_registry_complete():
         "agg_approx_distinct",
         "agg_approx_percentiles",  # sketch internals; error bound pinned below
         "ann_join_topk",  # seeded LSH planes; recall test in test_similarity
+        "bpe_learn_merges",  # iterative argmax loop — pure-Python BPE
+        # parity pinned in test_lm
         "cosine_topk_ivf",
         "cosine_topk_ivf_kmeans",  # iterative Lloyd's — not SQL-expressible
         "cosine_topk_ivf_pq",  # sampled PQ training — not SQL-expressible

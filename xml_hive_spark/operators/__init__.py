@@ -121,14 +121,14 @@ _LOADED = False
 # streaming minhash dedup rows-only by design, asserted in tests/) + the
 # 4 codec queries whose r6 reds are fixed (oracle SUMs now CAST AS BIGINT
 # — the DuckDB-HUGEINT→pandas-float64 canonicalizer artifact) + the 17
-# queries NEW this round (all full-oracle) + 14 oracled queries last
-# checked r4 + 4 r5-checked canaries (the flagship q1, the pushdown
-# canary q6, window_rank_topn, xml_write_roundtrip) = 50. After this
-# round no query is driver-unchecked; r8 rotation leads with the 17
-# displaced r4 canaries (json_roundtrip included), then the r5 block.
+# queries NEW early-r7 (all full-oracle) + the 14 NEW mid-r7 queries
+# (analytics/LM/graph/linkage/xpath/streaming families; 13 full-oracle)
+# + 4 r5-checked canaries (the flagship q1, the pushdown canary q6,
+# window_rank_topn, xml_write_roundtrip) = 50. After this round every
+# query has a driver row; r8 rotation leads with the displaced r4
+# refreshes and r4-checked canaries (README "Correctness rotation").
 # Outside-window queries are covered meanwhile by the identical local
-# gate (tools/verify_local.py, now pandas-canonicalizing like the
-# driver). Tally: README "Correctness rotation".
+# gate (tools/verify_local.py, pandas-canonicalizing like the driver).
 _DRIVER_WINDOW = [
     # --- never driver-checked (late r6 additions) (11) ---
     "setsim_join_prefix",
@@ -171,30 +171,31 @@ _DRIVER_WINDOW = [
     "split_leakage_safe",
     "sketch_hll_union",
     "copurchase_pairs",
-    # --- oracled, last driver-checked r4 (14; the 17 displaced
-    # canaries — scalar_subquery_ratio, conditional_functions,
-    # string_predicates, from_json_struct, map_functions,
-    # explode_outer_empty_arrays, array_higher_order, source_stats,
-    # sort_within_partitions, apply_in_pandas_centered,
-    # variant_json_access, json_roundtrip, text_fingerprint,
-    # text_clean_normalize, text_token_stats, text_language_id,
-    # vocab_topk — are local-gate green and lead the r8 rotation;
-    # first-check priority put the five new r7 queries above ahead of
-    # refreshes, per the freshness policy) ---
-    "salted_join_agg",
-    "agg_percentiles",
-    "cosine_topk_bruteforce",
-    "embedding_label_centroids",
-    "csv_roundtrip",
-    "text_quality_score",
-    "pack_sequences",
-    "doc_chunks_udtf",
-    "quality_filter_verdicts",
-    "tumbling_window_agg",
-    "sliding_window_agg",
-    "session_window_agg",
-    "asof_join",
-    "hypertable_rollup",
+    # --- NEW mid-r7 (14): the behavioral-analytics, LM/tokenizer,
+    # graph-motif, linkage, xpath, and exactly-once-streaming additions
+    # take their FIRST driver check (13 full-oracle; bpe_learn_merges
+    # rows-only by design with pure-Python parity in tests/test_lm.py).
+    # First-check priority displaces the r4 refreshes (salted_join_agg,
+    # agg_percentiles, cosine_topk_bruteforce, embedding_label_centroids,
+    # csv_roundtrip, text_quality_score, pack_sequences, doc_chunks_udtf,
+    # quality_filter_verdicts, tumbling/sliding/session window aggs,
+    # asof_join, hypertable_rollup — all local-gate green, prior driver
+    # rows r4) which now lead the r8 rotation together with the 17
+    # r4-checked canaries listed in README "Correctness rotation". ---
+    "cohort_retention",
+    "event_transition_matrix",
+    "window_rolling_1h",
+    "table_profile",
+    "agg_argmax_argmin",
+    "histogram_doc_length",
+    "text_ngram_novelty",
+    "tfidf_top_terms",
+    "bpe_pair_counts",
+    "bpe_learn_merges",
+    "graph_triangles",
+    "fuzzy_join_levenshtein",
+    "xml_xpath_functions",
+    "streaming_dropdup_exactly_once",
     # --- r5-checked canaries (4): flagship, pushdown, window top-n, and
     # the XML sink round-trip (core-engine regression canary) ---
     "q1_pricing_summary",
