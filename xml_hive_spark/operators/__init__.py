@@ -213,6 +213,7 @@ def all_queries() -> dict[str, QueryDef]:
     if not _LOADED:
         from xml_hive_spark.operators import (  # noqa: F401
             analytics,
+            curation,
             dedup,
             embeddings,
             graph,

@@ -321,3 +321,64 @@ def histogram_doc_length(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "anomaly_zscore_events",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sv,
+         CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS svv
+  FROM events GROUP BY user_id
+),
+st AS (
+  SELECT user_id, n, sv / n AS mean,
+         sqrt((svv - sv * sv / n) / (n - 1)) AS sd
+  FROM s WHERE n >= 2
+)
+SELECT e.event_id AS event_id, e.user_id AS user_id, e.value AS value,
+       (e.value - st.mean) / st.sd AS z
+FROM events e JOIN st USING (user_id)
+WHERE st.sd > 0 AND abs((e.value - st.mean) / st.sd) > 3
+ORDER BY event_id
+""",
+    tags=("analytics", "anomaly", "zscore"),
+)
+def anomaly_zscore_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user z-score anomaly detection: events whose value deviates
+    more than 3 sample standard deviations from that user's mean.
+
+    Cross-engine determinism discipline: the moments are accumulated as
+    exact DECIMAL sums (order-free — the repo's dsum dodge), converted
+    to double ONCE, and every subsequent step (mean, variance, sqrt,
+    z) is a fixed-shape IEEE expression both engines evaluate
+    identically — never a builtin stddev, whose parallel accumulation
+    order is engine-defined. Scale shape: one user-keyed hash-agg +
+    one user-keyed equi-join (AQE broadcasts the |users|-row stats
+    side when small); no window, no driver state."""
+    ev = t(spark, sf, "events")
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("svv"),
+    )
+    st = s.where(F.col("n") >= 2).select(
+        "user_id",
+        "n",
+        (F.col("sv") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(st, "user_id")
+        .where((F.col("sd") > 0) & (F.abs(z) > 3))
+        .select("event_id", "user_id", "value", z.alias("z"))
+        .orderBy("event_id")
+    )
