@@ -236,6 +236,7 @@ def all_queries() -> dict[str, QueryDef]:
         from xml_hive_spark.streaming import (  # noqa: F401
             dropdup,
             joins,
+            latedata,
             neardup,
             stateful,
             upsert,

@@ -382,3 +382,35 @@ def anomaly_zscore_events(spark: SparkSession, sf: str) -> DataFrame:
         .select("event_id", "user_id", "value", z.alias("z"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+""",
+    tags=("analytics", "window", "rank-distribution"),
+)
+def window_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """percent_rank and cume_dist per market segment — the two relative-
+    rank window functions the ranking family (row_number/rank/ntile)
+    doesn't cover. Both are exact integer ratios ((rank-1)/(n-1),
+    peers/n) so the doubles hash bit-for-bit; (c_acctbal, c_custkey)
+    ordering makes ranks unique and deterministic. Scale: one shuffle
+    keyed on the segment; frames are per-segment."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        t(spark, sf, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -548,3 +548,71 @@ def xml_xpath_functions(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "federated_three_source_join",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY nation
+ORDER BY nation
+""",
+    tags=("xml", "federation", "multi-source"),
+)
+def federated_three_source_join(spark: SparkSession, sf: str) -> DataFrame:
+    """One query over THREE storage formats: customers staged to XML and
+    read back through OUR xmlhive reader, nations staged to CSV, orders
+    read from parquet — then a star join and revenue rollup. The oracle
+    computes the identical aggregate from the original parquet tables,
+    so format fidelity of every leg (XML escaping/typing, CSV
+    quoting/schema, parquet) is value-checked through a real multi-
+    source plan — the lake reality the reference's Hive registration
+    exists for (AvroFromXmlSerde.scala:13), composed engine-side.
+
+    Scale shape: both staged dims are dimension-sized and ride
+    broadcast joins under AQE; the fact side stays parquet with
+    pushdown. Revenue uses the decimal-exact dsum."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from xml_hive_spark.reader import read_xml
+    from xml_hive_spark.sources.xml_sink import write_xml
+
+    base = _scratch("federated-")
+    cust = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    xml_dir = base + "/customer_xml"
+    write_xml(cust, xml_dir, row_tag="customer", root_tag="customers")
+    cust_schema = StructType(
+        [
+            StructField("c_custkey", LongType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "c_custkey"}),
+            StructField("c_nationkey", LongType(), True,
+                        metadata={"xmlKind": "element", "xmlName": "c_nationkey"}),
+        ]
+    )
+    cust_xml = read_xml(spark, xml_dir + "/*.xml", row_tag="customer",
+                        schema=cust_schema)
+
+    nat = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    csv_dir = base + "/nation_csv"
+    nat.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    nat_csv = (
+        spark.read.schema(nat.schema).option("header", "true").csv(csv_dir)
+    )
+
+    orders = t(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    return (
+        orders.join(cust_xml, orders.o_custkey == cust_xml.c_custkey)
+        .join(nat_csv, cust_xml.c_nationkey == nat_csv.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("nation")
+    )
