@@ -226,6 +226,7 @@ def all_queries() -> dict[str, QueryDef]:
             relational4,
             scaleops,
             similarity,
+            sqlsurface,
             storage,
             text,
             textprep,
