@@ -103,6 +103,8 @@ class TestTopK:
         "tfidf_top_terms",
         "graph_triangles",
         "fuzzy_join_levenshtein",
+        # perceptual-hash dedup: banded equi-join candidates, never all-pairs
+        "image_phash_dedup",
     ],
 )
 def test_no_cartesian_products(spark, sf_dir, name):

@@ -220,6 +220,7 @@ def all_queries() -> dict[str, QueryDef]:
             linkage,
             lm,
             multimodal,
+            perception,
             relational,
             relational2,
             relational3,
