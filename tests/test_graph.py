@@ -53,3 +53,31 @@ class TestPagerank:
         # many suppliers and vice versa, but supplier count is smaller →
         # higher in-mass per supplier)
         assert any(r.node.startswith("s") for r in out)
+
+
+class TestBfsHops:
+    def test_bfs_invariants(self, spark, sf_dir):
+        """Hop levels must be BFS-consistent: exactly one source at
+        hop 0 (the minimum co-purchase node), and every node at hop
+        h > 0 has at least one neighbor at hop h-1 (parent witness)."""
+        from xml_hive_spark.operators import all_queries
+        from xml_hive_spark.operators.graph import copurchase_edges
+
+        dist = {
+            r.part_key: r.hops
+            for r in all_queries()["graph_bfs_hops"].fn(spark, sf_dir).collect()
+        }
+        edges = copurchase_edges(spark, sf_dir).collect()
+        nbrs: dict = {}
+        for e in edges:
+            nbrs.setdefault(e.u, set()).add(e.v)
+        sources = [n for n, h in dist.items() if h == 0]
+        assert sources == [min(n for e in edges for n in (e.u, e.v))]
+        for node, h in dist.items():
+            if h == 0:
+                continue
+            assert any(dist.get(p) == h - 1 for p in nbrs.get(node, ())), node
+        # min-distance: no edge may shortcut a level by more than 1
+        for e in edges:
+            if e.u in dist and e.v in dist:
+                assert abs(dist[e.u] - dist[e.v]) <= 1

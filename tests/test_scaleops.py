@@ -213,3 +213,27 @@ def test_hll_union_merge_equals_direct(spark, sf_dir):
     direct_row = hll_estimate_from_registers(direct).collect()[0]
     assert merged_row["hll_est"] == direct_row["hll_est"]
     assert merged_row["nonzero_registers"] == direct_row["nonzero_registers"]
+
+
+class TestKmvSketch:
+    def test_estimate_quality_and_small_branch(self, spark, sf_dir):
+        """KMV with k=128 has relative error ~1/sqrt(k-2) ~ 9%; assert
+        a 3-sigma bound. Below k distinct keys the sketch must be
+        EXACT (small-range branch)."""
+        row = all_queries()["sketch_kmv_distinct"].fn(spark, sf_dir).collect()[0]
+        if row.n_exact < 128:
+            assert row.kmv_est == row.n_exact
+        else:
+            assert abs(row.kmv_est - row.n_exact) / row.n_exact < 0.27
+
+    def test_bottom_k_plans_as_take_ordered(self, spark, sf_dir):
+        """The bottom-k must be per-partition partial top-k + k-row
+        merge (TakeOrderedAndProject), never a global sort."""
+        plan = (
+            all_queries()["sketch_kmv_distinct"]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan

@@ -178,3 +178,100 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "part_key")
         .limit(10)
     )
+
+
+def copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected co-purchase edges (parts co-occurring in >= 2 orders)
+    as a SYMMETRIC directed list — the ``graph_triangles`` edge builder
+    (basket-bounded pair expansion, one order-keyed shuffle) emitted in
+    both directions so frontier expansion sees every neighbor."""
+    items = (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    once = (
+        items.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    return once.unionAll(once.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+
+
+@query(
+    "graph_bfs_hops",
+    oracle="""
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+once AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY u, v HAVING count(*) >= 2
+),
+e AS (
+  SELECT u, v FROM once UNION ALL SELECT v, u FROM once
+),
+walk(node, hops) AS (
+  SELECT (SELECT MIN(u) FROM e), 0
+  UNION
+  SELECT e.v, w.hops + 1 FROM walk w JOIN e ON e.u = w.node
+  WHERE w.hops < 4
+)
+SELECT node AS part_key, CAST(MIN(hops) AS INT) AS hops
+FROM walk GROUP BY node
+""",
+    tags=("graph", "bfs", "iterative"),
+)
+def graph_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-source BFS over the co-purchase graph: minimum hop count
+    from the lowest-id co-purchased part to every node within 4 hops —
+    the reachability/shortest-path primitive beside PageRank (walk) and
+    triangles (motif). The DuckDB oracle is the same traversal as a
+    recursive CTE (UNION-dedup bounds the walk at nodes x 5 rows), so
+    the iterative DataFrame loop is FULLY value-checked — unusual for
+    iterative graph ops (pagerank's float iteration is rows-only).
+
+    Scale shape: per hop ONE frontier-to-edges equi-join keyed on the
+    node id (frontier starts at 1 row and stays a broadcast-sized
+    minority of the graph for small-diameter queries), one distinct,
+    and an anti-join against the settled set — no driver graph state,
+    no collect anywhere (the source node is itself a 1-row aggregate
+    joined in, never collected). Fixed hop bound keeps lineage bounded;
+    each frontier is persisted so prior hops never recompute."""
+    edges = copurchase_edges(spark, sf)
+    frontier = (
+        edges.groupBy()
+        .agg(F.min("u").alias("node"))
+        .select("node", F.lit(0).alias("hops"))
+        .persist()
+    )
+    dist = frontier
+    for step in range(1, 5):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .withColumn("hops", F.lit(step))
+            .join(dist, "node", "left_anti")
+            .select("node", "hops")
+            .persist()
+        )
+        dist = dist.unionAll(nxt)
+        frontier = nxt
+    return dist.select(F.col("node").alias("part_key"),
+                       F.col("hops").cast("int").alias("hops"))

@@ -628,3 +628,66 @@ def copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT
+    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12) AS BIGINT)
+      AS hv
+  FROM orders
+),
+b AS (SELECT hv FROM h ORDER BY hv LIMIT 128),
+a AS (SELECT COUNT(*) AS n_seen, MAX(hv) AS kth_min FROM b)
+SELECT (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+         AS n_exact,
+       CAST(kth_min AS BIGINT) AS kth_min,
+       CAST(CASE WHEN n_seen < 128 THEN n_seen
+                 ELSE 35747322042253312 // kth_min END AS BIGINT)
+         AS kmv_est
+FROM a
+""",
+    tags=("sketch", "kmv", "distinct", "scale"),
+)
+def sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """K-minimum-values distinct sketch (the theta-sketch family's
+    simplest member) with a FULL value oracle — the order-statistics
+    sibling of ``sketch_hll_portable``: keep the k=128 smallest
+    DISTINCT 48-bit md5 values of the key; the kth smallest estimates
+    the distinct count as (k-1)·2^48 / h_(k) — pure INTEGER division,
+    so unlike HLL's harmonic mean there is no float anywhere and the
+    estimate is bit-identical on any engine with md5. Below k distinct
+    keys the sketch IS exact (standard KMV small-range branch).
+
+    Scale shape: bottom-k of a hashed column plans as
+    TakeOrderedAndProject — per-partition partial bottom-k, then a
+    k-row merge; the only full shuffle is the DISTINCT on 8-byte
+    hashes. The k-value set is a mergeable bounded summary (union =
+    merge + re-truncate, same algebra ``sketch_hll_union`` pins for
+    registers); exact count computed alongside as the honesty column
+    (the ``sketch_count_min`` contract)."""
+    orders = t(spark, sf, "orders")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.col("o_custkey").cast("string").cast("binary")), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    bottom = orders.select(hv.alias("hv")).distinct().orderBy("hv").limit(128)
+    agg = bottom.agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("hv").alias("kth_min")
+    )
+    exact = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    )
+    return exact.crossJoin(F.broadcast(agg)).select(
+        "n_exact",
+        F.col("kth_min").cast("long").alias("kth_min"),
+        F.when(F.col("n_seen") < 128, F.col("n_seen"))
+        .otherwise(F.expr("35747322042253312 DIV kth_min"))
+        .cast("long")
+        .alias("kmv_est"),
+    )
