@@ -414,3 +414,73 @@ def window_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "regression_slope_closed_form",
+    oracle="""
+WITH s AS (
+  SELECT p.p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS sy,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)
+                  * CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS sxy,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)
+                  * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sxx
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+)
+SELECT p_brand, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) AS BIGINT)
+         AS slope_millicents
+FROM s
+""",
+    tags=("analytics", "regression", "statistics"),
+)
+def regression_slope_closed_form(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group ordinary-least-squares slope (price-cents per unit of
+    quantity, by part brand) via the closed form
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — kept as an EXACT
+    integer numerator/denominator pair, so the driver hash checks the
+    regression bit-for-bit (float OLS is never cross-engine stable;
+    the int ratio is). The reported slope_millicents is the integer
+    floor of 1000×slope — deterministic on both engines.
+
+    Scale shape: one broadcast dim join (part) + one hash-agg with
+    map-side partial sums — regression over any number of rows moves
+    only 5 numbers per group. Overflow headroom: n·Σxy peaks ~3e17 at
+    sf0.1 (bound 9.2e18); beyond ~sf3 the sums escalate to
+    DECIMAL(38,0) the way ``incremental_agg_merge`` sums decimals."""
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    part = t(spark, sf, "part").select("p_partkey", "p_brand")
+    s = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "p_brand",
+        "n",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.expr(
+            "(n * sxy - sx * sy) * 1000 DIV (n * sxx - sx * sx)"
+        ).cast("long").alias("slope_millicents"),
+    )

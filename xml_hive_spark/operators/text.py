@@ -490,3 +490,60 @@ def text_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
         top_bg.alias("top_bigram_ratio"),
         ((top_bg > 0.08) | (dup_ratio > 0.65)).alias("repetitive"),
     )
+
+
+@query(
+    "phrase_search_positional",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, t.i AS pos,
+         list_extract(string_split(text, ' '), t.i + 1) AS word
+  FROM documents CROSS JOIN range(0, 300) t(i)
+  WHERE t.i < len(string_split(text, ' '))
+)
+SELECT a.doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(MIN(a.pos) AS BIGINT) AS first_pos
+FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.word = 'table' AND b.word = 'table'
+GROUP BY a.doc_id
+""",
+    tags=("text", "search", "inverted-index", "phrase"),
+)
+def phrase_search_positional(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact PHRASE search ("table table") via a positional inverted
+    index — the capability BM25 ranking (``text_bm25_topk``) does not
+    give: postings are (term, doc, position) rows, and a phrase match
+    is the positional intersection posting(w1).pos + 1 =
+    posting(w2).pos within one document — the classic inverted-index
+    phrase algorithm, run as ONE equi-join on (doc, adjacent-position)
+    after per-term posting selection.
+
+    Scale shape: the term filters cut the postings to the phrase's
+    terms BEFORE the join (predicate pushdown into the exploded
+    postings — the inverted-index property: only matching terms'
+    postings move); the join is keyed on doc_id so it co-partitions
+    with the corpus. No window, no cartesian; output is one row per
+    matching document."""
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    a = words.filter(F.col("word") == "table").select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = words.filter(F.col("word") == "table").select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(
+            b,
+            (a.doc_id == b.doc_b) & (b.pos_b == a.pos_a + 1),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("pos_a").cast("long").alias("first_pos"),
+        )
+    )
