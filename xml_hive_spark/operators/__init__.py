@@ -123,12 +123,12 @@ _LOADED = False
 # — the DuckDB-HUGEINT→pandas-float64 canonicalizer artifact) + the 17
 # queries NEW early-r7 (all full-oracle) + the 14 NEW mid-r7 queries
 # (analytics/LM/graph/linkage/xpath/streaming families; 13 full-oracle)
-# + 4 r5-checked canaries (the flagship q1, the pushdown canary q6,
-# window_rank_topn, xml_write_roundtrip) = 50. After this round every
-# query has a driver row; r8 rotation leads with the displaced r4
-# refreshes and r4-checked canaries (README "Correctness rotation").
-# Outside-window queries are covered meanwhile by the identical local
-# gate (tools/verify_local.py, pandas-canonicalizing like the driver).
+# + 4 late-r7 first-checks (perception/BFS/time-travel) = 50. r8
+# rotation leads with the four remaining late-r7 additions, the
+# displaced r5 canaries, and the r4 refreshes (README "Correctness
+# rotation"). Outside-window queries are covered meanwhile by the
+# identical local gate (tools/verify_local.py, pandas-canonicalizing
+# like the driver).
 _DRIVER_WINDOW = [
     # --- never driver-checked (late r6 additions) (11) ---
     "setsim_join_prefix",
@@ -196,12 +196,20 @@ _DRIVER_WINDOW = [
     "fuzzy_join_levenshtein",
     "xml_xpath_functions",
     "streaming_dropdup_exactly_once",
-    # --- r5-checked canaries (4): flagship, pushdown, window top-n, and
-    # the XML sink round-trip (core-engine regression canary) ---
-    "q1_pricing_summary",
-    "q6_revenue_forecast",
-    "window_rank_topn",
-    "xml_write_roundtrip",
+    # --- NEW late-r7 families taking their FIRST driver check (4):
+    # perceptual-hash image dedup + audio resample (real-codec
+    # pipelines), fully-oracled BFS, and the manifest time-travel read.
+    # These displace the four r5-checked canaries (q1_pricing_summary,
+    # q6_revenue_forecast, window_rank_topn, xml_write_roundtrip):
+    # first-check priority outranks canary freshness, q1 stays smoke-
+    # checked every round via entry(), and the four remaining late-r7
+    # queries (sketch_kmv_distinct, regression_slope_closed_form,
+    # phrase_search_positional, sample_stratified_exact — all local-gate
+    # green) lead the r8 rotation with the displaced canaries. ---
+    "image_phash_dedup",
+    "audio_resample_decimate",
+    "graph_bfs_hops",
+    "time_travel_read",
 ]
 
 

@@ -276,3 +276,78 @@ def compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "time_travel_read",
+    oracle="""
+SELECT 1 AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders WHERE o_orderdate < DATE '1995-01-01'
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT),
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 3, CAST(count(*) AS BIGINT),
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+FROM orders
+""",
+    tags=("storage", "lakehouse", "time-travel", "manifest"),
+)
+def time_travel_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Manifest-based snapshot isolation + time travel — the
+    Delta/Iceberg read mechanic from plain parquet + a JSON log:
+    version 1 commits the pre-1995 order files, version 2 APPENDS the
+    1995+ files (manifest = v1 files + new files; old files untouched),
+    version 3 COMPACTS (rewrites both data sets into one, manifest
+    swaps removed-for-added files). The query then reads ALL THREE
+    versions via their manifests — after later versions were committed
+    — and aggregates each: v1 must still see only pre-1995 rows
+    (snapshot isolation), v3 must equal v2 (compaction is
+    value-invisible). The DuckDB oracle recomputes each snapshot from
+    the source table, so a manifest leaking files across versions
+    breaks the hash.
+
+    Scale shape: a manifest read is an explicit file list handed to the
+    parquet source — planning cost is O(files in THAT version), never a
+    directory listing of the whole table history; appends and
+    compactions are new files + a new manifest, no in-place mutation
+    anywhere (the property that makes concurrent readers safe)."""
+    import json
+
+    out = _roundtrip_dir("timetravel", sf)
+    orders = t(spark, sf, "orders")
+    pre = orders.filter(F.col("o_orderdate") < "1995-01-01")
+    post = orders.filter(F.col("o_orderdate") >= "1995-01-01")
+    d1, d2, d3 = (os.path.join(out, d) for d in ("data1", "data2", "data3"))
+    pre.write.mode("overwrite").parquet(d1)
+    post.write.mode("overwrite").parquet(d2)
+    spark.read.parquet(d1, d2).write.mode("overwrite").parquet(d3)
+    manifests = {1: [d1], 2: [d1, d2], 3: [d3]}
+    for v, files in manifests.items():
+        with open(os.path.join(out, f"manifest-v{v}.json"), "w") as fh:
+            json.dump({"version": v, "files": files}, fh)
+
+    def read_version(v: int) -> DataFrame:
+        with open(os.path.join(out, f"manifest-v{v}.json")) as fh:
+            files = json.load(fh)["files"]
+        return spark.read.parquet(*files)
+
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(
+            read_version(v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("total_cents"),
+            )
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionAll(p)
+    return res

@@ -556,3 +556,51 @@ def incremental_agg_merge(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("sum_dec").cast("double") / F.col("n_orders"))
         .alias("avg_price"),
     ).orderBy("priority")
+
+
+@query(
+    "sample_stratified_exact",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+         ) AS rk
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM ranked WHERE rk <= 20
+""",
+    tags=("sampling", "stratified", "hash"),
+)
+def sample_stratified_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic EXACT stratified sampling: exactly 20 orders per
+    priority stratum, selected by md5 rank — the guaranteed-quota
+    variant beside ``sample_hash_bucket`` (expected-rate) and
+    ``sample_weighted_poisson`` (expected-k): eval-set construction
+    wants exact per-stratum counts, not expectations. Selection is a
+    pure function of the key (same rows on every run, engine, and
+    parallelism — the portability contract), and the md5 order makes
+    the quota a uniform draw within each stratum.
+
+    Scale shape: one ranking window PARTITIONED BY the stratum —
+    strata process in parallel and the rank early-outs at the quota
+    under WindowGroupLimit (Spark pushes rk <= 20 into the window as
+    a per-partition top-k), so no stratum ever materializes a full
+    sort of itself on the reduce side."""
+    orders = t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")),
+        "o_orderkey",
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
