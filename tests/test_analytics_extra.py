@@ -61,3 +61,23 @@ def test_phrase_search_recount(spark, sf_dir):
         if hits:
             want[d.doc_id] = (len(hits), hits[0])
     assert got == want
+
+
+def test_event_pattern_recount(spark, sf_dir):
+    """n_funnels must equal a pure-Python non-overlapping regex scan
+    of the per-user journey built under the same (ts, event_id) order."""
+    import re
+
+    got = {
+        r.user_id: (r.n_events, r.n_funnels)
+        for r in all_queries()["event_pattern_match"].fn(spark, sf_dir).collect()
+    }
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type").collect()
+    per_user: dict = {}
+    for e in ev:
+        per_user.setdefault(e.user_id, []).append((e.ts, e.event_id, e.event_type[0]))
+    want = {}
+    for u, rows in per_user.items():
+        journey = "".join(c for _, _, c in sorted(rows))
+        want[u] = (len(rows), len(re.findall(r"v[ce]*p", journey)))
+    assert got == want

@@ -140,3 +140,49 @@ class TestRejection:
              + bytes([0x80, 0, 0]) + b"\x00" * 6 + b"\x3b")
         with pytest.raises(ValueError, match="no image data"):
             gif_decode(p)
+
+
+class TestAnimation:
+    def test_animation_roundtrip_exact(self):
+        """Multi-frame encode → decode_frames must reproduce every
+        frame, the palette, and each frame's GCE delay exactly."""
+        import numpy as np
+
+        from xml_hive_spark.operators.gif import (
+            gif_decode_frames,
+            gif_encode_animation,
+        )
+
+        rng = np.random.default_rng(7)
+        frames = [
+            rng.integers(0, 16, size=(9, 11)).astype(np.uint8)
+            for _ in range(5)
+        ]
+        pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+        delays = [4, 9, 0, 65535, 12]
+        payload = gif_encode_animation(frames, pal, delays)
+        back, back_pal, back_delays = gif_decode_frames(payload)
+        assert len(back) == 5
+        for a, b in zip(frames, back):
+            assert (a == b).all()
+        assert (back_pal[:16] == pal).all()
+        assert back_delays == delays
+
+    def test_single_frame_decoders_agree(self):
+        """gif_decode (first frame) and gif_decode_frames agree on an
+        animation's first frame."""
+        import numpy as np
+
+        from xml_hive_spark.operators.gif import (
+            gif_decode,
+            gif_decode_frames,
+            gif_encode_animation,
+        )
+
+        f0 = (np.arange(64, dtype=np.uint8) % 8).reshape(8, 8)
+        f1 = ((np.arange(64, dtype=np.uint8) * 3) % 8).reshape(8, 8)
+        pal = np.stack([np.arange(8, dtype=np.uint8) * 30] * 3, axis=1)
+        payload = gif_encode_animation([f0, f1], pal, [10, 20])
+        first, _ = gif_decode(payload)
+        allf, _, _ = gif_decode_frames(payload)
+        assert (first == allf[0]).all() and (allf[1] == f1).all()

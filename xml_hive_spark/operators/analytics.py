@@ -484,3 +484,60 @@ def regression_slope_closed_form(spark: SparkSession, sf: str) -> DataFrame:
             "(n * sxy - sx * sy) * 1000 DIV (n * sxx - sx * sx)"
         ).cast("long").alias("slope_millicents"),
     )
+
+
+@query(
+    "event_pattern_match",
+    oracle="""
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(journey, 'v[ce]*p')) AS BIGINT)
+         AS n_funnels
+FROM j
+""",
+    tags=("analytics", "cep", "pattern", "sessionization"),
+)
+def event_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Complex-event-processing pattern match (the MATCH_RECOGNIZE
+    shape): each user's event stream becomes an ordered journey string
+    (one initial per event — the 5 event types have distinct initials),
+    and the funnel pattern `v[ce]*p` (view, any clicks/errors, then
+    purchase) is counted per user with non-overlapping regex scan.
+    The pattern is chosen UNAMBIGUOUS ([ce]* can't contain p, so every
+    match has exactly one possible extent) — backtracking (Java) and
+    leftmost-longest (RE2/DuckDB) regex engines agree match-for-match,
+    which is what makes the count hashable cross-engine.
+
+    Scale shape: ONE user-keyed shuffle builds the journeys (collect
+    under the hash-agg; per-user state bounded by that user's event
+    count — the sessionize bound); the regex runs once per user in
+    codegen. Ordering inside a user is total — (ts, event_id) with
+    unique event ids — so the journey string is deterministic under
+    any partitioning."""
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("ini"),
+        ).alias("s"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select(
+            "user_id",
+            F.size("arr").cast("long").alias("n_events"),
+            F.regexp_count(
+                F.array_join(F.expr("transform(arr, x -> x.ini)"), ""),
+                F.lit("v[ce]*p"),
+            )
+            .cast("long")
+            .alias("n_funnels"),
+        )
+    )

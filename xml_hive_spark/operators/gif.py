@@ -231,3 +231,119 @@ def gif_decode(payload: bytes):
             pal.copy(),
         )
     raise ValueError("no image data in GIF")
+
+
+def gif_encode_animation(frames, palette, delays_cs) -> bytes:
+    """Serialize a list of (h, w) palette-index frames sharing one
+    global color table as an ANIMATED GIF89a: NETSCAPE loop extension,
+    then per frame a Graphic Control Extension carrying its delay
+    (centiseconds) followed by the image descriptor + real LZW data.
+    The multi-frame sibling of :func:`gif_encode` — same container
+    grammar, exercised across repeated blocks."""
+    import numpy as np
+
+    pal = np.asarray(palette, dtype=np.uint8)
+    if not frames or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("need >=1 frame and a (k,3) palette")
+    if len(delays_cs) != len(frames):
+        raise ValueError("one delay per frame")
+    h, w = np.asarray(frames[0]).shape
+    k = pal.shape[0]
+    size_exp = 1
+    while (1 << size_exp) < k:
+        size_exp += 1
+    table = np.zeros(((1 << size_exp), 3), dtype=np.uint8)
+    table[:k] = pal
+    min_code = max(size_exp, 2)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((size_exp - 1) & 0x07), 0, 0])
+    out += table.tobytes()
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for a, delay in zip(frames, delays_cs):
+        a = np.asarray(a)
+        if a.shape != (h, w) or int(a.max(initial=0)) >= k:
+            raise ValueError("frame shape/palette mismatch")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", int(delay)) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(min_code)
+        stream = _lzw_compress(a.reshape(-1), min_code)
+        for i in range(0, len(stream), 255):
+            block = stream[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_decode_frames(payload: bytes):
+    """Decode EVERY image of a GIF to ``(frames, palette, delays_cs)``
+    — a list of (h, w) uint8 index arrays, the global color table, and
+    the per-frame Graphic Control delay (0 when a frame carries no
+    GCE). Same walk as :func:`gif_decode` but extensions labeled 0xF9
+    are parsed (not skipped) and all image blocks are consumed."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(-1, 3)
+        pos += 3 * n
+    frames, delays = [], []
+    pending_delay = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            label = payload[pos + 1]
+            pos += 2
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and len(data) >= 3:
+                pending_delay = struct.unpack("<H", bytes(data[1:3]))[0]
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected block 0x{b:02x}")
+        left, top, w, h = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+        iflags = payload[pos + 9]
+        pos += 10
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("no color table for image")
+        min_code = payload[pos]
+        pos += 1
+        stream = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            stream += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decompress(bytes(stream), min_code, w * h)
+        frames.append(np.array(idx, dtype=np.uint8).reshape(h, w))
+        delays.append(pending_delay)
+        pending_delay = 0
+    if not frames:
+        raise ValueError("no image data in GIF")
+    return frames, (gct.copy() if gct is not None else None), delays

@@ -336,3 +336,141 @@ def audio_resample_decimate(spark: SparkSession, sf: str) -> DataFrame:
     point of the query (same adjudication as the codec entries)."""
     docs = t(spark, sf, "documents").select("doc_id")
     return resample_wav_stage(synth_mono_wav_stage(docs))
+
+
+def synth_animation_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode one REAL animated GIF per row
+    (``gif.gif_encode_animation``: NETSCAPE loop extension + per-frame
+    Graphic Control delays + real LZW per frame). Frame count, dims,
+    palette, indices, and delays are pure (doc_id, f, i) formulas:
+    nf = 3 + id%4, w = 8 + id%5, h = 8 + id%3, palette[j] =
+    ((id·31 + j·67) % 256) greyscale, idx[f,i] = (id·7919 + f·131 +
+    i·104729) % 16, delay[f] = 4 + (id+f)%6 — so a SQL oracle
+    recomputes frame-sampled checksums codec-free."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xml_hive_spark.operators.gif import gif_encode_animation
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                nf, w, h = 3 + did % 4, 8 + did % 5, 8 + did % 3
+                i = np.arange(w * h, dtype=np.int64)
+                frames = [
+                    ((did * 7919 + f * 131 + i * 104729) % 16)
+                    .astype(np.uint8)
+                    .reshape(h, w)
+                    for f in range(nf)
+                ]
+                j = np.arange(16, dtype=np.int64)
+                grey = ((did * 31 + j * 67) % 256).astype(np.uint8)
+                pal = np.stack([grey, grey, grey], axis=1)
+                delays = [4 + (did + f) % 6 for f in range(nf)]
+                ids.append(did)
+                payloads.append(gif_encode_animation(frames, pal, delays))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def framesample_stage(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Decode EVERY frame of an animated GIF (container walk, GCE
+    delay parsing, per-frame LZW), keep every 2nd frame (stride
+    sampling — the video keyframe-extraction shape), map sampled
+    indices through the red palette channel, and emit order-sensitive
+    checksums plus the total declared animation delay (which
+    value-checks the Graphic Control Extension parsing, not just the
+    pixel path)."""
+    import numpy as np
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xml_hive_spark.operators.gif import gif_decode_frames
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_sampled": [],
+                   "delay_total": [], "vs_sum": [], "vs_dot": []}
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                frames, pal, delays = gif_decode_frames(bytes(payload))
+                npx = frames[0].size
+                vs_sum = vs_dot = 0
+                for f in range(0, len(frames), 2):
+                    r = pal[frames[f].reshape(-1), 0].astype(np.int64)
+                    g = f * npx + np.arange(npx, dtype=np.int64)
+                    vs_sum += int(r.sum())
+                    vs_dot += int((g * r).sum())
+                out["doc_id"].append(int(did))
+                out["n_frames"].append(len(frames))
+                out["n_sampled"].append((len(frames) + 1) // 2)
+                out["delay_total"].append(int(sum(delays)))
+                out["vs_sum"].append(vs_sum)
+                out["vs_dot"].append(vs_dot)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        sample,
+        schema=("doc_id long, n_frames int, n_sampled int, "
+                "delay_total long, vs_sum long, vs_dot long"),
+    )
+
+
+@query(
+    "multimodal_video_framesample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 4 AS nf,
+         (8 + doc_id % 5) * (8 + doc_id % 3) AS npx
+  FROM documents
+),
+fr AS (
+  SELECT d.doc_id, d.nf, d.npx, t.f
+  FROM d CROSS JOIN range(0, 6) t(f) WHERE t.f < d.nf
+),
+dl AS (
+  SELECT doc_id,
+         CAST(MAX(nf) AS INT) AS n_frames,
+         CAST(SUM(CASE WHEN f % 2 = 0 THEN 1 ELSE 0 END) AS INT)
+           AS n_sampled,
+         CAST(SUM(4 + (doc_id + f) % 6) AS BIGINT) AS delay_total
+  FROM fr GROUP BY doc_id
+),
+px AS (
+  SELECT fr.doc_id, fr.f, fr.npx, t.i,
+         (fr.doc_id * 31
+          + ((fr.doc_id * 7919 + fr.f * 131 + t.i * 104729) % 16) * 67)
+           % 256 AS r
+  FROM fr CROSS JOIN range(0, 120) t(i)
+  WHERE t.i < fr.npx AND fr.f % 2 = 0
+),
+s AS (
+  SELECT doc_id,
+         CAST(SUM(r) AS BIGINT) AS vs_sum,
+         CAST(SUM((f * npx + i) * r) AS BIGINT) AS vs_dot
+  FROM px GROUP BY doc_id
+)
+SELECT dl.doc_id, dl.n_frames, dl.n_sampled, dl.delay_total,
+       s.vs_sum, s.vs_dot
+FROM dl JOIN s USING (doc_id)
+""",
+    tags=("multimodal", "video", "gif", "framesample", "codec"),
+)
+def multimodal_video_framesample(spark: SparkSession, sf: str) -> DataFrame:
+    """VIDEO-modality frame sampling over a real multi-frame container,
+    with a full SQL value oracle: one animated GIF per document (real
+    LZW per frame, NETSCAPE loop block, per-frame Graphic Control
+    delays), every frame decoded, every 2nd frame kept (stride
+    keyframe sampling), sampled indices mapped through the palette.
+    ``delay_total`` value-checks the GCE walk itself — a decoder that
+    skipped or mis-parsed control extensions would hash-fail even with
+    perfect pixels. This upgrades the r1 ``multimodal_frame_sample``
+    stub (rows-only, fake frames) to a driver-hashable query over real
+    codec work on every row.
+
+    Scale shape: mapInPandas over Arrow batches, zero shuffles;
+    parallelism = input splits (the codec adjudication of the
+    ``multimodal_*_codec`` entries applies unchanged)."""
+    docs = t(spark, sf, "documents").select("doc_id")
+    return framesample_stage(synth_animation_stage(docs))
