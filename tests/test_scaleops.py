@@ -237,3 +237,34 @@ class TestKmvSketch:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestQuantileHistogram:
+    def test_floors_bracket_exact_percentiles(self, spark, sf_dir):
+        """Each reported bucket floor must satisfy
+        floor <= exact-percentile < floor + width (the histogram
+        accuracy contract at $100/10000-cent width)."""
+        import pyspark.sql.functions as F
+
+        row = (
+            all_queries()["sketch_quantile_histogram"]
+            .fn(spark, sf_dir)
+            .collect()[0]
+        )
+        cents = [
+            r[0]
+            for r in t(spark, sf_dir, "orders")
+            .select(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .collect()
+        ]
+        cents.sort()
+        n = len(cents)
+        import math
+
+        for pnum, pden, floor in (
+            (1, 2, row.p50_floor_cents),
+            (9, 10, row.p90_floor_cents),
+            (99, 100, row.p99_floor_cents),
+        ):
+            exact = cents[math.ceil(n * pnum / pden) - 1]
+            assert floor <= exact < floor + 10000

@@ -14,7 +14,7 @@ plan, which the tests pin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xml_hive_spark.operators import dsum, query, t
@@ -690,4 +690,81 @@ def sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.expr("35747322042253312 DIV kth_min"))
         .cast("long")
         .alias("kmv_est"),
+    )
+
+
+@query(
+    "sketch_quantile_histogram",
+    oracle="""
+WITH b AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY bucket
+),
+c AS (
+  SELECT bucket, n,
+         SUM(n) OVER (ORDER BY bucket) AS cum,
+         (SELECT SUM(n) FROM b) AS total
+  FROM b
+)
+SELECT CAST((SELECT MIN(bucket) FROM c
+             WHERE cum * 2 >= total) * 10000 AS BIGINT) AS p50_floor_cents,
+       CAST((SELECT MIN(bucket) FROM c
+             WHERE cum * 10 >= total * 9) * 10000 AS BIGINT)
+         AS p90_floor_cents,
+       CAST((SELECT MIN(bucket) FROM c
+             WHERE cum * 100 >= total * 99) * 10000 AS BIGINT)
+         AS p99_floor_cents,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_buckets
+""",
+    tags=("sketch", "quantile", "histogram", "scale"),
+)
+def sketch_quantile_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable QUANTILE sketch from a fixed-width histogram — the
+    fourth member of the engine-portable sketch family (HLL =
+    distincts, count-min = frequencies, KMV = distincts by order
+    statistics, this = quantiles): order totals are bucketed at $100
+    granularity in integer cents, and p50/p90/p99 are read off the
+    cumulative counts as exact bucket floors. Every comparison is
+    integer (cum·k ≥ total·q — no float division, no interpolation),
+    so the DuckDB oracle reproduces the sketch bit-for-bit; resolution
+    is the bucket width, the explicit accuracy/size knob.
+
+    Scale shape: ONE map-side-combined hash-agg produces the histogram
+    (bounded by the value range / width, ~2k buckets here, independent
+    of row count); the cumulative walk runs over that bounded summary
+    only. Histograms are trivially mergeable (bucket-wise +), the same
+    algebra ``sketch_hll_union`` pins — where Spark's own
+    ``approx_percentile`` sketch is not reproducible outside the JVM
+    (``agg_approx_percentiles`` stays rows-only for exactly that
+    reason)."""
+    orders = t(spark, sf, "orders")
+    b = (
+        orders.select(
+            F.expr(
+                "CAST(round(o_totalprice * 100) AS BIGINT) DIV 10000"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    total = b.agg(F.sum("n").alias("total"))
+    c = b.select(
+        "bucket", "n", F.sum("n").over(w).alias("cum")
+    ).crossJoin(F.broadcast(total))
+    def floor_at(num: int, den: int, alias: str):
+        return (
+            F.min(
+                F.when(F.col("cum") * den >= F.col("total") * num,
+                       F.col("bucket"))
+            )
+            * 10000
+        ).cast("long").alias(alias)
+
+    return c.agg(
+        floor_at(1, 2, "p50_floor_cents"),
+        floor_at(9, 10, "p90_floor_cents"),
+        floor_at(99, 100, "p99_floor_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
     )
