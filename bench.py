@@ -55,6 +55,9 @@ HEADLINE = [
     # LLM-filter family (round 7): distinct-8-gram explode + hashed
     # broadcast join against the eval set — the corpus-shaped text path
     "decontaminate_eval_ngrams",
+    # perception family (late round 7): real PNG decode per image +
+    # banded fingerprint self-join — codec work feeding a join pipeline
+    "image_phash_dedup",
     # GB-scale XML source scan (1 GiB at sf0.1): the engine's raison
     # d'être — file generated once and cached under $TMPDIR/xmlhive_bench
     "xml_scan_bench",

@@ -16,7 +16,7 @@ domain-sized aggregate (|sources|, |langs| rows out). No driver state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xml_hive_spark.operators import query, t
@@ -267,4 +267,165 @@ def chunk_content_defined(spark: SparkSession, sf: str) -> DataFrame:
             .alias("last_boundary"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle="""
+WITH deduped AS (  -- stage 1: exact dedup, min-id representative per text
+  SELECT doc_id, lang, n_chars, text
+  FROM (
+    SELECT doc_id, lang, n_chars, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+    FROM documents
+  ) WHERE doc_id = rep
+),
+quality AS (  -- stage 2: length + distinct-word-ratio gate
+  SELECT doc_id, lang, n_chars, text
+  FROM (
+    SELECT d.*,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct
+    FROM deduped d
+  ) WHERE n_words >= 20 AND n_distinct * 10 >= n_words * 3
+),
+grams AS (
+  SELECT doc_id,
+         array_to_string(
+           (string_split(text, ' '))[CAST(i AS INT):CAST(i AS INT) + 7],
+           ' ') AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, len(string_split(text, ' ')) - 7))
+                 AS i
+        FROM quality)
+),
+eval_grams AS (
+  SELECT DISTINCT g.g
+  FROM documents d
+  JOIN (SELECT doc_id, array_to_string(
+              (string_split(text, ' '))[CAST(i AS INT):CAST(i AS INT) + 7],
+              ' ') AS g
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1,
+                        len(string_split(text, ' ')) - 7)) AS i
+              FROM documents)) g USING (doc_id)
+  WHERE d.doc_id % 50 = 0
+),
+clean AS (  -- stage 3: eval decontamination (train docs only)
+  SELECT q.doc_id, q.lang, q.n_chars FROM quality q
+  WHERE q.doc_id % 50 <> 0
+    AND NOT EXISTS (
+      SELECT 1 FROM grams gr JOIN eval_grams e ON gr.g = e.g
+      WHERE gr.doc_id = q.doc_id)
+),
+sp AS (  -- stage 4: deterministic 80/10/10 hash split
+  SELECT lang, n_chars,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                        AS BIGINT) * 10 < 2251799813685248 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                        AS BIGINT) * 10 < 2533274790395904 THEN 'val'
+              ELSE 'test' END AS split
+  FROM clean
+)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+FROM sp GROUP BY split, lang ORDER BY split, lang
+""",
+    tags=("curation", "pipeline", "dedup", "quality", "decontamination"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE composed plan — the
+    query a user of this engine actually ships: exact dedup (min-id
+    representative per md5 of the text) → quality gate (≥ 20 words and
+    ≥ 30 % distinct-word ratio, the Gopher-style repetition rule) →
+    eval-set n-gram decontamination (drop any training doc sharing a
+    word-8-gram with the held-out split — the
+    ``decontaminate_eval_ngrams`` guard applied as a filter) →
+    leakage-safe 80/10/10 hash split — reduced to the per-(split,
+    lang) corpus accounting. Every stage is hash-checked at once: a
+    doc surviving a stage it shouldn't (or dropped wrongly) moves a
+    count and breaks the driver's value gate.
+
+    Scale shape: dedup is one md5-keyed window (equivalently hash-agg
+    + broadcast-back); the quality gate is per-row JVM expressions; the
+    gram stage explodes ONLY quality survivors and joins their hashed
+    8-grams (``xxhash64``, 8-byte keys) against the benchmark-bounded
+    broadcast eval set with a left-anti join (NOT EXISTS); the split is
+    a per-row hash expression. Four stages, two shuffles (dedup window,
+    final agg) plus one broadcast anti-join — the whole pipeline in one
+    DAG with nothing materialized between stages."""
+    docs = t(spark, sf, "documents")
+    wdd = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    deduped = (
+        docs.select(
+            "doc_id", "lang", "n_chars", "text",
+            F.min("doc_id").over(wdd).alias("rep"),
+        )
+        .filter(F.col("doc_id") == F.col("rep"))
+        .drop("rep")
+    )
+    wsplit = F.split(F.col("text"), " ")
+    quality = (
+        deduped.withColumn("n_words", F.size(wsplit))
+        .withColumn("n_distinct", F.size(F.array_distinct(wsplit)))
+        .filter(
+            (F.col("n_words") >= 20)
+            & (F.col("n_distinct") * 10 >= F.col("n_words") * 3)
+        )
+    )
+
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        w = F.split(F.col("text"), " ")
+        return (
+            df.select("doc_id", w.alias("w"))
+            .filter(F.size("w") >= 8)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 7),"
+                        " i -> xxhash64(array_join(slice(w, i, 8), ' ')))"
+                    )
+                ).alias("gh"),
+            )
+        )
+
+    eval_grams = (
+        gram_hashes(docs.filter(F.col("doc_id") % 50 == 0))
+        .select("gh")
+        .distinct()
+    )
+    contaminated = (
+        gram_hashes(quality)
+        .join(F.broadcast(eval_grams), "gh")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        quality.filter(F.col("doc_id") % 50 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
+    u48 = F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    split = (
+        F.when(u48 * 10 < F.lit(2251799813685248), "train")
+        .when(u48 * 10 < F.lit(2533274790395904), "val")
+        .otherwise("test")
+    )
+    return (
+        clean.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_sum"),
+        )
+        .orderBy("split", "lang")
     )
