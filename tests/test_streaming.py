@@ -290,3 +290,33 @@ def test_streaming_cdc_upsert_batch_boundary_independent(spark, sf_dir):
         .collect()
     ]
     assert four == want
+
+
+def test_streaming_quantile_histogram_equals_batch(spark, sf_dir):
+    """The streamed histogram floors must equal a batch computation of
+    the same bucket sketch, and each floor must bracket the exact
+    percentile at the $1/100-cent width."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from xml_hive_spark.operators import t
+    from xml_hive_spark.streaming.windowed import (
+        run_streaming_quantile_histogram,
+    )
+
+    got = run_streaming_quantile_histogram(spark, sf_dir).collect()[0]
+    cents = sorted(
+        r[0]
+        for r in t(spark, sf_dir, "events")
+        .select(F.round(F.col("value") * 100).cast("long"))
+        .collect()
+    )
+    n = len(cents)
+    for pnum, pden, floor in (
+        (1, 2, got.p50_floor_cents),
+        (9, 10, got.p90_floor_cents),
+        (99, 100, got.p99_floor_cents),
+    ):
+        exact = cents[math.ceil(n * pnum / pden) - 1]
+        assert floor <= exact < floor + 100

@@ -227,3 +227,47 @@ def timeseries_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
         .alias("cents_filled"),
         F.col("cents").isNull().alias("was_gap"),
     ).orderBy("user_id", "day")
+
+
+@query(
+    "sql_registered_udf",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS tier,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(o_orderkey) AS BIGINT) AS min_orderkey
+FROM orders
+GROUP BY tier ORDER BY tier
+""",
+    tags=("sql", "udf", "ddl", "function-registration"),
+)
+def sql_registered_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-surface function registration — the Spark twin of Hive's
+    ``CREATE FUNCTION`` (the reference's users register UDFs into the
+    session and call them from HiveQL; SURVEY.md §2.B UDF row):
+    a Python function is registered under a SQL name via
+    ``spark.udf.register`` and invoked from a plain ``spark.sql``
+    query, grouped on its result. The function (price tier = floor of
+    totalprice / 50000) is integer-deterministic so the DuckDB oracle
+    replicates it in pure SQL and the hash gate checks the registered
+    function's values end to end.
+
+    Scale note: a row-at-a-time Python UDF in the hot path is the slow
+    path by design (see ``udf_python_scalar`` vs its pandas twin); this
+    entry exists for the REGISTRATION surface. The tier expression
+    itself would be codegen'd in production (the oracle shows the
+    equivalent)."""
+    from pyspark.sql.types import LongType
+
+    register_views(spark, sf, "orders")
+    spark.udf.register(
+        "price_tier", lambda p: int(p // 50000), LongType()
+    )
+    return spark.sql(
+        """
+SELECT price_tier(o_totalprice) AS tier,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(o_orderkey) AS BIGINT) AS min_orderkey
+FROM orders
+GROUP BY tier ORDER BY tier
+"""
+    )

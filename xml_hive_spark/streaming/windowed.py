@@ -187,3 +187,101 @@ def streaming_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     batch-equivalent); stream-equals-batch is additionally pinned in
     tests/test_streaming.py."""
     return run_streaming_hll(spark, sf)
+
+
+def run_streaming_quantile_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming QUANTILE estimation with bounded state: the
+    fixed-width histogram (value-cents DIV 100 → ≤ ~500 buckets on
+    this value range) is a complete-mode streaming aggregate — counts
+    are mergeable, so state is bounded by the value range / width
+    FOREVER, where exact streaming percentiles would buffer every row.
+    The drained histogram equals the batch histogram (availableNow),
+    and the p50/p90/p99 bucket-floor reads are pure integer
+    comparisons, so the whole streaming sketch admits a FULL DuckDB
+    oracle — the quantile sibling of ``run_streaming_hll`` (same
+    design: sketch state in the stream, estimate batch-side)."""
+    ev = streaming_events(spark, sf_dir)
+    hist = (
+        ev.select(
+            F.expr(
+                "CAST(round(value * 100) AS BIGINT) DIV 100"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    name = f"stream_qhist_{uuid.uuid4().hex[:8]}"
+    q = (
+        hist.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", scratch_dir("ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("availableNow drain did not finish within 120s")
+    from pyspark.sql import Window
+
+    b = spark.table(name)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    total = b.agg(F.sum("n").alias("total"))
+    c = b.select(
+        "bucket", "n", F.sum("n").over(w).alias("cum")
+    ).crossJoin(F.broadcast(total))
+
+    def floor_at(num: int, den: int, alias: str):
+        return (
+            F.min(
+                F.when(
+                    F.col("cum") * den >= F.col("total") * num,
+                    F.col("bucket"),
+                )
+            )
+            * 100
+        ).cast("long").alias(alias)
+
+    return c.agg(
+        floor_at(1, 2, "p50_floor_cents"),
+        floor_at(9, 10, "p90_floor_cents"),
+        floor_at(99, 100, "p99_floor_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+
+
+@query(
+    "streaming_quantile_histogram",
+    oracle="""
+WITH b AS (
+  SELECT CAST(round(value * 100) AS BIGINT) // 100 AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY bucket
+),
+c AS (
+  SELECT bucket, n,
+         SUM(n) OVER (ORDER BY bucket) AS cum,
+         (SELECT SUM(n) FROM b) AS total
+  FROM b
+)
+SELECT CAST((SELECT MIN(bucket) FROM c
+             WHERE cum * 2 >= total) * 100 AS BIGINT) AS p50_floor_cents,
+       CAST((SELECT MIN(bucket) FROM c
+             WHERE cum * 10 >= total * 9) * 100 AS BIGINT)
+         AS p90_floor_cents,
+       CAST((SELECT MIN(bucket) FROM c
+             WHERE cum * 100 >= total * 99) * 100 AS BIGINT)
+         AS p99_floor_cents,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_buckets
+""",
+    tags=("streaming", "sketch", "quantile", "histogram"),
+)
+def streaming_quantile_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry entry: bounded-state streaming quantiles (see
+    :func:`run_streaming_quantile_histogram`). Full value oracle —
+    DuckDB recomputes the identical integer histogram and bucket-floor
+    reads; stream-equals-batch is additionally pinned in
+    tests/test_streaming.py."""
+    return run_streaming_quantile_histogram(spark, sf)
