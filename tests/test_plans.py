@@ -105,6 +105,10 @@ class TestTopK:
         "fuzzy_join_levenshtein",
         # perceptual-hash dedup: banded equi-join candidates, never all-pairs
         "image_phash_dedup",
+        # spatial radius join: grid-cell equi-join, never the theta product
+        "spatial_grid_join",
+        # incremental ingest dedup: batch-vs-index equi-joins only
+        "dedup_incremental_ingest",
     ],
 )
 def test_no_cartesian_products(spark, sf_dir, name):

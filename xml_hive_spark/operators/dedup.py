@@ -836,3 +836,77 @@ def split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "dedup_incremental_ingest",
+    oracle="""
+WITH corpus AS (
+  SELECT * FROM documents WHERE doc_id % 10 <> 0
+),
+incoming AS (
+  SELECT * FROM documents WHERE doc_id % 10 = 0
+)
+SELECT i.doc_id,
+       CASE WHEN EXISTS (SELECT 1 FROM corpus c
+                         WHERE md5(c.text) = md5(i.text))
+              THEN 'exact_dup'
+            WHEN EXISTS (SELECT 1 FROM corpus c
+                         WHERE c.lang = i.lang
+                           AND substr(c.text, 1, 40) = substr(i.text, 1, 40))
+              THEN 'prefix_dup'
+            ELSE 'new' END AS verdict
+FROM incoming i
+""",
+    tags=("dedup", "incremental", "ingestion"),
+)
+def dedup_incremental_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL dedup at ingestion time — the production shape the
+    batch self-joins (``dedup_exact``, ``setsim_join_prefix``) feed
+    into: a small incoming batch (doc_id % 10 = 0 stands in) is
+    classified against the EXISTING corpus without ever joining the
+    corpus to itself: 'exact_dup' (text md5 already present),
+    'prefix_dup' (same language + identical 40-char prefix — the cheap
+    blocking-key signal), else 'new'. Every check is an equi-join of
+    the batch against a corpus-side DISTINCT key projection.
+
+    Scale shape: at 100 TB the corpus side reduces to its key columns
+    (16-byte hashes / 40-char prefixes) ONCE — in production that
+    projection is the stored dedup index, exactly like the persisted
+    ANN artifact — and each ingest batch is a broadcast-or-shuffle
+    equi-join of batch-size against index-size; the corpus is never
+    self-joined and never rescanned per document (the oracle's EXISTS
+    subqueries are the semantic spec, not the plan)."""
+    docs = t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    seen_hash = corpus.select(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    ).distinct()
+    seen_prefix = corpus.select(
+        "lang", F.substring("text", 1, 40).alias("pfx")
+    ).distinct()
+    inc = incoming.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.substring("text", 1, 40).alias("pfx"),
+    )
+    exact = inc.join(seen_hash, "h").select("doc_id").withColumn(
+        "is_exact", F.lit(True)
+    )
+    pfx = inc.join(seen_prefix, ["lang", "pfx"]).select("doc_id").distinct().withColumn(
+        "is_pfx", F.lit(True)
+    )
+    return (
+        inc.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(pfx, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), "exact_dup")
+            .when(F.col("is_pfx"), "prefix_dup")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )

@@ -474,3 +474,82 @@ def multimodal_video_framesample(spark: SparkSession, sf: str) -> DataFrame:
     ``multimodal_*_codec`` entries applies unchanged)."""
     docs = t(spark, sf, "documents").select("doc_id")
     return framesample_stage(synth_animation_stage(docs))
+
+
+def augment_stage(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Decode (full PNG pipeline) → two standard training
+    augmentations — horizontal flip and 90° clockwise rotation — each
+    RE-ENCODED as a real PNG and decoded AGAIN, emitting
+    order-sensitive checksums of both augmented images. Any error in
+    either codec direction or in the geometric index mapping changes
+    f_dot / r_dot."""
+    import numpy as np
+
+    def augment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xml_hive_spark.operators.png import png_decode, png_encode
+
+        for pdf in batches:
+            out = {"doc_id": [], "f_sum": [], "f_dot": [], "r_dot": []}
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                img = png_decode(bytes(payload))
+                flip = png_decode(png_encode(img[:, ::-1]))
+                rot = png_decode(png_encode(np.rot90(img, k=-1)))
+                fv = flip.reshape(-1).astype(np.int64)
+                rv = rot.reshape(-1).astype(np.int64)
+                i = np.arange(fv.size, dtype=np.int64)
+                out["doc_id"].append(int(did))
+                out["f_sum"].append(int(fv.sum()))
+                out["f_dot"].append(int((i * fv).sum()))
+                out["r_dot"].append(int((i * rv).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        augment, schema="doc_id long, f_sum long, f_dot long, r_dot long"
+    )
+
+
+@query(
+    "multimodal_image_augment",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         8 + doc_id % 9 AS w,
+         8 + (doc_id * 3) % 7 AS h
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(SUM((d.doc_id * 2654435761 + t.i * 40503) % 256) AS BIGINT)
+         AS f_sum,
+       CAST(SUM(t.i * ((d.doc_id * 2654435761
+              + ((t.i // d.w) * d.w + (d.w - 1 - t.i % d.w)) * 40503)
+             % 256)) AS BIGINT) AS f_dot,
+       CAST(SUM(t.i * ((d.doc_id * 2654435761
+              + ((d.h - 1 - (t.i % d.h)) * d.w + (t.i // d.h)) * 40503)
+             % 256)) AS BIGINT) AS r_dot
+FROM d CROSS JOIN range(0, 224) t(i)
+WHERE t.i < d.w * d.h
+GROUP BY d.doc_id
+""",
+    tags=("multimodal", "image", "augment", "codec"),
+)
+def multimodal_image_augment(spark: SparkSession, sf: str) -> DataFrame:
+    """IMAGE training augmentation, distributed, with a full SQL value
+    oracle: one real PNG per document (the ``multimodal_png_codec``
+    corpus formula), decoded, flipped horizontally AND rotated 90°
+    clockwise, each augmentation re-encoded as a real PNG and decoded
+    again — six codec passes per row. The oracle recomputes both
+    augmented pixel streams purely by INDEX REMAPPING of the synthesis
+    formula (flip: j = (i÷w)·w + (w−1−i mod w); rot90cw onto a (w, h)
+    canvas: j = (h−1−(i mod h))·w + i÷h), so a single misplaced pixel
+    in either geometric transform or any codec direction fails the
+    driver's hash. f_sum doubles as the no-pixel-lost check (flip is a
+    permutation, so it must equal the original pixel sum).
+
+    Scale shape: mapInPandas over Arrow batches, no shuffle — the
+    standard augment-on-read training-input pipeline stage."""
+    docs = t(spark, sf, "documents").select("doc_id")
+    from xml_hive_spark.operators.multimodal import synth_png_stage
+
+    return augment_stage(synth_png_stage(docs))

@@ -768,3 +768,86 @@ def sketch_quantile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         floor_at(99, 100, "p99_floor_cents"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
     )
+
+
+@query(
+    "spatial_grid_join",
+    oracle="""
+WITH p AS (
+  SELECT c_custkey,
+         (c_custkey * 37) % 1000 AS px,
+         (c_custkey * 91) % 1000 AS py
+  FROM customer
+),
+a AS (
+  SELECT n_nationkey,
+         (n_nationkey * 211) % 1000 AS ax,
+         (n_nationkey * 389) % 1000 AS ay
+  FROM nation
+)
+SELECT a.n_nationkey,
+       CAST(count(*) AS BIGINT) AS n_within,
+       CAST(MIN((px - ax) * (px - ax) + (py - ay) * (py - ay)) AS BIGINT)
+         AS min_d2
+FROM a JOIN p
+  ON (px - ax) * (px - ax) + (py - ay) * (py - ay) <= 2500
+GROUP BY a.n_nationkey
+""",
+    tags=("spatial", "join", "grid", "scale"),
+)
+def spatial_grid_join(spark: SparkSession, sf: str) -> DataFrame:
+    """SPATIAL radius join via grid bucketing — the scale pattern for
+    geo workloads (and the 2-D sibling of ``interval_overlap_join``'s
+    month buckets): points and query anchors land in a 50×50 grid;
+    each anchor expands to the 3×3 cell neighborhood covering its
+    radius-50 disk, candidates come from an EQUI-join on the cell id,
+    and the exact integer distance test (dx² + dy² ≤ 2500 — no floats,
+    no sqrt) filters false candidates. The naive theta-join DuckDB
+    oracle proves zero recall loss: a point within the radius is
+    always within one cell of the anchor's cell (pigeonhole on the
+    grid width ≥ radius).
+
+    Scale shape: the candidate join is hash-partitioned on the cell id
+    — never a cross product (pinned in test_plans) — and the per-anchor
+    fan-out is a constant 9 cells; density skew in one cell is AQE's
+    standard skew-join case. Coordinates are synthesized from keys so
+    the oracle stays formula-exact."""
+    cust = t(spark, sf, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 1000).alias("px"),
+        ((F.col("c_custkey") * 91) % 1000).alias("py"),
+    )
+    pts = cust.select(
+        "c_custkey", "px", "py",
+        F.expr("px DIV 50").alias("cx"), F.expr("py DIV 50").alias("cy"),
+    )
+    nat = t(spark, sf, "nation").select(
+        "n_nationkey",
+        ((F.col("n_nationkey") * 211) % 1000).alias("ax"),
+        ((F.col("n_nationkey") * 389) % 1000).alias("ay"),
+    )
+    anchors = nat.select(
+        "n_nationkey", "ax", "ay",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx ->"
+                " transform(sequence(-1, 1), dy ->"
+                " struct(ax DIV 50 + dx AS cx, ay DIV 50 + dy AS cy))))"
+            )
+        ).alias("c"),
+    ).select(
+        "n_nationkey", "ax", "ay",
+        F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"),
+    )
+    d2 = (F.col("px") - F.col("ax")) * (F.col("px") - F.col("ax")) + (
+        F.col("py") - F.col("ay")
+    ) * (F.col("py") - F.col("ay"))
+    return (
+        anchors.join(pts, ["cx", "cy"])
+        .filter(d2 <= 2500)
+        .groupBy("n_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_within"),
+            F.min(d2).cast("long").alias("min_d2"),
+        )
+    )
