@@ -541,3 +541,97 @@ def event_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_funnels"),
         )
     )
+
+
+@query(
+    "copurchase_lift",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+pc AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS np
+  FROM items GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb HAVING count(*) >= 2
+)
+SELECT pa, pb, n_ab,
+       CAST(n_ab * nb.n AS BIGINT) AS lift_num,
+       CAST(ca.np * cb.np AS BIGINT) AS lift_den
+FROM pairs
+JOIN pc ca ON ca.l_partkey = pa
+JOIN pc cb ON cb.l_partkey = pb
+CROSS JOIN nb
+ORDER BY CAST(n_ab * nb.n AS DOUBLE) / (ca.np * cb.np) DESC, pa, pb
+LIMIT 20
+""",
+    tags=("analytics", "association-rules", "lift"),
+)
+def copurchase_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Association-rule LIFT on the co-purchase pairs — the statistical
+    layer over raw pair counts (``copurchase_pairs``): lift(a,b) =
+    N·n(ab) / (n(a)·n(b)) separates genuinely-associated pairs from
+    pairs that co-occur because both parts are popular. The lift is
+    carried as an EXACT integer numerator/denominator pair (the
+    regression_slope convention); only the top-20 ORDER BY computes the
+    one double division, with identical operand association on both
+    engines and (pa, pb) tie-breaks, so the ranking is cross-engine
+    stable.
+
+    Scale shape: pair counts come from the basket-bounded expansion
+    (ONE orderkey-keyed shuffle, never a corpus self-join — the
+    copurchase_pairs plan); per-part counts are one hash-agg joined
+    back on the part key; N is a 1-row broadcast. Top-20 plans as
+    TakeOrderedAndProject."""
+    items = (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nb = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    pc = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("np")
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    " y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    ca = pc.select(F.col("l_partkey").alias("pa"), F.col("np").alias("na"))
+    cb = pc.select(F.col("l_partkey").alias("pb"), F.col("np").alias("nbp"))
+    return (
+        pairs.join(ca, "pa")
+        .join(cb, "pb")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "pa", "pb", "n_ab",
+            (F.col("n_ab") * F.col("n")).cast("long").alias("lift_num"),
+            (F.col("na") * F.col("nbp")).cast("long").alias("lift_den"),
+        )
+        .orderBy(
+            (F.col("lift_num").cast("double") / F.col("lift_den")).desc(),
+            "pa",
+            "pb",
+        )
+        .limit(20)
+    )

@@ -910,3 +910,107 @@ def dedup_incremental_ingest(spark: SparkSession, sf: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+@query(
+    "setsim_containment_join",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS tx
+  FROM documents WHERE len(lower(text)) >= 8
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tx) - 6),
+                                      i -> substr(tx, i, 8))) AS toks
+  FROM d
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_n,
+       CAST(len(a.toks) AS BIGINT) AS a_sz
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 10 >= len(a.toks) * 9
+""",
+    tags=("dedup", "setsim", "containment", "join"),
+)
+def setsim_containment_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT set-CONTAINMENT join (|A∩B| / |A| ≥ 0.9 over char-8-gram
+    shingle sets) — Broder's other similarity measure: resemblance
+    (Jaccard, ``setsim_join_prefix``) finds near-equal pairs,
+    containment finds documents mostly INCLUDED in another (quotes,
+    supersets, doc-within-doc) and is inherently ASYMMETRIC, so pairs
+    are directed (a contained-in b) and both directions can qualify.
+
+    Same exact-filter machinery as the Jaccard join, adapted to the
+    asymmetric threshold: only the PROBE side (A) is pruned to its
+    p = s − ⌈t·s⌉ + 1 rarest shingles (pigeonhole: missing all of them
+    caps the intersection below t·|A|); the index side (B) keeps every
+    token, and the only size constraint is one-sided (|B|·10 ≥ |A|·9 —
+    containment has no upper length bound, which is exactly why the
+    Jaccard prefix join can't answer it). Verification is one
+    array_intersect per candidate; the threshold is exact integer
+    arithmetic (inter·10 ≥ |A|·9), bit-identical to the naive O(n²)
+    DuckDB oracle — zero recall loss, no all-pairs comparison."""
+    T_NUM, T_DEN = 9, 10
+
+    d = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.lower(F.col("text")).alias("tx"))
+        .filter(F.length("tx") >= 8)
+    )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def grams(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [list({tx[i : i + 8] for i in range(len(tx) - 7)}) for tx in texts]
+        )
+
+    toks = d.select("doc_id", F.explode(grams("tx")).alias("g")).select(
+        "doc_id", F.xxhash64("g").alias("tok")
+    )
+    sets = toks.groupBy("doc_id").agg(
+        F.collect_set("tok").alias("toks"), F.count(F.lit(1)).alias("sz")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    probe = (
+        toks.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sets.select("doc_id", "sz"), "doc_id")
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.col("sz") * T_NUM / T_DEN) + 1
+        )
+        .select(F.col("doc_id").alias("a_id"), "tok",
+                F.col("sz").alias("sa"))
+    )
+    index = toks.select(F.col("doc_id").alias("b_id"), "tok")
+    cand = (
+        probe.join(index, "tok")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .join(
+            sets.select(F.col("doc_id").alias("b_id"),
+                        F.col("sz").alias("sb")),
+            "b_id",
+        )
+        .filter(F.col("sb") * T_DEN >= F.col("sa") * T_NUM)
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("a_id"),
+                     F.col("toks").alias("ta"), F.col("sz").alias("a_sz"))
+    sb = sets.select(F.col("doc_id").alias("b_id"),
+                     F.col("toks").alias("tb"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("ta", "tb")).cast("bigint")
+            .alias("inter_n"),
+            F.col("a_sz").cast("bigint").alias("a_sz"),
+        )
+        .filter(F.col("inter_n") * T_DEN >= F.col("a_sz") * T_NUM)
+    )
