@@ -635,3 +635,60 @@ def copurchase_lift(spark: SparkSession, sf: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "streak_gaps_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+ranked AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d) AS INT) AS island
+  FROM days
+),
+islands AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+  FROM ranked GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM islands GROUP BY user_id
+""",
+    tags=("analytics", "gaps-islands", "streaks"),
+)
+def streak_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands streak analysis — the classic SQL idiom for
+    run-length over sparse time (DAU streaks, sensor uptime, SLA
+    windows): per user, distinct active DAYS collapse into islands of
+    consecutive dates via the date-minus-row_number trick (consecutive
+    days share one island key), then islands aggregate to streak
+    counts, the longest streak, and total active days.
+
+    Scale shape: everything is keyed on user_id end to end — one
+    distinct, one per-user ranking window, two hash-aggs, all sharing
+    a single hash partitioning (no global window, no join). The same
+    idiom runs inside the components-clustering oracle; this entry
+    makes it a first-class operator."""
+    days = (
+        t(spark, sf, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    ranked = days.select(
+        "user_id",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("island"),
+    )
+    islands = ranked.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
