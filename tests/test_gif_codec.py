@@ -186,3 +186,35 @@ class TestAnimation:
         first, _ = gif_decode(payload)
         allf, _, _ = gif_decode_frames(payload)
         assert (first == allf[0]).all() and (allf[1] == f1).all()
+
+
+class TestAnimationProperty:
+    @given(data=st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_random_animation_roundtrip(self, data):
+        """Property: any (frames, palette, delays) combination within
+        spec round-trips exactly through the animated encoder/decoder —
+        frame count 1..6, dims 1..16, palette 2..64 colors, delays
+        covering the full u16 range."""
+        from xml_hive_spark.operators.gif import (
+            gif_decode_frames,
+            gif_encode_animation,
+        )
+
+        h = data.draw(st.integers(1, 16))
+        w = data.draw(st.integers(1, 16))
+        k = data.draw(st.integers(2, 64))
+        nf = data.draw(st.integers(1, 6))
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+        frames = [
+            rng.integers(0, k, size=(h, w)).astype(np.uint8)
+            for _ in range(nf)
+        ]
+        pal = rng.integers(0, 256, size=(k, 3)).astype(np.uint8)
+        delays = [data.draw(st.integers(0, 65535)) for _ in range(nf)]
+        payload = gif_encode_animation(frames, pal, delays)
+        back, back_pal, back_delays = gif_decode_frames(payload)
+        assert len(back) == nf and back_delays == delays
+        for a, b in zip(frames, back):
+            assert (a == b).all()
+        assert (back_pal[:k] == pal).all()

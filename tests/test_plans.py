@@ -367,3 +367,20 @@ def test_triangles_topk_is_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "graph_triangles")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_broadcast_anti_join(spark, sf_dir):
+    """The pipeline's decontamination stage must be a broadcast join
+    against the benchmark-bounded eval-gram set (never a shuffled
+    corpus-sized join), and the plan must carry no cartesian."""
+    plan = plan_of(spark, sf_dir, "corpus_curation_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_copurchase_lift_take_ordered(spark, sf_dir):
+    """The lift top-20 must plan as TakeOrderedAndProject (partial
+    per-partition top-k), not a global sort."""
+    plan = plan_of(spark, sf_dir, "copurchase_lift")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
