@@ -196,3 +196,64 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "nested_denormalize_roundtrip",
+    oracle="""
+SELECT o.o_orderstatus,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(MAX(per_order.max_lines) AS BIGINT) AS max_lines
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN (
+  SELECT l_orderkey, count(*) AS max_lines
+  FROM lineitem GROUP BY l_orderkey
+) per_order ON per_order.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+""",
+    tags=("nested", "denormalize", "higher-order"),
+)
+def nested_denormalize_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested-data engineering round trip: lineitems are DENORMALIZED
+    into an array-of-structs per order (the document-model layout the
+    XML reader produces and lakehouses store), per-order metrics are
+    computed INSIDE the nested column with higher-order functions
+    (``aggregate`` for the quantity fold, ``size`` for the line
+    count — no explode, no second shuffle), and the nested results
+    aggregate to the same numbers the flat relational oracle computes
+    with joins. Round-tripping relational ⇄ nested without moving a
+    row twice is the capability that makes the nested layout cheap to
+    keep.
+
+    Scale shape: ONE orderkey-keyed shuffle builds the nested column
+    (bounded by basket size); the HOF evaluation is per-row codegen;
+    the final agg is domain-sized. The flat oracle needs the
+    lineitem join TWICE (rows + per-order counts) — the nested form
+    reads each lineitem once."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("l_quantity")).alias("lines"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        nested.select(
+            "o_orderstatus",
+            F.size("lines").alias("n_lines"),
+            F.expr(
+                "aggregate(lines, 0L, (acc, x) ->"
+                " acc + CAST(x.l_quantity AS LONG))"
+            ).alias("qty"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("qty").cast("long").alias("total_qty"),
+            F.max("n_lines").cast("long").alias("max_lines"),
+        )
+        .orderBy("o_orderstatus")
+    )

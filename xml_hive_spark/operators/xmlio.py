@@ -616,3 +616,128 @@ def federated_three_source_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "xml_expression_codec",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM customer
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    tags=("xml", "expression", "to_xml", "from_xml"),
+)
+def xml_expression_codec(spark: SparkSession, sf: str) -> DataFrame:
+    """EXPRESSION-level XML round trip (Spark 4's ``to_xml`` /
+    ``from_xml`` column functions): every customer row is serialized
+    to an XML string IN A COLUMN, re-parsed back to a struct with an
+    explicit schema, and the re-parsed fields aggregate to the oracle
+    of the source table — so the codegen'd XML codec is value-checked
+    row-for-row. This is the third XML⇄relational fidelity layer in
+    the registry: record-level (our ``xmlhive`` DataSource —
+    AvroTransormer.scala:77-170 is the reference's analogue),
+    scalar-function-level (``xml_xpath_functions``), and now
+    column-expression-level, the layer a pipeline uses for XML
+    payloads EMBEDDED in other tables (message queues, log columns).
+
+    Scale shape: per-row JVM expressions end to end — no Python, no
+    shuffle before the final domain-sized aggregate."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    cust = t(spark, sf, "customer")
+    xml_col = F.to_xml(
+        F.struct("c_custkey", "c_mktsegment", "c_acctbal"),
+        {"rootTag": "cust"},
+    )
+    schema = StructType([
+        StructField("c_custkey", LongType()),
+        StructField("c_mktsegment", StringType()),
+        StructField("c_acctbal", DoubleType()),
+    ])
+    parsed = cust.select(xml_col.alias("x")).select(
+        F.from_xml("x", schema).alias("r")
+    )
+    return (
+        parsed.select("r.c_mktsegment", "r.c_acctbal")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "xml_corrupt_capture",
+    oracle="""
+SELECT CAST(count(*) FILTER (WHERE o_orderkey % 50 <> 0) AS BIGINT)
+         AS n_good,
+       CAST(count(*) FILTER (WHERE o_orderkey % 50 = 0) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(CASE WHEN o_orderkey % 50 <> 0
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS good_cents
+FROM orders
+""",
+    tags=("xml", "source", "corrupt", "permissive"),
+)
+def xml_corrupt_capture(spark: SparkSession, sf: str) -> DataFrame:
+    """PERMISSIVE corrupt-record capture as a driver-hashable query:
+    orders are written to XML with every 50th record DELIBERATELY
+    corrupted (a non-numeric price), read back through the xmlhive
+    reader with ``corrupt_column`` — bad records surface as raw text
+    in the sink column with null data fields, clean records parse
+    normally — and the good/corrupt split plus the clean-row aggregate
+    hash-check the capture semantics end to end. The reference
+    warns-and-drops (AvroTransormer.scala:185 "oopsie");
+    DROPMALFORMED keeps that parity while this query pins the
+    spark-xml-style PERMISSIVE superset at the driver's value gate.
+
+    Scale shape: the corrupt path costs one extra span re-read per BAD
+    record only; a malformed record in a 100 TB corpus quarantines a
+    row, never kills the job (the scanner-totality fuzz property)."""
+    from xml_hive_spark.reader import read_xml
+    from xml_hive_spark.sources.xml_sink import write_xml
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    staged = t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.when(F.col("o_orderkey") % 50 == 0, F.lit("NOT_A_NUMBER"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("price"),
+    )
+    out = _scratch("corrupt-") + "/orders_xml"
+    write_xml(staged, out, row_tag="order", root_tag="orders")
+    schema = StructType([
+        StructField("key", LongType(), True,
+                    metadata={"xmlKind": "element", "xmlName": "key"}),
+        StructField("price", DoubleType(), True,
+                    metadata={"xmlKind": "element", "xmlName": "price"}),
+    ])
+    back = read_xml(
+        spark, out + "/*.xml", "order", schema=schema,
+        mode="PERMISSIVE", corrupt_column="_corrupt",
+    )
+    good_cents = F.sum(
+        F.when(
+            F.col("_corrupt").isNull(),
+            F.round(F.col("price") * 100).cast("long"),
+        ).otherwise(F.lit(0))
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).cast("long")
+        .alias("n_good"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).cast("long")
+        .alias("n_corrupt"),
+        good_cents.cast("long").alias("good_cents"),
+    )
