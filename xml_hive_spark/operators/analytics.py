@@ -692,3 +692,63 @@ def streak_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
         F.max("len").cast("long").alias("longest_streak"),
         F.sum("len").cast("long").alias("active_days"),
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+WITH touched AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS touch
+  FROM events
+)
+SELECT coalesce(touch, 'none') AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS attributed_cents
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY touch_type ORDER BY touch_type
+""",
+    tags=("analytics", "attribution", "window"),
+)
+def attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """LAST-TOUCH marketing attribution: every purchase is credited to
+    the user's most recent PRECEDING non-purchase event (view, click,
+    signup, error — the touchpoint), and purchase value rolls up per
+    touchpoint type in integer cents; first-session purchases with no
+    prior touch land in 'none'. The ordered carry is
+    ``last(..., ignorenulls=True)`` over an
+    unbounded-preceding-to--1 frame — the same IGNORE NULLS window
+    both engines define identically under the total (ts, event_id)
+    order.
+
+    Scale shape: one user-keyed window (hash-partitioned by user — the
+    sessionize bound) feeding a domain-sized aggregate (|event types|
+    rows); no join at all."""
+    ev = t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("attributed_cents"),
+        )
+        .orderBy("touch_type")
+    )

@@ -351,3 +351,63 @@ def time_travel_read(spark: SparkSession, sf: str) -> DataFrame:
     for p in parts[1:]:
         res = res.unionAll(p)
     return res
+
+
+@query(
+    "vacuum_unreferenced",
+    oracle="""
+SELECT CAST(2 AS BIGINT) AS n_dirs_removed,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+""",
+    tags=("storage", "lakehouse", "vacuum", "retention"),
+)
+def vacuum_unreferenced(spark: SparkSession, sf: str) -> DataFrame:
+    """VACUUM — the retention half of the manifest-log lifecycle
+    (``time_travel_read`` is the read half): a fresh three-version
+    history (commit pre-1995 → append 1995+ → compact into one
+    rewritten data set) is built, then every data directory NOT
+    referenced by the LATEST manifest is deleted (the two pre-compaction
+    sets) and the latest snapshot is re-read and aggregated. The oracle
+    pins both that exactly the two unreferenced directories were
+    reclaimed and that the surviving snapshot still equals the source
+    table — vacuum must reclaim space without touching live data.
+    Older snapshots intentionally become unreadable past retention:
+    that is the Delta/Iceberg VACUUM contract.
+
+    Scale shape: the reclaim set is computed from MANIFESTS (a set
+    difference over file lists — O(history), no data scan); deletion is
+    pure storage ops. A production variant adds a retention horizon
+    (keep manifests newer than N days); the mechanism is identical."""
+    import json
+    import shutil
+
+    from xml_hive_spark.session import scratch_dir
+
+    out = scratch_dir("vacuum-")
+    orders = t(spark, sf, "orders")
+    d1, d2, d3 = (os.path.join(out, d) for d in ("data1", "data2", "data3"))
+    orders.filter(F.col("o_orderdate") < "1995-01-01").write.parquet(d1)
+    orders.filter(F.col("o_orderdate") >= "1995-01-01").write.parquet(d2)
+    spark.read.parquet(d1, d2).write.parquet(d3)
+    manifests = {1: [d1], 2: [d1, d2], 3: [d3]}
+    for v, files in manifests.items():
+        with open(os.path.join(out, f"manifest-v{v}.json"), "w") as fh:
+            json.dump({"version": v, "files": files}, fh)
+
+    with open(os.path.join(out, "manifest-v3.json")) as fh:
+        live = set(json.load(fh)["files"])
+    all_dirs = {d1, d2, d3}
+    removed = sorted(all_dirs - live)
+    for d in removed:
+        shutil.rmtree(d)
+    latest = spark.read.parquet(*sorted(live))
+    return latest.agg(
+        F.lit(len(removed)).cast("long").alias("n_dirs_removed"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
