@@ -71,6 +71,8 @@ def test_registry_complete():
         "streaming_sessionize",  # arbitrary-state streaming — no SQL twin
         "streaming_stream_join",  # two-stream watermark join — no SQL twin
         "streaming_stream_join_outer",  # horizon-exact harness in test_streaming
+        "streaming_vector_ingest",  # seeded-k-means centroids — not
+        # SQL-expressible; stream-equals-batch pinned in test_streaming
         "streaming_window_counts",
         "xml_scan_bench",  # DuckDB can't read XML; exact aggregate pinned in test_xml_bench
         "xml_scan_books",

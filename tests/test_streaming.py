@@ -320,3 +320,37 @@ def test_streaming_quantile_histogram_equals_batch(spark, sf_dir):
     ):
         exact = cents[math.ceil(n * pnum / pden) - 1]
         assert floor <= exact < floor + 100
+
+
+def test_streaming_vector_ingest_equals_batch(spark, sf_dir):
+    """Streaming nearest-centroid routing must produce exactly the
+    batch assignment's per-cluster counts (same persisted centroids,
+    availableNow drain), and every vector must be routed somewhere."""
+    from xml_hive_spark.operators import t
+    from xml_hive_spark.operators.ann_index import ivf_pq_index
+    from xml_hive_spark.streaming.vectors import (
+        assign_clusters,
+        run_streaming_vector_ingest,
+    )
+
+    got = sorted(
+        map(tuple, run_streaming_vector_ingest(spark, sf_dir).collect())
+    )
+    idx = ivf_pq_index(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    import pyspark.sql.functions as F
+
+    want = sorted(
+        map(
+            tuple,
+            assign_clusters(emb, idx.centroids)
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                F.min("vec_id").cast("long").alias("min_vec_id"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    assert sum(r[1] for r in got) == emb.count()

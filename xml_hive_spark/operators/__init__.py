@@ -250,6 +250,7 @@ def all_queries() -> dict[str, QueryDef]:
             neardup,
             stateful,
             upsert,
+            vectors,
             windowed,
         )
 

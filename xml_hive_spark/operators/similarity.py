@@ -942,3 +942,101 @@ def ann_join_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("qid", "nid", F.round("adc", 4).alias("cos_sim"), "rank")
     )
+
+
+@query(
+    "knn_classify_majority",
+    oracle="""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS true_label
+           FROM embeddings WHERE vec_id < 20),
+n AS (SELECT vec_id AS nid, embedding AS ne, label FROM embeddings
+      WHERE vec_id >= 20),
+pairs AS (
+  SELECT qid, true_label, nid, label,
+         round(
+           (SELECT sum(CAST(qe[i + 1] AS DOUBLE) * CAST(ne[i + 1] AS DOUBLE))
+            FROM range(64) r(i))
+           / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS cos_sim
+  FROM q, n
+),
+topk AS (
+  SELECT qid, true_label, label FROM (
+    SELECT qid, true_label, label,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, nid) AS rank
+    FROM pairs) x
+  WHERE rank <= 10
+),
+votes AS (
+  SELECT qid, true_label, label,
+         CAST(count(*) AS BIGINT) AS n_votes
+  FROM topk GROUP BY qid, true_label, label
+)
+SELECT qid, true_label,
+       CAST(label AS INT) AS predicted_label,
+       n_votes
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY n_votes DESC, label) AS vr
+  FROM votes) v
+WHERE vr = 1
+""",
+    tags=("similarity", "knn", "classification"),
+)
+def knn_classify_majority(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN CLASSIFICATION over the embedding corpus — the serving-side
+    use of the similarity machinery: 20 held-out query vectors are
+    labeled by the majority vote of their 10 nearest neighbors (exact
+    cosine, train split only), with deterministic tie-breaks at both
+    stages (neighbor rank: cos DESC then id; vote: count DESC then
+    label). Fully value-oracled INCLUDING the float cosine — both
+    engines compute the identical double expression tree, rounded to
+    4 places before ranking (the ``cosine_topk_bruteforce``
+    convention), so the prediction itself is hash-checked.
+
+    Scale shape: the query side broadcasts against one corpus scan
+    (linear, the exact baseline); per-query ranking is a window
+    partitioned by query id, and the vote is two domain-sized
+    hash-aggs. The IVF/PQ ladder swaps into the scan seamlessly when
+    the corpus outgrows exact search."""
+    emb = t(spark, sf, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("true_label"),
+        )
+    )
+    n = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ne"),
+        "label",
+    )
+    pairs = q.crossJoin(n)
+    cos = F.round(
+        _dot(F.col("qe"), F.col("ne"))
+        / (_norm(F.col("qe")) * _norm(F.col("ne"))),
+        4,
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
+    topk = (
+        pairs.select("qid", "true_label", "nid", "label", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 10)
+    )
+    votes = topk.groupBy("qid", "true_label", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("n_votes").desc(), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "qid",
+            "true_label",
+            F.col("label").cast("int").alias("predicted_label"),
+            "n_votes",
+        )
+    )
