@@ -752,3 +752,48 @@ def attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+@query(
+    "daily_new_and_cumulative_users",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS new_users
+  FROM first_day GROUP BY d
+)
+SELECT d AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT)
+         AS cumulative_users
+FROM daily
+""",
+    tags=("analytics", "growth", "cumulative-distinct"),
+)
+def daily_new_and_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily new + CUMULATIVE distinct users — the growth-accounting
+    query every product dashboard runs, via the first-appearance trick:
+    a cumulative count(DISTINCT) window is unsupported (and would be
+    quadratic anyway); instead each user contributes one row at their
+    FIRST active day (one user-keyed hash-agg), daily news are a
+    domain-sized aggregate, and the running total is a window over
+    |days| rows.
+
+    Scale shape: the only corpus-sized shuffle is the per-user min;
+    the ordered window runs over the bounded day domain (the
+    quantile-histogram precedent: global windows are fine over bounded
+    summaries, never over the corpus)."""
+    ev = t(spark, sf, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    daily = first_day.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("d").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

@@ -429,3 +429,51 @@ def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "filter_top_decile_docs",
+    oracle="""
+WITH thr AS (
+  SELECT lang, quantile_cont(n_chars, 0.9) AS p90
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars_sum
+FROM documents d JOIN thr ON thr.lang = d.lang
+WHERE d.n_chars >= thr.p90
+GROUP BY d.lang ORDER BY d.lang
+""",
+    tags=("curation", "percentile", "filter"),
+)
+def filter_top_decile_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile-threshold filtering — keep each language's top decile
+    by length (the data-mix shaping move of corpus curation: thresholds
+    are computed PER GROUP from the data, not hardcoded): exact p90 per
+    language (one percentile aggregate — the proven
+    ``percentile``/``quantile_cont`` bit-parity from agg_percentiles),
+    broadcast back, filter, account.
+
+    Scale shape: one group-sized aggregate (|langs| rows) broadcast
+    into a scan-level filter — the selection itself adds NO shuffle;
+    the exact percentile is the only sorted structure and it sorts each
+    group once. At petabyte group sizes the drop-in replacement is the
+    histogram sketch (``sketch_quantile_histogram``) at the same
+    call-site."""
+    docs = t(spark, sf, "documents")
+    thr = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.9)").alias("p90")
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .filter(F.col("n_chars") >= F.col("p90"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        .orderBy("lang")
+    )
