@@ -271,3 +271,44 @@ FROM orders
 GROUP BY tier ORDER BY tier
 """
     )
+
+
+@query(
+    "rls_masked_view",
+    oracle="""
+SELECT md5(c_name) AS masked_name,
+       c_mktsegment,
+       CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band
+FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_regionkey = 1)
+""",
+    tags=("sql", "governance", "masking", "rls"),
+)
+def rls_masked_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level security + column masking as a governed VIEW — the
+    warehouse governance surface (Hive users ship this as views over
+    the SerDe tables; SURVEY §2.B delegation): PII masked by
+    deterministic hash (md5 of the name — joinable across datasets,
+    not reversible), the balance generalized to a $1000 band
+    (k-anonymity-style), and rows RESTRICTED to one region via a
+    predicate subquery. Consumers query the view; the base table never
+    reaches them. The full oracle replicates mask + band + row policy,
+    so the governance transform itself is value-checked.
+
+    Scale shape: the view is pure per-row codegen over a scan with the
+    region predicate pushed as a broadcast semi-join — governance costs
+    nothing at read time beyond the policy predicate."""
+    register_views(spark, sf, "customer", "nation")
+    spark.sql(
+        """
+CREATE OR REPLACE TEMPORARY VIEW customer_masked AS
+SELECT md5(c_name) AS masked_name,
+       c_mktsegment,
+       CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band
+FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_regionkey = 1)
+"""
+    )
+    return spark.sql("SELECT * FROM customer_masked")

@@ -411,3 +411,61 @@ def vacuum_unreferenced(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@query(
+    "snapshot_change_feed",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_added,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS added_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    tags=("storage", "lakehouse", "change-feed", "diff"),
+)
+def snapshot_change_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """CHANGE FEED derived from snapshots — the Delta "change data
+    feed" capability computed the portable way: two manifest snapshots
+    of the time-travel history (v1 = pre-1995 commit, v2 = append) are
+    diffed with EXCEPT ALL, and the added rows aggregate per status.
+    The oracle recomputes the append set from the source predicate, so
+    a diff that leaks, drops, or duplicates one row breaks the hash.
+
+    Scale shape: EXCEPT ALL plans as a hash-partitioned anti-
+    aggregation on the full row — at 100 TB you'd diff on a key +
+    row-hash projection instead of wide rows (same plan shape, skinnier
+    shuffle); manifest-level file pruning (files present in v2 but not
+    v1) cuts the scan to changed files FIRST, which is exactly what the
+    file lists make cheap — planning is O(history), the scan is
+    O(changed files)."""
+    import json
+
+    out = _roundtrip_dir("timetravel", sf)
+    mf = os.path.join(out, "manifest-v2.json")
+    if not os.path.exists(mf):
+        time_travel_read(spark, sf).collect()  # build the 3-version history
+
+    def read_version(v: int) -> DataFrame:
+        with open(os.path.join(out, f"manifest-v{v}.json")) as fh:
+            files = json.load(fh)["files"]
+        return spark.read.parquet(*files)
+
+    with open(mf) as fh:
+        v2_files = set(json.load(fh)["files"])
+    with open(os.path.join(out, "manifest-v1.json")) as fh:
+        v1_files = set(json.load(fh)["files"])
+    changed = sorted(v2_files - v1_files)  # manifest-level file pruning
+    added = spark.read.parquet(*changed).exceptAll(read_version(1))
+    return (
+        added.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_added"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("added_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
