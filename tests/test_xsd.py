@@ -797,3 +797,69 @@ def test_converter_total_over_generated_schemas(doc):
             assert f.metadata.get("xmlKind") in ("attribute", "element",
                                                  "text")
             assert f.name  # never an empty-named field (pre-ref-fix bug)
+
+
+class TestStructToXsd:
+    def _norm(self, dt):
+        """Type tree modulo metadata / array containsNull (neither
+        survives an XSD round trip by design)."""
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.StructType):
+            return tuple(
+                (f.name, self._norm(f.dataType), f.nullable)
+                for f in dt.fields
+            )
+        if isinstance(dt, T.ArrayType):
+            return ("array", self._norm(dt.elementType))
+        return dt.simpleString()
+
+    def test_inverse_roundtrip_semantics(self, tmp_path):
+        """xsd_to_struct(struct_to_xsd(s)) must preserve names, types,
+        nullability, nesting, and array cardinality."""
+        from pyspark.sql.types import (
+            ArrayType, BooleanType, DoubleType, FloatType, IntegerType,
+            LongType, StringType, StructField, StructType,
+        )
+
+        from xml_hive_spark.xsd import struct_to_xsd, xsd_to_struct
+
+        s = StructType([
+            StructField("id", LongType(), False),
+            StructField("name", StringType(), True),
+            StructField("score", DoubleType(), True),
+            StructField("ratio", FloatType(), False),
+            StructField("n", IntegerType(), True),
+            StructField("ok", BooleanType(), False),
+            StructField("tags", ArrayType(StringType()), True),
+            StructField("meta", StructType([
+                StructField("k", IntegerType(), True),
+                StructField("inner", StructType([
+                    StructField("deep", StringType(), False),
+                ]), True),
+            ]), True),
+        ])
+        p = tmp_path / "gen.xsd"
+        p.write_text(struct_to_xsd(s, "rec"))
+        back = xsd_to_struct(p, "recType")
+        assert self._norm(back) == self._norm(s)
+
+    def test_unsupported_types_raise(self):
+        from pyspark.sql.types import (
+            ArrayType, MapType, StringType, StructField, StructType,
+        )
+
+        from xml_hive_spark.xsd import struct_to_xsd
+
+        with __import__("pytest").raises(ValueError):
+            struct_to_xsd(
+                StructType([StructField("m", MapType(StringType(), StringType()))]),
+                "rec",
+            )
+        with __import__("pytest").raises(ValueError):
+            struct_to_xsd(
+                StructType([
+                    StructField("aa", ArrayType(ArrayType(StringType())))
+                ]),
+                "rec",
+            )

@@ -741,3 +741,60 @@ def xml_corrupt_capture(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_corrupt"),
         good_cents.cast("long").alias("good_cents"),
     )
+
+
+@query(
+    "xsd_generate_roundtrip",
+    oracle="""
+SELECT n_regionkey AS region,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       min(n_name) AS first_nation
+FROM nation GROUP BY n_regionkey ORDER BY region
+""",
+    tags=("xml", "xsd", "generator", "roundtrip"),
+)
+def xsd_generate_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """INVERSE-XSD round trip: the nation table's Spark schema is
+    converted to a GENERATED XSD (``xsd.struct_to_xsd`` — the
+    direction the reference lacks; its converter is one-way,
+    XMLToAvroSchema.scala), the table is written as XML, and the XML
+    is read back THROUGH the generated XSD (generator → parser →
+    type-graph → StructType → reader, the full schema loop) and
+    aggregated against the source oracle. This is what makes any
+    DataFrame's schema shippable to any consumer of the reference's
+    XSD contract — and proves the two converters are true inverses on
+    live data, not just on fixtures."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from xml_hive_spark.reader import read_xml
+    from xml_hive_spark.sources.xml_sink import write_xml
+    from xml_hive_spark.xsd import struct_to_xsd
+
+    nation = t(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    schema = StructType([
+        StructField("n_nationkey", LongType(), False),
+        StructField("n_name", StringType(), False),
+        StructField("n_regionkey", LongType(), False),
+    ])
+    out = _scratch("xsdgen-")
+    xml_dir = out + "/nation_xml"
+    write_xml(nation, xml_dir, row_tag="nation", root_tag="nations")
+    xsd_path = os.path.join(out, "nation.xsd")
+    with open(xsd_path, "w", encoding="utf-8") as fh:
+        fh.write(struct_to_xsd(schema, "nation"))
+    back = read_xml(
+        spark, xml_dir + "/*.xml", "nation",
+        xsd=xsd_path, sep_tag_type="nationType",
+    )
+    return (
+        back.groupBy(F.col("n_regionkey").alias("region"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("region")
+    )

@@ -856,3 +856,86 @@ def _parse_with_scopes(
     if root is None:
         raise ValueError("empty XSD document")
     return root, scopes
+
+
+# ------------------------------------------------------- inverse direction
+
+
+def struct_to_xsd(
+    struct: StructType,
+    row_tag: str,
+    row_type_name: str | None = None,
+    rich_types: bool = False,
+) -> str:
+    """INVERSE converter: ``StructType`` → XSD document (the direction
+    the reference lacks — XMLToAvroSchema.scala is one-way). Emits one
+    ``xs:complexType`` per struct level (anonymous nested structs get
+    the reference's ``<name>Type`` synthetic naming convention,
+    XMLToAvroSchema.scala:287-297) with the §1.2 primitive table
+    inverted: Long→xs:long, Integer→xs:int, Double→xs:double,
+    Float→xs:float, Boolean→xs:boolean, String→xs:string (+
+    Date→xs:date / Timestamp→xs:dateTime when ``rich_types``).
+    ``nullable`` → ``minOccurs="0"`` and ``ArrayType`` →
+    ``maxOccurs="unbounded"`` — exactly the cardinality rules
+    ``struct_for`` applies forward, so
+    ``xsd_to_struct(struct_to_xsd(s)) == s`` round-trips (pinned in
+    tests/test_xsd.py). Generated XSDs make any DataFrame's schema
+    shippable to ANY consumer of the reference's XSD contract."""
+    from pyspark.sql import types as T
+
+    prim = {
+        T.LongType(): "xs:long",
+        T.IntegerType(): "xs:int",
+        T.DoubleType(): "xs:double",
+        T.FloatType(): "xs:float",
+        T.BooleanType(): "xs:boolean",
+        T.StringType(): "xs:string",
+    }
+    if rich_types:
+        prim[T.DateType()] = "xs:date"
+        prim[T.TimestampType()] = "xs:dateTime"
+    else:
+        prim[T.DateType()] = "xs:string"
+        prim[T.TimestampType()] = "xs:string"
+
+    complex_types: list[str] = []
+
+    def type_of(name: str, dt, lines: list[str]) -> str:
+        if isinstance(dt, T.StructType):
+            tname = f"{name}Type"
+            emit_complex(tname, dt)
+            return tname
+        if dt in prim:
+            return prim[dt]
+        raise ValueError(f"struct_to_xsd: unsupported type {dt} at {name}")
+
+    def emit_complex(tname: str, st: T.StructType) -> None:
+        lines = [f'  <xs:complexType name="{tname}">', "    <xs:sequence>"]
+        for f in st.fields:
+            dt, lo, hi = f.dataType, (0 if f.nullable else 1), 1
+            if isinstance(dt, T.ArrayType):
+                if isinstance(dt.elementType, T.ArrayType):
+                    raise ValueError(
+                        "struct_to_xsd: nested arrays need a wrapper struct"
+                    )
+                dt, lo, hi = dt.elementType, 0, -1
+            tn = type_of(f.name, dt, lines)
+            occurs = f'minOccurs="{lo}"'
+            if hi == -1:
+                occurs += ' maxOccurs="unbounded"'
+            lines.append(
+                f'      <xs:element name="{f.name}" type="{tn}" {occurs}/>'
+            )
+        lines += ["    </xs:sequence>", "  </xs:complexType>"]
+        complex_types.append("\n".join(lines))
+
+    rname = row_type_name or f"{row_tag}Type"
+    emit_complex(rname, struct)
+    body = "\n".join(complex_types)
+    return (
+        '<?xml version="1.0"?>\n'
+        '<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">\n'
+        f'  <xs:element name="{row_tag}" type="{rname}"/>\n'
+        f"{body}\n"
+        "</xs:schema>\n"
+    )
