@@ -58,6 +58,9 @@ HEADLINE = [
     # perception family (late round 7): real PNG decode per image +
     # banded fingerprint self-join — codec work feeding a join pipeline
     "image_phash_dedup",
+    # curation capstone (late round 7): dedup → quality → decontaminate
+    # → split in ONE DAG — the composed corpus workload
+    "corpus_curation_pipeline",
     # GB-scale XML source scan (1 GiB at sf0.1): the engine's raison
     # d'être — file generated once and cached under $TMPDIR/xmlhive_bench
     "xml_scan_bench",
