@@ -797,3 +797,68 @@ def daily_new_and_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@query(
+    "anomaly_mad_robust",
+    oracle="""
+WITH cents AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(c, 0.5) AS m FROM cents
+  GROUP BY event_type
+),
+dev AS (
+  SELECT c.event_type, c.c, abs(c.c - med.m) AS ad
+  FROM cents c JOIN med ON med.event_type = c.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev
+  GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_outliers,
+       CAST(max(d.c) AS BIGINT) AS max_outlier_cents
+FROM dev d JOIN mad ON mad.event_type = d.event_type
+WHERE d.ad * 10000 > 3 * 14826 * mad.mad
+GROUP BY d.event_type ORDER BY d.event_type
+""",
+    tags=("analytics", "anomaly", "robust-statistics"),
+)
+def anomaly_mad_robust(spark: SparkSession, sf: str) -> DataFrame:
+    """ROBUST outlier detection by median absolute deviation — the
+    resistant twin of ``anomaly_zscore_events`` (one wild value drags a
+    mean + stddev; it cannot drag two medians): per event type, median
+    of value-cents, MAD of the deviations (a second exact median —
+    the proven quantile_cont bit-parity), and the classic
+    |x − med| > 3·1.4826·MAD rule applied as an integer-scaled
+    comparison (·10000 vs 3·14826 — no float threshold), so the
+    outlier set is hash-exact cross-engine.
+
+    Scale shape: two group-keyed exact-percentile aggregates (each
+    sorts its group once) + one broadcast-back join; at petabyte
+    group sizes both medians swap for the histogram sketch
+    (``sketch_quantile_histogram``) at the same call sites."""
+    cents = t(spark, sf, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    med = cents.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("m")
+    )
+    dev = cents.join(F.broadcast(med), "event_type").select(
+        "event_type", "c", F.abs(F.col("c") - F.col("m")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("ad") * 10000 > 3 * 14826 * F.col("mad"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_outliers"),
+            F.max("c").cast("long").alias("max_outlier_cents"),
+        )
+        .orderBy("event_type")
+    )

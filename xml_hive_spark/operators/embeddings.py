@@ -117,3 +117,81 @@ def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.to_json("pc").alias("pc_json")  # canonicalizer-safe (no
         # raw array cells — the driver harness cannot hash list cells)
     )
+
+
+@query(
+    "embedding_drift_monitor",
+    oracle="""
+WITH halves AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS half,
+         embedding
+  FROM embeddings
+),
+per_dim AS (
+  SELECT half, t.i AS dim,
+         CAST(sum(CAST(CAST(embedding[t.i + 1] AS DOUBLE)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM halves CROSS JOIN range(0, 64) t(i)
+  GROUP BY half, dim
+),
+shift AS (
+  SELECT r.dim,
+         round(abs(r.s / r.n - c.s / c.n), 6) AS mean_shift
+  FROM per_dim r JOIN per_dim c ON r.dim = c.dim
+  WHERE r.half = 'ref' AND c.half = 'cur'
+)
+SELECT CAST(count(*) AS BIGINT) AS n_dims,
+       round(max(mean_shift), 6) AS max_shift,
+       CAST((SELECT dim FROM shift ORDER BY mean_shift DESC, dim LIMIT 1)
+            AS BIGINT) AS worst_dim
+FROM shift
+""",
+    tags=("embeddings", "drift", "monitoring"),
+)
+def embedding_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """EMBEDDING DRIFT monitor — the production check that a new model
+    version or data source hasn't shifted the vector distribution:
+    per-dimension mean of a reference split vs the current split
+    (even/odd vec_id stands in for yesterday/today), max absolute
+    mean-shift and the worst dimension. Sums ride the decimal-exact
+    ``dsum`` convention (order-independent, engine-identical) and the
+    final per-dim division/abs/round is one identical expression tree,
+    so the drift score itself is hash-checked.
+
+    Scale shape: ONE posexplode pass + a (2 × 64)-row aggregate —
+    map-side combine absorbs the corpus; the monitor's output is
+    O(dims) regardless of corpus size, and the per-dim summary table
+    is the mergeable artifact a daily job would persist."""
+    emb = t(spark, sf, "embeddings")
+    halves = emb.select(
+        F.when(F.col("vec_id") % 2 == 0, "ref").otherwise("cur").alias("half"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    per_dim = halves.groupBy("half", "dim").agg(
+        F.sum(F.col("x").cast("double").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    r = per_dim.filter(F.col("half") == "ref").select(
+        "dim", (F.col("s") / F.col("n")).alias("mr")
+    )
+    c = per_dim.filter(F.col("half") == "cur").select(
+        F.col("dim").alias("dim_c"), (F.col("s") / F.col("n")).alias("mc")
+    )
+    shift = r.join(c, r.dim == c.dim_c).select(
+        "dim", F.round(F.abs(F.col("mr") - F.col("mc")), 6).alias("mean_shift")
+    )
+    worst = (
+        shift.orderBy(F.col("mean_shift").desc(), "dim")
+        .limit(1)
+        .select(F.col("dim").cast("long").alias("worst_dim"))
+    )
+    return (
+        shift.agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.round(F.max("mean_shift"), 6).alias("max_shift"),
+        )
+        .crossJoin(F.broadcast(worst))
+    )
