@@ -851,3 +851,65 @@ def spatial_grid_join(spark: SparkSession, sf: str) -> DataFrame:
             F.min(d2).cast("long").alias("min_d2"),
         )
     )
+
+
+@query(
+    "bucketed_join_colocated",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+""",
+    tags=("join", "bucketing", "colocated", "scale"),
+)
+def bucketed_join_colocated(spark: SparkSession, sf: str) -> DataFrame:
+    """BUCKETED co-located fact-to-fact join — the stored-layout answer
+    to the shuffle problem (SURVEY §2.B join row; the strategy SCALE.md
+    prescribes for repeated orders⋈lineitem): both fact tables are
+    written bucketed (8 buckets, hashed and sorted on the join key), so
+    the sort-merge join reads matching buckets pairwise with NO
+    hash-partitioning Exchange on either side — at 100 TB, paying the
+    bucketing once at write time and never shuffling either fact table
+    on any subsequent join of that key. Shuffle elimination is pinned
+    in tests/test_bucketing.py (this query's oracle proves the VALUE is
+    the plain join's).
+
+    The bucket layout is Spark's own (murmur3 on the key mod buckets),
+    registered through the session catalog with explicit external
+    paths; a uuid-suffixed name keeps concurrent driver/bench runs
+    isolated (the returned plan is lazy, so the catalog entries stay
+    for the session — in-memory catalog, nothing persists past it)."""
+    import uuid
+
+    from xml_hive_spark.session import scratch_dir
+
+    sfx = uuid.uuid4().hex[:8]
+    d = scratch_dir("bkt-")
+    orders = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+     .sortBy("o_orderkey").option("path", d + "/orders_b")
+     .saveAsTable(f"orders_b_{sfx}"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+     .sortBy("l_orderkey").option("path", d + "/lineitem_b")
+     .saveAsTable(f"lineitem_b_{sfx}"))
+    ob = spark.table(f"orders_b_{sfx}")
+    lb = spark.table(f"lineitem_b_{sfx}")
+    out = (
+        ob.hint("merge")
+        .join(lb.hint("merge"), lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    return out
