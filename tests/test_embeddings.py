@@ -67,3 +67,62 @@ class TestProjectionQuery:
             # both sides round(6); partial-sum order can flip the last
             # digit at a rounding boundary
             assert np.allclose(got, expected[r.vec_id], atol=2e-6)
+
+
+class TestLogregDistributed:
+    def test_matches_numpy_full_batch(self, spark, sf_dir):
+        """The distributed partial-gradient loop must match a
+        single-process numpy implementation of the identical
+        full-batch GD (same init, lr, iterations) to float tolerance,
+        and beat the majority-class baseline."""
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from xml_hive_spark.operators import all_queries, t
+        from xml_hive_spark.operators.embeddings import logreg_fit
+
+        emb = t(spark, sf_dir, "embeddings").select(
+            "embedding", (F.col("label") % 2).cast("double").alias("y")
+        )
+        w = logreg_fit(emb)
+        rows = emb.collect()
+        x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+        y = np.array([r.y for r in rows])
+        xb = np.hstack([x, np.ones((len(y), 1))])
+        wn = np.zeros(65)
+        for _ in range(20):
+            p = 1.0 / (1.0 + np.exp(-(xb @ wn)))
+            wn = wn - 1.0 * (xb.T @ (p - y)) / len(y)
+        assert np.allclose(w, wn, rtol=1e-8, atol=1e-10)
+
+        out = all_queries()["logreg_train_distributed"].fn(spark, sf_dir)
+        res = out.collect()
+        total = sum(r.n for r in res)
+        correct = sum(r.n for r in res if r.true_class == r.predicted_class)
+        majority = max(y.mean(), 1 - y.mean())
+        assert correct / total > majority
+
+    def test_loss_descends(self, spark, sf_dir):
+        """More iterations must not increase the full-batch loss."""
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from xml_hive_spark.operators import t
+        from xml_hive_spark.operators.embeddings import logreg_fit
+
+        emb = t(spark, sf_dir, "embeddings").select(
+            "embedding", (F.col("label") % 2).cast("double").alias("y")
+        )
+        rows = emb.collect()
+        x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+        y = np.array([r.y for r in rows])
+        xb = np.hstack([x, np.ones((len(y), 1))])
+
+        def loss(w):
+            z = xb @ w
+            return float(np.mean(np.log1p(np.exp(-np.abs(z)))
+                                 + np.maximum(z, 0) - z * y))
+
+        w5 = logreg_fit(emb, iters=5)
+        w20 = logreg_fit(emb, iters=20)
+        assert loss(w20) <= loss(w5) + 1e-12

@@ -61,6 +61,8 @@ def test_registry_complete():
         # numpy parity pinned in test_embeddings
         "graph_pagerank",  # iterative double arithmetic — not bit-stable
         # cross-engine; numpy power-iteration parity in test_graph
+        "logreg_train_distributed",  # iterated sigmoid GD — not
+        # SQL-expressible; numpy parity in test_embeddings
         "multimodal_decode_stub",
         "multimodal_feature_extract",
         "multimodal_frame_sample",

@@ -195,3 +195,86 @@ def embedding_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(worst))
     )
+
+
+def logreg_fit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "y",
+    dim: int = 64,
+    iters: int = 20,
+    lr: float = 1.0,
+):
+    """Distributed full-batch logistic regression: per iteration ONE
+    mapInArrow pass emits each partition's gradient partial
+    (Σ (σ(Xw) − y)·x and the loss partial); the driver sums P partials
+    and takes the step — it holds ONLY the (dim+1) weight vector, never
+    a data row (the PCA/k-means partial-sums pattern applied to
+    supervised training). Deterministic: full-batch (no sampling, no
+    row-order dependence — partial sums are float adds over disjoint
+    partitions combined in sorted partition order), fixed iterations,
+    zero-initialized weights."""
+    import numpy as np
+    import pyarrow as pa
+
+    data = emb.select(vec_col, label_col)
+    w = np.zeros(dim + 1)
+
+    for _ in range(iters):
+        wb = w.copy()
+
+        def grad_partials(batches):
+            g = np.zeros(dim + 1)
+            n = 0
+            for b in batches:
+                x = np.stack(b.column(0).to_pylist()).astype(np.float64)
+                y = np.asarray(b.column(1).to_pylist(), dtype=np.float64)
+                xb = np.hstack([x, np.ones((len(y), 1))])
+                p = 1.0 / (1.0 + np.exp(-(xb @ wb)))
+                g += xb.T @ (p - y)
+                n += len(y)
+            yield pa.RecordBatch.from_pydict(
+                {"pid": [0], "g": [g.tolist()], "n": [n]}
+            )
+
+        parts = data.mapInArrow(
+            grad_partials, schema="pid long, g array<double>, n long"
+        ).collect()
+        total_n = sum(r.n for r in parts)
+        g = np.zeros(dim + 1)
+        for r in sorted(parts, key=lambda r: tuple(r.g)):
+            g += np.asarray(r.g)
+        w = w - lr * g / max(total_n, 1)
+    return w
+
+
+@query("logreg_train_distributed",
+       tags=("embeddings", "ml", "iterative", "logistic-regression"))
+def logreg_train_distributed(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed LOGISTIC-REGRESSION training over the embedding
+    corpus (binary target: odd label) — the supervised member of the
+    iterative family (k-means, PCA, PageRank, BPE): 20 full-batch
+    gradient steps, each ONE mapInArrow partial-gradient pass; the
+    driver state is a 65-float weight vector. Rows-only by design
+    (an iterated sigmoid/exp chain is not SQL-expressible and not
+    bit-stable cross-engine); numpy full-batch parity, loss descent,
+    and accuracy-above-majority are pinned in tests/test_embeddings.py.
+    Output: per true class, prediction counts from the trained model —
+    a bounded confusion summary."""
+    emb = t(spark, sf, "embeddings").select(
+        "embedding", (F.col("label") % 2).cast("double").alias("y")
+    )
+    w = logreg_fit(emb)
+    wl = [float(v) for v in w]
+    dot = sum(
+        F.col("embedding")[i].cast("double") * F.lit(wl[i]) for i in range(64)
+    ) + F.lit(wl[64])
+    return (
+        emb.select(
+            F.col("y").cast("long").alias("true_class"),
+            (dot > 0).cast("long").alias("predicted_class"),
+        )
+        .groupBy("true_class", "predicted_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_class", "predicted_class")
+    )
