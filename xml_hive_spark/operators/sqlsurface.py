@@ -312,3 +312,50 @@ WHERE c_nationkey IN (SELECT n_nationkey FROM nation
 """
     )
     return spark.sql("SELECT * FROM customer_masked")
+
+
+@query(
+    "hive_script_transform",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    tags=("sql", "hive", "transform", "script"),
+)
+def hive_script_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """HiveQL SCRIPT TRANSFORM — the `SELECT TRANSFORM(...) USING
+    'cmd'` surface Hive users pipe rows through external programs with
+    (the reference's users have this via Hive delegation; Spark runs
+    the no-serde mode natively, no Hive installation): every order row
+    crosses the process boundary as tab-separated text through
+    ``cat`` and is re-parsed, cast, and aggregated — the oracle on the
+    source table proves the row→TSV→subprocess→TSV→row boundary is
+    lossless.
+
+    Scale shape: the script runs per task (executor-side pipes, no
+    driver involvement) — the same distribution contract as any UDF;
+    per-row subprocess text IO is the slow path by design (this entry
+    exists for the SURFACE, like ``udf_python_scalar``)."""
+    register_views(spark, sf, "orders")
+    piped = spark.sql(
+        """
+SELECT TRANSFORM(o_orderkey, o_orderpriority)
+USING 'cat' AS (k STRING, prio STRING)
+FROM orders
+"""
+    )
+    return (
+        piped.select(
+            F.col("prio").alias("o_orderpriority"),
+            F.col("k").cast("long").alias("k"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("k").cast("long").alias("key_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
