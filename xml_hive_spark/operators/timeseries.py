@@ -408,3 +408,119 @@ def forecast_seasonal_naive_backtest(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "twap_time_weighted",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(epoch_us(lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS BIGINT) AS dt_us
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(cents * dt_us) AS BIGINT) AS twap_num,
+       CAST(SUM(dt_us) AS BIGINT) AS twap_den,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM seq WHERE dt_us IS NOT NULL
+GROUP BY user_id
+""",
+    tags=("timeseries", "twap", "finance"),
+)
+def twap_time_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME-WEIGHTED average price (TWAP) — the irregular-series
+    aggregate plain avg() gets wrong (a value holds until the NEXT
+    observation, so it must weigh by its holding duration): per user,
+    Σ value·Δt / Σ Δt with Δt from a lead() window under the total
+    (ts, event_id) order, carried as an EXACT integer
+    numerator/denominator pair (cents × epoch-microseconds — the
+    regression_slope convention), so the driver hash checks the
+    weighting bit-for-bit. The financial/IoT sibling of
+    ``window_rolling_1h``.
+
+    Scale shape: one user-keyed window + one user-keyed hash-agg on
+    the same partitioning — a single shuffle end to end."""
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).cast("long").alias("dt_us"),
+    )
+    return (
+        seq.filter(F.col("dt_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dt_us")).cast("long")
+            .alias("twap_num"),
+            F.sum("dt_us").cast("long").alias("twap_den"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+    )
+
+
+@query(
+    "ohlc_bars_hourly",
+    oracle="""
+WITH pricks AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS bar,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         -- unique integer ordering value, bar-relative so it can't
+         -- overflow: in-bar offset (< 3.6e9 us) * 2^31 + event_id
+         (epoch_us(ts) - epoch_us(date_trunc('hour', ts))) * 2147483648
+           + event_id AS ord
+  FROM events
+)
+SELECT event_type, bar,
+       CAST(min_by(cents, ord) AS BIGINT) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(max_by(cents, ord) AS BIGINT) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM pricks
+GROUP BY event_type, bar
+ORDER BY event_type, bar
+""",
+    tags=("timeseries", "ohlc", "resample", "finance"),
+)
+def ohlc_bars_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC bar resampling — the canonical financial/IoT downsample:
+    per (series, hour), the Opening and Closing tick (first/last by
+    time) plus the High/Low, in integer cents. First/last ride
+    min_by/max_by over a UNIQUE integer ordering value
+    (in-bar
+    microsecond offset · 2^31 + event_id — the ``agg_argmax_argmin``
+    determinism convention; bar-relative so the product stays inside
+    BIGINT: 3.6e9 µs/hour · 2^31 < 2^63).
+
+    Scale shape: ONE hash-agg with map-side combine — OHLC is fully
+    mergeable (min_by/max_by/min/max all are), which is why bar
+    construction scales to tick firehoses; output is
+    |series|×|hours|."""
+    ev = t(spark, sf, "events")
+    ordv = (
+        F.unix_micros("ts") - F.unix_micros(F.date_trunc("hour", "ts"))
+    ) * 2147483648 + F.col("event_id")
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bar"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            ordv.alias("ord"),
+        )
+        .groupBy("event_type", "bar")
+        .agg(
+            F.expr("min_by(cents, ord)").cast("long").alias("open_cents"),
+            F.max("cents").cast("long").alias("high_cents"),
+            F.min("cents").cast("long").alias("low_cents"),
+            F.expr("max_by(cents, ord)").cast("long").alias("close_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+        .orderBy("event_type", "bar")
+    )
