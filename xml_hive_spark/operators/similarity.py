@@ -1040,3 +1040,88 @@ def knn_classify_majority(spark: SparkSession, sf: str) -> DataFrame:
             "n_votes",
         )
     )
+
+
+@query(
+    "maxsim_late_interaction",
+    oracle="""
+WITH toks AS (
+  SELECT vec_id // 4 AS doc, vec_id % 4 AS tok, embedding AS e
+  FROM embeddings
+),
+q AS (SELECT doc AS qdoc, tok AS qtok, e AS qe FROM toks WHERE doc < 2),
+d AS (SELECT doc, tok, e FROM toks WHERE doc >= 2),
+sims AS (
+  SELECT q.qdoc, q.qtok, d.doc,
+         round(
+           (SELECT sum(CAST(qe[i + 1] AS DOUBLE) * CAST(e[i + 1] AS DOUBLE))
+            FROM range(64) r(i))
+           / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS s
+  FROM q, d
+),
+best AS (
+  SELECT qdoc, qtok, doc, MAX(s) AS mx FROM sims GROUP BY qdoc, qtok, doc
+),
+scored AS (
+  SELECT qdoc, doc, round(SUM(mx), 4) AS maxsim
+  FROM best GROUP BY qdoc, doc
+)
+SELECT qdoc, doc, maxsim, rank FROM (
+  SELECT qdoc, doc, maxsim,
+         row_number() OVER (PARTITION BY qdoc
+                            ORDER BY maxsim DESC, doc) AS rank
+  FROM scored) x
+WHERE rank <= 3
+""",
+    tags=("similarity", "maxsim", "late-interaction", "colbert"),
+)
+def maxsim_late_interaction(spark: SparkSession, sf: str) -> DataFrame:
+    """LATE-INTERACTION retrieval (the ColBERT MaxSim operator): both
+    queries and documents are BAGS of token vectors (4 consecutive
+    vec_ids form one multi-vector doc), and the score is
+    Σ_{query token} max_{doc token} cos(q, d) — token-level matching
+    that single-vector cosine collapses away. Top-3 docs per query,
+    fully value-oracled including the float scoring (identical
+    expression tree + the round-4 convention at BOTH reduction stages,
+    so max/sum see identical doubles).
+
+    Scale shape: token-pair similarities are a broadcast of the
+    (benchmark-bounded) query token bag against one corpus scan; the
+    two reductions (max per (query-token, doc), sum per (query, doc))
+    are hash-aggs keyed on the doc — at corpus scale the doc-token
+    scan is pruned first by a single-vector ANN shortlist (the
+    ``ann_index`` two-stage serving pattern), which composes here as a
+    filter on ``d`` ahead of the exact MaxSim."""
+    emb = t(spark, sf, "embeddings").select(
+        (F.col("vec_id") / 4).cast("long").alias("doc"),
+        (F.col("vec_id") % 4).alias("tok"),
+        F.col("embedding").alias("e"),
+    )
+    q = F.broadcast(
+        emb.filter(F.col("doc") < 2).select(
+            F.col("doc").alias("qdoc"),
+            F.col("tok").alias("qtok"),
+            F.col("e").alias("qe"),
+        )
+    )
+    d = emb.filter(F.col("doc") >= 2)
+    sims = q.crossJoin(d).select(
+        "qdoc", "qtok", "doc",
+        F.round(
+            _dot(F.col("qe"), F.col("e"))
+            / (_norm(F.col("qe")) * _norm(F.col("e"))),
+            4,
+        ).alias("s"),
+    )
+    best = sims.groupBy("qdoc", "qtok", "doc").agg(F.max("s").alias("mx"))
+    scored = best.groupBy("qdoc", "doc").agg(
+        F.round(F.sum("mx"), 4).alias("maxsim")
+    )
+    w = Window.partitionBy("qdoc").orderBy(F.col("maxsim").desc(), "doc")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qdoc", "doc", "maxsim", "rank")
+    )
