@@ -124,11 +124,15 @@ _LOADED = False
 # queries NEW early-r7 (all full-oracle) + the 14 NEW mid-r7 queries
 # (analytics/LM/graph/linkage/xpath/streaming families; 13 full-oracle)
 # + 4 late-r7 first-checks (perception/BFS/time-travel) = 50. r8
-# rotation leads with the four remaining late-r7 additions, the
-# displaced r5 canaries, and the r4 refreshes (README "Correctness
-# rotation"). Outside-window queries are covered meanwhile by the
-# identical local gate (tools/verify_local.py, pandas-canonicalizing
-# like the driver).
+# rotation leads with the late-r7 additions that postdate this window
+# (all local-gate green; enumerate with
+# `[n for n in all_queries() if n not in _DRIVER_WINDOW and
+#   <never in a CORRECTNESS_r*.json>]` — the sketch/regression/phrase/
+# stratified quartet plus the perception, lakehouse, governance,
+# financial, CEP, retrieval, and ML additions), then the displaced r5
+# canaries and the r4 refreshes (README "Correctness rotation").
+# Outside-window queries are covered meanwhile by the identical local
+# gate (tools/verify_local.py, pandas-canonicalizing like the driver).
 _DRIVER_WINDOW = [
     # --- never driver-checked (late r6 additions) (11) ---
     "setsim_join_prefix",
