@@ -1125,3 +1125,86 @@ def maxsim_late_interaction(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("qdoc", "doc", "maxsim", "rank")
     )
+
+
+@query(
+    "hybrid_rank_fusion_rrf",
+    oracle="""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+n AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings
+      WHERE vec_id <> 0),
+scored AS (
+  SELECT nid,
+         round(
+           (SELECT sum(CAST(qe[i + 1] AS DOUBLE) * CAST(ne[i + 1] AS DOUBLE))
+            FROM range(64) r(i))
+           / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS cos_s,
+         round(
+           (SELECT sum(CAST(qe[i + 1] AS DOUBLE) * CAST(ne[i + 1] AS DOUBLE))
+            FROM range(64) r(i)), 4) AS dot_s
+  FROM q, n
+),
+ranked AS (
+  SELECT nid,
+         row_number() OVER (ORDER BY cos_s DESC, nid) AS r_cos,
+         row_number() OVER (ORDER BY dot_s DESC, nid) AS r_dot
+  FROM scored
+)
+SELECT nid, CAST(r_cos AS BIGINT) AS r_cos, CAST(r_dot AS BIGINT) AS r_dot,
+       CAST(1000000 // (60 + r_cos) + 1000000 // (60 + r_dot) AS BIGINT)
+         AS rrf_milli
+FROM ranked
+ORDER BY rrf_milli DESC, nid
+LIMIT 10
+""",
+    tags=("similarity", "hybrid", "rrf", "rank-fusion"),
+)
+def hybrid_rank_fusion_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """HYBRID retrieval by reciprocal-rank fusion — the standard way to
+    merge rankings from incomparable scorers (BM25 + vectors in
+    production; here two vector scorers with different geometry —
+    normalized cosine vs raw inner product, which disagree whenever
+    corpus norms vary): RRF = Σ 1/(60+rank), computed as EXACT integer
+    micro-units (10^6 // (60+r) — no float fusion, so the fused
+    ranking is hash-exact even where the two base scores are
+    float-derived). Top-10 with deterministic tie-breaks.
+
+    Scale shape: one broadcast-query corpus scan produces BOTH scores
+    (shared subexpression); each ranking is a single-partition window
+    over the candidate set — at corpus scale candidates come from each
+    scorer's own top-k shortlist (TakeOrdered per scorer, the
+    ``partial_topk_per_query`` shape) and the fusion window runs over
+    2k rows, never the corpus."""
+    emb = t(spark, sf, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    )
+    n = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ne")
+    )
+    scored = q.crossJoin(n).select(
+        "nid",
+        F.round(
+            _dot(F.col("qe"), F.col("ne"))
+            / (_norm(F.col("qe")) * _norm(F.col("ne"))),
+            4,
+        ).alias("cos_s"),
+        F.round(_dot(F.col("qe"), F.col("ne")), 4).alias("dot_s"),
+    )
+    wc = Window.orderBy(F.col("cos_s").desc(), "nid")
+    wd = Window.orderBy(F.col("dot_s").desc(), "nid")
+    ranked = scored.select(
+        "nid",
+        F.row_number().over(wc).cast("long").alias("r_cos"),
+        F.row_number().over(wd).cast("long").alias("r_dot"),
+    )
+    rrf = (
+        F.expr("1000000 DIV (60 + r_cos)") + F.expr("1000000 DIV (60 + r_dot)")
+    ).cast("long")
+    return (
+        ranked.select("nid", "r_cos", "r_dot", rrf.alias("rrf_milli"))
+        .orderBy(F.col("rrf_milli").desc(), "nid")
+        .limit(10)
+    )
