@@ -862,3 +862,61 @@ def anomaly_mad_robust(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "pareto_skyline_2d",
+    oracle="""
+WITH pts AS (
+  SELECT DISTINCT
+    CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS price_k,
+    CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+         AS BIGINT) AS day
+  FROM orders
+)
+SELECT p.price_k, p.day
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price_k <= p.price_k AND q.day >= p.day
+    AND (q.price_k < p.price_k OR q.day > p.day)
+)
+""",
+    tags=("analytics", "skyline", "pareto", "multi-objective"),
+)
+def pareto_skyline_2d(spark: SparkSession, sf: str) -> DataFrame:
+    """PARETO SKYLINE (multi-objective dominance): the order-price ×
+    recency points no other point strictly dominates (cheaper AND more
+    recent) — the classic preference query behind "best tradeoff"
+    dashboards. Points are DISTINCT bucketed integers ($1000 price
+    buckets × days), so strict dominance is tie-unambiguous and the
+    point set is bounded by the bucket grid, not the row count.
+
+    Plan shape: the dominance test is an anti-join with inequality-only
+    conditions over the DISTINCT point set — a broadcast nested-loop by
+    necessity, which is exactly why the points are pre-aggregated to a
+    bounded grid first (corpus rows never enter the quadratic step; the
+    grid is |price buckets| × |days| at most). At larger grids the
+    standard sweep replaces it: sort by price, keep points whose day
+    exceeds the running max — one sort + one window, O(n log n); the
+    anti-join form is kept here because it is the shape the oracle can
+    state exactly."""
+    orders = t(spark, sf, "orders")
+    pts = orders.select(
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT) DIV 100000"
+        ).alias("price_k"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    p, q = pts.alias("p"), pts.alias("q")
+    dominated = (
+        (F.col("q.price_k") <= F.col("p.price_k"))
+        & (F.col("q.day") >= F.col("p.day"))
+        & (
+            (F.col("q.price_k") < F.col("p.price_k"))
+            | (F.col("q.day") > F.col("p.day"))
+        )
+    )
+    return p.join(q, dominated, "left_anti").select("p.price_k", "p.day")
