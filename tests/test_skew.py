@@ -40,3 +40,49 @@ def test_salt_actually_spreads(spark):
     salted = left.withColumn(SALT_COL, (F.rand(seed=42) * 8).cast("int"))
     n_groups = salted.select(SALT_COL).distinct().count()
     assert n_groups >= 6
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """AQE's runtime skew handling must actually fire on a planted hot
+    key (SCALE.md's claimed mitigation): with the skew thresholds
+    scaled to test size and broadcast disabled, the finalized adaptive
+    plan marks the sort-merge join's skewed side (skew=true) and the
+    result still equals the exact expected row count."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        cold = spark.range(1, 101).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        left = hot.unionAll(cold)
+        right = spark.range(0, 101).select(
+            F.col("id").alias("k"), F.lit(1).alias("w")
+        )
+        joined = left.join(right, "k")
+        # collect() executes THIS dataset's adaptive plan (count() would
+        # finalize a different tree and leave this one isFinalPlan=false)
+        n = len(joined.collect())
+        assert n == 200_000 + 100
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
