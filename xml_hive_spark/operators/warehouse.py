@@ -604,3 +604,77 @@ def sample_stratified_exact(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .drop("rk")
     )
+
+
+@query(
+    "scd2_early_arriving_fact",
+    oracle="""
+WITH dim AS (  -- versions valid [eff, end): one per customer half-year
+  SELECT c_custkey,
+         CAST('1995-01-01' AS DATE) AS eff,
+         CAST('1996-07-01' AS DATE) AS endd,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 7 <> 0  -- 1-in-7 dims arrive LATE
+)
+SELECT coalesce(d.c_mktsegment, 'UNKNOWN') AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unmatched,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders o
+LEFT JOIN dim d
+  ON d.c_custkey = o.o_custkey
+ AND o.o_orderdate >= CAST(d.eff AS TIMESTAMP)
+ AND o.o_orderdate <  CAST(d.endd AS TIMESTAMP)
+WHERE o.o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY segment ORDER BY segment
+""",
+    tags=("warehouse", "scd2", "early-arriving-fact"),
+)
+def scd2_early_arriving_fact(spark: SparkSession, sf: str) -> DataFrame:
+    """EARLY-ARRIVING FACTS (late-arriving dimension) handling — the
+    other half of the SCD2 contract beside the point-in-time join:
+    facts whose dimension member hasn't arrived yet (1-in-7 customers
+    withheld) must NOT be dropped or mis-joined; they route to the
+    'UNKNOWN' member via LEFT join + coalesce and are counted so the
+    backfill job knows its backlog. The oracle value-checks both the
+    routing and the unmatched accounting.
+
+    Scale shape: one equi-join on the key with the validity-range
+    predicate as a post-join filter (version ranges partition time —
+    the ``scd2_point_in_time_join`` shape) kept LEFT so unmatched
+    facts survive; the unknown-member branch is a per-row coalesce,
+    free at any scale."""
+    cust = t(spark, sf, "customer")
+    dim = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        F.lit("1995-01-01").cast("date").alias("eff"),
+        F.lit("1996-07-01").cast("date").alias("endd"),
+        "c_mktsegment",
+    )
+    orders = t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < "1996-07-01"
+    )
+    joined = orders.join(
+        dim,
+        (dim.c_custkey == orders.o_custkey)
+        & (orders.o_orderdate >= dim.eff.cast("timestamp"))
+        & (orders.o_orderdate < dim.endd.cast("timestamp")),
+        "left",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_unmatched"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("segment")
+    )
