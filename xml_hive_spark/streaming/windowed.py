@@ -285,3 +285,77 @@ def streaming_quantile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     reads; stream-equals-batch is additionally pinned in
     tests/test_streaming.py."""
     return run_streaming_quantile_histogram(spark, sf)
+
+
+def run_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bar construction: open/close ride min_by/max_by
+    over the bar-relative unique ordering value (the batch
+    ``ohlc_bars_hourly`` convention) — all four OHLC aggregates are
+    MERGEABLE, so complete-mode state is |series|×|hours| rows and the
+    drained bars equal the batch bars exactly (availableNow), giving a
+    streaming query a FULL value oracle."""
+    ev = streaming_events(spark, sf_dir)
+    ordv = (
+        F.unix_micros("ts") - F.unix_micros(F.date_trunc("hour", "ts"))
+    ) * 2147483648 + F.col("event_id")
+    bars = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bar"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            ordv.alias("ord"),
+        )
+        .groupBy("event_type", "bar")
+        .agg(
+            F.expr("min_by(cents, ord)").cast("long").alias("open_cents"),
+            F.max("cents").cast("long").alias("high_cents"),
+            F.min("cents").cast("long").alias("low_cents"),
+            F.expr("max_by(cents, ord)").cast("long").alias("close_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+    )
+    name = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+    q = (
+        bars.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", scratch_dir("ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("availableNow drain did not finish within 120s")
+    return spark.table(name).orderBy("event_type", "bar")
+
+
+@query(
+    "streaming_ohlc_bars",
+    oracle="""
+WITH pricks AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS bar,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         (epoch_us(ts) - epoch_us(date_trunc('hour', ts))) * 2147483648
+           + event_id AS ord
+  FROM events
+)
+SELECT event_type, bar,
+       CAST(min_by(cents, ord) AS BIGINT) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(max_by(cents, ord) AS BIGINT) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM pricks
+GROUP BY event_type, bar
+ORDER BY event_type, bar
+""",
+    tags=("streaming", "ohlc", "finance"),
+)
+def streaming_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry entry: streaming OHLC bars with bounded complete-mode
+    state (see :func:`run_streaming_ohlc`); full value oracle — the
+    batch ``ohlc_bars_hourly`` oracle applies verbatim because every
+    OHLC aggregate is mergeable and availableNow drains
+    batch-equivalently."""
+    return run_streaming_ohlc(spark, sf)
