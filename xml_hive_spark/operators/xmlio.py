@@ -798,3 +798,54 @@ def xsd_generate_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@query(
+    "xml_attribute_roundtrip",
+    oracle="""
+SELECT n_regionkey AS region,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       min(n_name) AS first_nation
+FROM nation GROUP BY n_regionkey ORDER BY region
+""",
+    tags=("xml", "sink", "attributes", "roundtrip"),
+)
+def xml_attribute_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """XML ATTRIBUTE round trip through the sink: the region key is
+    written as an XML ATTRIBUTE (`<nation n_regionkey="...">` — Spark's
+    XML sink attributePrefix convention) while the other fields stay
+    elements, then read back through OUR reader, whose attribute
+    extraction (reference parity: AvroTransormer.scala:180-188 /
+    setAttributes) assigns it to the schema field of the same name.
+    The aggregate oracles against the source table, so BOTH the sink's
+    attribute emission and the reader's attribute path are value-checked
+    in one query — ``xml_write_roundtrip`` covers the all-elements
+    shape; this covers the mixed attribute/element record."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from xml_hive_spark.reader import read_xml
+    from xml_hive_spark.sources.xml_sink import write_xml
+
+    nation = t(spark, sf, "nation").select(
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").alias("_n_regionkey"),  # "_" → attribute
+    )
+    out = _scratch("attr-rt-") + "/nation_xml"
+    write_xml(nation, out, row_tag="nation", root_tag="nations")
+    schema = StructType([
+        StructField("n_nationkey", LongType(), True,
+                    metadata={"xmlKind": "element"}),
+        StructField("n_name", StringType(), True,
+                    metadata={"xmlKind": "element"}),
+        StructField("n_regionkey", LongType(), True),
+    ])
+    back = read_xml(spark, out + "/*.xml", row_tag="nation", schema=schema)
+    return (
+        back.groupBy(F.col("n_regionkey").alias("region"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("region")
+    )
