@@ -553,3 +553,110 @@ def multimodal_image_augment(spark: SparkSession, sf: str) -> DataFrame:
     from xml_hive_spark.operators.multimodal import synth_png_stage
 
     return augment_stage(synth_png_stage(docs))
+
+
+def synth_group_png_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode one real PNG per row with GROUP-UNIFORM dims (4
+    consecutive ids share base = id − id%4; w = 8 + base%5,
+    h = 8 + base%3) so group members tile; pixels
+    px[i] = (id·2654435761 + i·40503) mod 256 stay per-MEMBER."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xml_hive_spark.operators.png import png_encode
+
+        for pdf in batches:
+            ids, bases, payloads = [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                base = did - did % 4
+                w, h = 8 + base % 5, 8 + base % 3
+                i = np.arange(w * h, dtype=np.int64)
+                px = ((did * _PX_A + i * _PX_B) % 256).astype(np.uint8)
+                ids.append(did)
+                bases.append(base)
+                payloads.append(png_encode(px.reshape(h, w)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "base": bases, "payload": payloads}
+            )
+
+    return df.mapInPandas(synth, schema="doc_id long, base long, payload binary")
+
+
+@query(
+    "multimodal_tile_composite",
+    oracle="""
+WITH g AS (
+  SELECT DISTINCT doc_id - (doc_id % 4) AS base FROM documents
+  WHERE EXISTS (SELECT 1 FROM documents d2
+                WHERE d2.doc_id = doc_id - (doc_id % 4) + 3)
+),
+dims AS (
+  SELECT base, 8 + base % 5 AS w, 8 + base % 3 AS h FROM g
+)
+SELECT d.base,
+       CAST(2 * d.h AS INT) AS out_h,
+       CAST(2 * d.w AS INT) AS out_w,
+       CAST(SUM(((d.base + (t.i // (2 * d.w * d.h)) * 2
+                  + ((t.i % (2 * d.w)) // d.w)) * 2654435761
+                 + (((t.i // (2 * d.w)) % d.h) * d.w + t.i % d.w) * 40503)
+                % 256) AS BIGINT) AS c_sum,
+       CAST(SUM(t.i * (((d.base + (t.i // (2 * d.w * d.h)) * 2
+                  + ((t.i % (2 * d.w)) // d.w)) * 2654435761
+                 + (((t.i // (2 * d.w)) % d.h) * d.w + t.i % d.w) * 40503)
+                % 256)) AS BIGINT) AS c_dot
+FROM dims d CROSS JOIN range(0, 480) t(i)  -- 480 = max 2h*2w = 20*24
+WHERE t.i < 4 * d.w * d.h
+GROUP BY d.base, d.w, d.h
+""",
+    tags=("multimodal", "image", "composite", "codec", "grouped"),
+)
+def multimodal_tile_composite(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPED image composition (the contact-sheet / sprite-sheet
+    transform): each group of 4 consecutive documents' PNGs is decoded,
+    tiled 2×2 into one composite canvas, the composite RE-ENCODED as a
+    real PNG and decoded again, with order-sensitive checksums over the
+    composite stream. The grouped shape runs as ``applyInPandas`` over
+    the base key — the multi-INPUT multimodal operator the per-row
+    pipelines don't exercise (group members must meet in one task).
+    The oracle recomputes the composite purely by index arithmetic
+    (quadrant = (row÷h)·2 + col÷w selects the member id; inner offset
+    re-indexes into that member's formula).
+
+    Scale shape: one hash-shuffle on the group key (bounded groups of
+    4), then per-group Python = the codec work; composite groups are
+    the unit of parallelism."""
+    import numpy as np
+
+    docs = t(spark, sf, "documents").select("doc_id")
+    staged = synth_group_png_stage(docs)
+
+    def compose(pdf: pd.DataFrame) -> pd.DataFrame:
+        from xml_hive_spark.operators.png import png_decode, png_encode
+
+        if len(pdf) != 4:  # incomplete trailing group: no composite
+            return pd.DataFrame(
+                {"base": [], "out_h": [], "out_w": [],
+                 "c_sum": [], "c_dot": []}
+            ).astype({"base": "int64", "out_h": "int32",
+                      "out_w": "int32", "c_sum": "int64", "c_dot": "int64"})
+        pdf = pdf.sort_values("doc_id")
+        imgs = [png_decode(bytes(p)) for p in pdf["payload"]]
+        h, w = imgs[0].shape
+        canvas = np.zeros((2 * h, 2 * w), dtype=np.uint8)
+        for q, img in enumerate(imgs):
+            r0, c0 = (q // 2) * h, (q % 2) * w
+            canvas[r0 : r0 + h, c0 : c0 + w] = img
+        back = png_decode(png_encode(canvas)).reshape(-1).astype(np.int64)
+        i = np.arange(back.size, dtype=np.int64)
+        return pd.DataFrame(
+            {"base": [int(pdf["base"].iloc[0])],
+             "out_h": [2 * h], "out_w": [2 * w],
+             "c_sum": [int(back.sum())],
+             "c_dot": [int((i * back).sum())]}
+        )
+
+    return staged.groupBy("base").applyInPandas(
+        compose,
+        schema="base long, out_h int, out_w int, c_sum long, c_dot long",
+    )
