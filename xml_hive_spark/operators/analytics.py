@@ -920,3 +920,77 @@ def pareto_skyline_2d(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return p.join(q, dominated, "left_anti").select("p.price_k", "p.day")
+
+
+@query(
+    "chi_square_independence",
+    oracle="""
+WITH obs AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS s,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders GROUP BY p, s
+),
+margins AS (
+  SELECT p, s, o,
+         SUM(o) OVER (PARTITION BY p) AS rp,
+         SUM(o) OVER (PARTITION BY s) AS cs,
+         SUM(o) OVER () AS n
+  FROM obs
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((SELECT (COUNT(DISTINCT p) - 1) * (COUNT(DISTINCT s) - 1)
+             FROM obs) AS BIGINT) AS dof,
+       CAST(SUM((n * o - rp * cs) * (n * o - rp * cs) // (n * rp * cs))
+            AS BIGINT) AS chi2_scaled
+FROM margins
+""",
+    tags=("analytics", "statistics", "chi-square"),
+)
+def chi_square_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """χ² INDEPENDENCE test (order priority ⊥ order status?) computed
+    with EXACT integer arithmetic: per cell,
+    (n·O − R·C)² / (n·R·C) — algebraically n·(O−E)²/E with E = R·C/n,
+    kept as integer numerators with one truncating division per cell
+    (identical on both engines, verified for negative operands) — so
+    the test statistic is hash-exact where a float χ² never is. The
+    contingency table is |priorities|×|statuses| cells; dof comes with
+    it.
+
+    Scale shape: one hash-agg to the contingency table, margin windows
+    over the bounded table (15 cells), and a scalar out — the
+    independence test costs one aggregation scan at any corpus size.
+    Overflow headroom: (n·O − R·C)² stays inside BIGINT while
+    n·max(O) < 3·10⁹ (holds through ~sf0.2 here); past that the same
+    expressions escalate to DECIMAL(38,0), the
+    ``regression_slope_closed_form`` convention."""
+    orders = t(spark, sf, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_orderstatus").alias("s"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    wp = Window.partitionBy("p")
+    ws = Window.partitionBy("s")
+    wn = Window.partitionBy()
+    m = obs.select(
+        "p", "s", "o",
+        F.sum("o").over(wp).alias("rp"),
+        F.sum("o").over(ws).alias("cs"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    num = F.col("n") * F.col("o") - F.col("rp") * F.col("cs")
+    cell = F.expr(
+        "(n * o - rp * cs) * (n * o - rp * cs) DIV (n * rp * cs)"
+    )
+    dof = obs.agg(
+        (
+            (F.countDistinct("p") - 1) * (F.countDistinct("s") - 1)
+        ).cast("long").alias("dof")
+    )
+    return (
+        m.agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum(cell).cast("long").alias("chi2_scaled"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select("n_cells", "dof", "chi2_scaled")
+    )
