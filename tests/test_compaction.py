@@ -65,3 +65,39 @@ def test_compact_small_files_query_reduces_files(spark, sf_dir):
     newest = max(roots, key=os.path.getmtime)
     files = _parquet_files(newest)
     assert 1 <= len(files) <= 2  # sf0.001 events << 32 MiB target
+
+
+def test_zstd_smaller_than_snappy(spark, sf_dir):
+    """The zstd codec must actually shrink the same data vs snappy
+    (the size effect the parquet_codec_zstd oracle can't see), and
+    both copies must read back identically."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_comment"
+        if "l_comment" in spark.read.parquet(
+            f"{sf_dir}/lineitem.parquet").columns else "l_quantity"
+    )
+    d = tempfile.mkdtemp(prefix="xmlhive-codec-")
+
+    def write(codec):
+        p = os.path.join(d, codec)
+        li.coalesce(1).write.mode("overwrite").option(
+            "compression", codec).parquet(p)
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p) if f.endswith(".parquet")
+        )
+
+    zstd, snappy = write("zstd"), write("snappy")
+    assert zstd < snappy, (zstd, snappy)
+    a = spark.read.parquet(os.path.join(d, "zstd")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+    ).collect()
+    b = spark.read.parquet(os.path.join(d, "snappy")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+    ).collect()
+    assert a == b

@@ -469,3 +469,44 @@ def snapshot_change_feed(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "parquet_codec_zstd",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("storage", "parquet", "compression", "zstd"),
+)
+def parquet_codec_zstd(spark: SparkSession, sf: str) -> DataFrame:
+    """Compression-codec control on the parquet sink: lineitem written
+    with ZSTD (the 100 TB default — snappy's speed with ~30 % smaller
+    files; at fleet scale codec choice is a storage-bill lever) and
+    read back for the oracle aggregate — codec choice must be
+    value-invisible, which the hash gate proves. The size effect
+    (zstd < snappy on this data) is pinned separately in
+    tests/test_compaction.py since file sizes aren't oracle-visible.
+
+    Scale note: column-chunk compression composes with every other
+    layout lever here (Z-order clustering, bucketing, compaction
+    targets) — it changes bytes, never plans."""
+    out = _roundtrip_dir("zstd", sf)
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    li.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
