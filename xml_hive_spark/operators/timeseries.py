@@ -524,3 +524,53 @@ def ohlc_bars_hourly(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "bar")
     )
+
+
+@query(
+    "max_drawdown_per_user",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         MAX(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS peak
+  FROM events
+)
+SELECT user_id,
+       CAST(MAX(peak) AS BIGINT) AS peak_cents,
+       CAST(MAX(peak - cents) AS BIGINT) AS max_drawdown_cents,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM seq GROUP BY user_id
+""",
+    tags=("timeseries", "drawdown", "finance", "window"),
+)
+def max_drawdown_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN — the canonical risk metric over an ordered
+    value series: per user, the running peak (cumulative max under the
+    total (ts, event_id) order) and the largest peak-to-current drop,
+    all in integer cents so the metric is hash-exact. Completes the
+    finance/IoT window family (TWAP, OHLC, rolling 1h, moving avg).
+
+    Scale shape: one user-keyed ordered window (running max is an
+    O(1)-state frame) + one hash-agg on the SAME partitioning — a
+    single shuffle end to end, the ``twap_time_weighted`` shape."""
+    ev = t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    seq = ev.select(
+        "user_id",
+        cents.alias("cents"),
+        F.max(cents).over(w).alias("peak"),
+    )
+    return seq.groupBy("user_id").agg(
+        F.max("peak").cast("long").alias("peak_cents"),
+        F.max(F.col("peak") - F.col("cents")).cast("long")
+        .alias("max_drawdown_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+    )
