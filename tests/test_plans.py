@@ -195,6 +195,58 @@ def test_bm25_topk_is_take_ordered_not_global_window(spark, sf_dir):
     assert win_idx[0] < min(take_idx)
 
 
+def test_rrf_shortlists_take_ordered_not_corpus_windows(spark, sf_dir):
+    """RRF fusion: the corpus must NOT flow into a single reducer to be
+    ranked — each scorer's shortlist is a TakeOrderedAndProject
+    (per-partition top-k heaps), the two rank windows run over only the
+    50 shortlist survivors, and the fused top-10 is a third TakeOrdered.
+    (This is the BM25 funnel fix applied to the retrieval family.)"""
+    plan = plan_of(spark, sf_dir, "hybrid_rank_fusion_rrf")
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines)
+               if "Window" in l and "row_number" in l
+               and "WindowGroupLimit" not in l]
+    take_idx = [i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l]
+    assert len(win_idx) == 2, plan          # one rank window per scorer
+    assert len(take_idx) >= 3, plan         # 2 shortlists + fused top-10
+    # top-down print: each rank window must have a TakeOrdered BELOW it
+    # (its input is the 50-row shortlist, never the scored corpus)
+    for w in win_idx:
+        assert any(t > w for t in take_idx), plan
+
+
+def test_knn_neighbor_ranking_is_two_phase(spark, sf_dir):
+    """k-NN classify: Q×N scored pairs must NOT funnel into Q reducers —
+    neighbor selection is the partition-local partial top-k (MapInArrow,
+    zero exchange) and every window (neighbor merge + vote) consumes only
+    the reduced output above it in the plan."""
+    plan = plan_of(spark, sf_dir, "knn_classify_majority")
+    lines = plan.splitlines()
+    map_idx = [i for i, l in enumerate(lines) if "MapInArrow" in l]
+    assert map_idx, plan                    # partial top-k phase present
+    win_idx = [i for i, l in enumerate(lines)
+               if "Window" in l and "row_number" in l
+               and "WindowGroupLimit" not in l]
+    assert win_idx, plan
+    # top-down print: all ranking windows sit ABOVE the Arrow reduction
+    assert all(w < min(map_idx) for w in win_idx), plan
+
+
+def test_maxsim_ranking_is_two_phase(spark, sf_dir):
+    """MaxSim late-interaction: the per-query doc ranking must consume
+    the partition-local partial top-3 (MapInArrow), never N scored docs
+    funneled into Q reducers."""
+    plan = plan_of(spark, sf_dir, "maxsim_late_interaction")
+    lines = plan.splitlines()
+    map_idx = [i for i, l in enumerate(lines) if "MapInArrow" in l]
+    assert map_idx, plan
+    win_idx = [i for i, l in enumerate(lines)
+               if "Window" in l and "row_number" in l
+               and "WindowGroupLimit" not in l]
+    assert len(win_idx) == 1, plan
+    assert win_idx[0] < min(map_idx), plan
+
+
 def test_vocab_topk_partial_agg_and_heap(spark, sf_dir):
     """Vocabulary build: the shuffle must carry (word, partial_count)
     pairs (map-side combine), and the top-k must be per-partition heaps

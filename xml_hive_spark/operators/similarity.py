@@ -997,10 +997,14 @@ def knn_classify_majority(spark: SparkSession, sf: str) -> DataFrame:
     convention), so the prediction itself is hash-checked.
 
     Scale shape: the query side broadcasts against one corpus scan
-    (linear, the exact baseline); per-query ranking is a window
-    partitioned by query id, and the vote is two domain-sized
-    hash-aggs. The IVF/PQ ladder swaps into the scan seamlessly when
-    the corpus outgrows exact search."""
+    (linear, the exact baseline); neighbor selection is TWO-phase via
+    :func:`partial_topk_per_query` — partition-local exact top-10 with
+    no exchange (the shuffle-free mapInArrow reduction the ANN ladder
+    uses), so the only per-query window runs over the ≤10·P surviving
+    candidates, never Q×N corpus rows funneled into Q reducers. Labels
+    re-join onto the ≤Q×10 winner ids (broadcast the tiny side). The
+    vote is two domain-sized hash-aggs. The IVF/PQ ladder swaps into
+    the scan seamlessly when the corpus outgrows exact search."""
     emb = t(spark, sf, "embeddings")
     q = F.broadcast(
         emb.filter(F.col("vec_id") < 20).select(
@@ -1020,11 +1024,18 @@ def knn_classify_majority(spark: SparkSession, sf: str) -> DataFrame:
         / (_norm(F.col("qe")) * _norm(F.col("ne"))),
         4,
     )
-    wr = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
-    topk = (
-        pairs.select("qid", "true_label", "nid", "label", cos.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(wr))
+    scored = pairs.select("qid", "nid", cos.alias("adc"))
+    # phase 1: exact partition-local top-10 per query, zero exchange;
+    # phase 2: the global merge window sees ≤ 10·P rows per query
+    part = partial_topk_per_query(scored, 10)
+    wr = Window.partitionBy("qid").orderBy(F.col("adc").desc(), "nid")
+    winners = (
+        part.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= 10)
+        .select("qid", "nid")
+    )
+    topk = n.select("nid", "label").join(F.broadcast(winners), "nid").join(
+        F.broadcast(q.select("qid", "true_label")), "qid"
     )
     votes = topk.groupBy("qid", "true_label", "label").agg(
         F.count(F.lit(1)).cast("long").alias("n_votes")
@@ -1090,10 +1101,14 @@ def maxsim_late_interaction(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: token-pair similarities are a broadcast of the
     (benchmark-bounded) query token bag against one corpus scan; the
     two reductions (max per (query-token, doc), sum per (query, doc))
-    are hash-aggs keyed on the doc — at corpus scale the doc-token
-    scan is pruned first by a single-vector ANN shortlist (the
-    ``ann_index`` two-stage serving pattern), which composes here as a
-    filter on ``d`` ahead of the exact MaxSim."""
+    are hash-aggs keyed on the doc; the final top-3 selection is
+    TWO-phase via :func:`partial_topk_per_query` — partition-local
+    exact top-3 with no exchange, so the per-query merge window sees
+    ≤ 3·P scored docs, never N docs funneled into Q reducers. At
+    corpus scale the doc-token scan is pruned first by a
+    single-vector ANN shortlist (the ``ann_index`` two-stage serving
+    pattern), which composes here as a filter on ``d`` ahead of the
+    exact MaxSim."""
     emb = t(spark, sf, "embeddings").select(
         (F.col("vec_id") / 4).cast("long").alias("doc"),
         (F.col("vec_id") % 4).alias("tok"),
@@ -1119,11 +1134,27 @@ def maxsim_late_interaction(spark: SparkSession, sf: str) -> DataFrame:
     scored = best.groupBy("qdoc", "doc").agg(
         F.round(F.sum("mx"), 4).alias("maxsim")
     )
-    w = Window.partitionBy("qdoc").orderBy(F.col("maxsim").desc(), "doc")
+    # two-phase top-3: partition-local exact cut (no exchange), then the
+    # bounded global merge window — same (score desc, id asc) order both
+    # phases, so the cut is exact
+    part = partial_topk_per_query(
+        scored.select(
+            F.col("qdoc").alias("qid"),
+            F.col("doc").alias("nid"),
+            F.col("maxsim").alias("adc"),
+        ),
+        3,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), "nid")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        part.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("qdoc", "doc", "maxsim", "rank")
+        .select(
+            F.col("qid").alias("qdoc"),
+            F.col("nid").alias("doc"),
+            F.col("adc").alias("maxsim"),
+            "rank",
+        )
     )
 
 
@@ -1146,16 +1177,24 @@ scored AS (
             FROM range(64) r(i)), 4) AS dot_s
   FROM q, n
 ),
-ranked AS (
-  SELECT nid,
-         row_number() OVER (ORDER BY cos_s DESC, nid) AS r_cos,
-         row_number() OVER (ORDER BY dot_s DESC, nid) AS r_dot
-  FROM scored
+cosr AS (
+  SELECT nid, r_cos FROM (
+    SELECT nid, row_number() OVER (ORDER BY cos_s DESC, nid) AS r_cos
+    FROM scored) x
+  WHERE r_cos <= 50
+),
+dotr AS (
+  SELECT nid, r_dot FROM (
+    SELECT nid, row_number() OVER (ORDER BY dot_s DESC, nid) AS r_dot
+    FROM scored) x
+  WHERE r_dot <= 50
 )
-SELECT nid, CAST(r_cos AS BIGINT) AS r_cos, CAST(r_dot AS BIGINT) AS r_dot,
-       CAST(1000000 // (60 + r_cos) + 1000000 // (60 + r_dot) AS BIGINT)
-         AS rrf_milli
-FROM ranked
+SELECT COALESCE(c.nid, d.nid) AS nid,
+       CAST(COALESCE(r_cos, 0) AS BIGINT) AS r_cos,
+       CAST(COALESCE(r_dot, 0) AS BIGINT) AS r_dot,
+       CAST(COALESCE(1000000 // (60 + r_cos), 0)
+            + COALESCE(1000000 // (60 + r_dot), 0) AS BIGINT) AS rrf_milli
+FROM cosr c FULL OUTER JOIN dotr d ON c.nid = d.nid
 ORDER BY rrf_milli DESC, nid
 LIMIT 10
 """,
@@ -1169,14 +1208,18 @@ def hybrid_rank_fusion_rrf(spark: SparkSession, sf: str) -> DataFrame:
     corpus norms vary): RRF = Σ 1/(60+rank), computed as EXACT integer
     micro-units (10^6 // (60+r) — no float fusion, so the fused
     ranking is hash-exact even where the two base scores are
-    float-derived). Top-10 with deterministic tie-breaks.
+    float-derived). Each scorer contributes only its own top-50
+    shortlist (rank-cutoff semantics — the production RRF contract: a
+    scorer that didn't retrieve a doc contributes nothing, surfaced as
+    rank 0); top-10 fused, deterministic tie-breaks.
 
-    Scale shape: one broadcast-query corpus scan produces BOTH scores
-    (shared subexpression); each ranking is a single-partition window
-    over the candidate set — at corpus scale candidates come from each
-    scorer's own top-k shortlist (TakeOrdered per scorer, the
-    ``partial_topk_per_query`` shape) and the fusion window runs over
-    2k rows, never the corpus."""
+    Scale shape: each scorer's shortlist is ``orderBy().limit(50)`` —
+    planned as TakeOrderedAndProject (per-partition partial top-k
+    heaps, no single-reducer Exchange of the corpus; pinned in
+    test_plans.py next to the BM25 pin). The only windows rank WITHIN
+    a 50-row shortlist, and the fusion is a full outer join of two
+    ≤50-row sides — at any corpus size the post-shortlist plan touches
+    ≤100 rows."""
     emb = t(spark, sf, "embeddings")
     q = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
@@ -1193,18 +1236,35 @@ def hybrid_rank_fusion_rrf(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("cos_s"),
         F.round(_dot(F.col("qe"), F.col("ne")), 4).alias("dot_s"),
     )
+    # per-scorer shortlist FIRST (TakeOrderedAndProject — partial top-k
+    # per partition, never a full-corpus single-partition window); the
+    # rank window then runs over only the 50 survivors
     wc = Window.orderBy(F.col("cos_s").desc(), "nid")
-    wd = Window.orderBy(F.col("dot_s").desc(), "nid")
-    ranked = scored.select(
-        "nid",
-        F.row_number().over(wc).cast("long").alias("r_cos"),
-        F.row_number().over(wd).cast("long").alias("r_dot"),
+    cosr = (
+        scored.select("nid", "cos_s")
+        .orderBy(F.col("cos_s").desc(), "nid")
+        .limit(50)
+        .select("nid", F.row_number().over(wc).cast("long").alias("r_cos"))
     )
+    wd = Window.orderBy(F.col("dot_s").desc(), "nid")
+    dotr = (
+        scored.select("nid", "dot_s")
+        .orderBy(F.col("dot_s").desc(), "nid")
+        .limit(50)
+        .select("nid", F.row_number().over(wd).cast("long").alias("r_dot"))
+    )
+    fused = cosr.join(dotr, "nid", "full_outer")
     rrf = (
-        F.expr("1000000 DIV (60 + r_cos)") + F.expr("1000000 DIV (60 + r_dot)")
+        F.coalesce(F.expr("1000000 DIV (60 + r_cos)"), F.lit(0))
+        + F.coalesce(F.expr("1000000 DIV (60 + r_dot)"), F.lit(0))
     ).cast("long")
     return (
-        ranked.select("nid", "r_cos", "r_dot", rrf.alias("rrf_milli"))
+        fused.select(
+            "nid",
+            F.coalesce("r_cos", F.lit(0)).cast("long").alias("r_cos"),
+            F.coalesce("r_dot", F.lit(0)).cast("long").alias("r_dot"),
+            rrf.alias("rrf_milli"),
+        )
         .orderBy(F.col("rrf_milli").desc(), "nid")
         .limit(10)
     )
