@@ -43,6 +43,30 @@ class TestPcaFit:
             )
             assert d < 1e-6, (j, d)
 
+    def test_2d_evals_match_closed_form_query(self, spark, sf_dir):
+        """Ties the rows-only 64-d operator to the hash-oracled witness:
+        pca_fit's iterative eigh over the first two coordinates must
+        reproduce the closed-form 2x2 eigenvalues the
+        pca_explained_variance_2d query (and its DuckDB oracle) compute."""
+        emb2 = t(spark, sf_dir, "embeddings").select(
+            F.array(
+                F.col("embedding")[0], F.col("embedding")[1]
+            ).alias("embedding")
+        )
+        mean, comps, evals = pca_fit(emb2, dim=2, k=2, return_evals=True)
+        row = (
+            all_queries()["pca_explained_variance_2d"]
+            .fn(spark, sf_dir)
+            .collect()[0]
+        )
+        # the query's moments are decimal-truncated at 6 decimals (the
+        # engine-portability convention); the fit's are exact float64 —
+        # agreement to ~1e-6 is the designed overlap
+        assert abs(evals[0] - row.ev_1) < 2e-6, (evals, row)
+        assert abs(evals[1] - row.ev_2) < 2e-6, (evals, row)
+        assert row.recon_error_k1 == row.ev_2
+        assert evals[0] >= evals[1] > 0
+
     def test_components_orthonormal_and_variance_ordered(self, spark, sf_dir):
         ids, x = _corpus(spark, sf_dir)
         mean, comps = pca_fit(t(spark, sf_dir, "embeddings"), k=8)

@@ -24,10 +24,12 @@ from xml_hive_spark.operators import query, t
 
 
 def pca_fit(emb: DataFrame, vec_col: str = "embedding", dim: int = 64,
-            k: int = 8):
+            k: int = 8, return_evals: bool = False):
     """Fit PCA over a vector column: returns (mean[dim], components
     (dim, k)) with deterministic component signs (largest-|loading|
     coordinate made positive — eigenvector sign is otherwise arbitrary).
+    With ``return_evals=True`` also returns the top-k eigenvalues
+    (descending) — the per-component explained variances.
 
     One distributed pass: per-partition (n, Σx, ΣxxT) partials; the
     driver combines P partials and eigendecomposes the 64×64 covariance.
@@ -83,6 +85,8 @@ def pca_fit(emb: DataFrame, vec_col: str = "embedding", dim: int = 64,
         i = int(np.argmax(np.abs(comps[:, j])))
         if comps[i, j] < 0:
             comps[:, j] = -comps[:, j]
+    if return_evals:
+        return mean, comps, evals[order]
     return mean, comps
 
 
@@ -95,10 +99,18 @@ def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     Fit is :func:`pca_fit` (one partial-sums pass + a 64×64 driver
     eigh); projection is one Arrow-batched numpy matmul per batch with
     the (64×8) component matrix shipped in the UDF closure — the same
-    broadcast-the-model shape as ``kmeans_assign``. Rows-only driver
-    check (eigendecomposition isn't SQL-expressible); numpy parity,
-    orthonormality, and variance ordering are asserted in
-    tests/test_embeddings.py."""
+    broadcast-the-model shape as ``kmeans_assign``.
+
+    Correctness disposition (final): this stays ROWS-ONLY at the
+    driver. The 64-d per-component explained variances are eigenvalues
+    of a 64×64 covariance — there is no closed form past 4×4
+    (Abel–Ruffini) and DuckDB has no iterative eigensolver, so a full
+    value oracle is NOT expressible. The machinery is value-checked
+    two ways instead: ``pca_explained_variance_2d`` runs the SAME
+    moment pipeline where the 2×2 eigenvalues DO have a closed form
+    (full DuckDB hash oracle), and tests/test_embeddings.py pins numpy
+    parity, orthonormality, variance ordering, and fit-vs-closed-form
+    eigenvalue agreement."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -116,6 +128,109 @@ def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     return emb.select("vec_id", project(F.col("embedding")).alias("pc")).select(
         "vec_id", F.to_json("pc").alias("pc_json")  # canonicalizer-safe (no
         # raw array cells — the driver harness cannot hash list cells)
+    )
+
+
+@query(
+    "pca_explained_variance_2d",
+    oracle="""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(CAST(embedding[1] AS DOUBLE)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS sa,
+         CAST(sum(CAST(CAST(embedding[2] AS DOUBLE)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS sb,
+         CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS saa,
+         CAST(sum(CAST(CAST(embedding[2] AS DOUBLE) * CAST(embedding[2] AS DOUBLE)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS sbb,
+         CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) * CAST(embedding[2] AS DOUBLE)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS sab
+  FROM embeddings
+),
+cov AS (
+  SELECT n,
+         saa / n - (sa / n) * (sa / n) AS va,
+         sbb / n - (sb / n) * (sb / n) AS vb,
+         sab / n - (sa / n) * (sb / n) AS cab
+  FROM m
+),
+eig AS (
+  SELECT n, va, vb,
+         (va + vb) / 2.0e0 AS h,
+         sqrt(((va - vb) / 2.0e0) * ((va - vb) / 2.0e0) + cab * cab) AS d
+  FROM cov
+)
+SELECT n AS n_vectors,
+       round(h + d, 6) AS ev_1,
+       round(h - d, 6) AS ev_2,
+       round(h - d, 6) AS recon_error_k1,
+       round((h + d) / (va + vb), 6) AS ev_ratio_1
+FROM eig
+""",
+    tags=("embeddings", "pca", "explained-variance"),
+)
+def pca_explained_variance_2d(spark: SparkSession, sf: str) -> DataFrame:
+    """PER-COMPONENT EXPLAINED VARIANCE with a FULL value oracle — the
+    SQL-verifiable witness for the PCA machinery: over the first two
+    embedding coordinates the covariance eigenvalues have a closed form
+    (λ = h ± sqrt(((va−vb)/2)² + cab²), h = (va+vb)/2), so the
+    rotation-invariant scalars the 64-d fit can only be numpy-checked on
+    are hash-checked here end to end: eigenvalues (= explained variance
+    per component, descending), the k=1 reconstruction error (= λ₂, the
+    variance PCA discards keeping one component), and the explained
+    ratio λ₁/trace.
+
+    Both engines run the IDENTICAL expression tree over decimal-exact
+    moments (the ``dsum`` convention: each addend cast to
+    DECIMAL(30,6), so the sums are order-independent and
+    engine-identical; everything after is deterministic IEEE double
+    arithmetic), making the float outputs hash-exact, not just close.
+    tests/test_embeddings.py additionally pins :func:`pca_fit`'s
+    iterative 2-d eigenvalues to this closed form — tying the rows-only
+    64-d operator to a driver-hash-checked query.
+
+    Scale shape: ONE corpus pass, one partial+final hash-agg emitting
+    six scalars; the eigen arithmetic is a 1-row projection. Nothing
+    grows with N."""
+    emb = t(spark, sf, "embeddings")
+    a = F.col("embedding")[0].cast("double")
+    b = F.col("embedding")[1].cast("double")
+    m = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a.cast("decimal(30,6)")).cast("double").alias("sa"),
+        F.sum(b.cast("decimal(30,6)")).cast("double").alias("sb"),
+        F.sum((a * a).cast("decimal(30,6)")).cast("double").alias("saa"),
+        F.sum((b * b).cast("decimal(30,6)")).cast("double").alias("sbb"),
+        F.sum((a * b).cast("decimal(30,6)")).cast("double").alias("sab"),
+    )
+    cov = m.select(
+        "n",
+        (F.col("saa") / F.col("n")
+         - (F.col("sa") / F.col("n")) * (F.col("sa") / F.col("n"))).alias("va"),
+        (F.col("sbb") / F.col("n")
+         - (F.col("sb") / F.col("n")) * (F.col("sb") / F.col("n"))).alias("vb"),
+        (F.col("sab") / F.col("n")
+         - (F.col("sa") / F.col("n")) * (F.col("sb") / F.col("n"))).alias("cab"),
+    )
+    eig = cov.select(
+        "n",
+        "va",
+        "vb",
+        ((F.col("va") + F.col("vb")) / F.lit(2.0)).alias("h"),
+        F.sqrt(
+            ((F.col("va") - F.col("vb")) / F.lit(2.0))
+            * ((F.col("va") - F.col("vb")) / F.lit(2.0))
+            + F.col("cab") * F.col("cab")
+        ).alias("d"),
+    )
+    return eig.select(
+        F.col("n").alias("n_vectors"),
+        F.round(F.col("h") + F.col("d"), 6).alias("ev_1"),
+        F.round(F.col("h") - F.col("d"), 6).alias("ev_2"),
+        F.round(F.col("h") - F.col("d"), 6).alias("recon_error_k1"),
+        F.round((F.col("h") + F.col("d")) / (F.col("va") + F.col("vb")), 6)
+        .alias("ev_ratio_1"),
     )
 
 
