@@ -113,107 +113,102 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 _LOADED = False
 
-# Driver-window rotation (round 7). The verify driver snapshots correctness
-# for only the FIRST 50 registry entries (dict order); rotation targets
-# FRESHNESS — re-check oracled queries whose last driver row is oldest —
-# with priority to queries that have NEVER had a driver row. This window =
-# the 11 late-r6 additions never driver-checked (9 full-oracle; pagerank +
-# streaming minhash dedup rows-only by design, asserted in tests/) + the
-# 4 codec queries whose r6 reds are fixed (oracle SUMs now CAST AS BIGINT
-# — the DuckDB-HUGEINT→pandas-float64 canonicalizer artifact) + the 17
-# queries NEW early-r7 (all full-oracle) + the 14 NEW mid-r7 queries
-# (analytics/LM/graph/linkage/xpath/streaming families; 13 full-oracle)
-# + 4 late-r7 first-checks (perception/BFS/time-travel) = 50. r8
-# rotation leads with the late-r7 additions that postdate this window
-# (all local-gate green; enumerate with
-# `[n for n in all_queries() if n not in _DRIVER_WINDOW and
-#   <never in a CORRECTNESS_r*.json>]` — the sketch/regression/phrase/
-# stratified quartet plus the perception, lakehouse, governance,
-# financial, CEP, retrieval, and ML additions), then the displaced r5
-# canaries and the r4 refreshes (README "Correctness rotation").
-# Outside-window queries are covered meanwhile by the identical local
-# gate (tools/verify_local.py, pandas-canonicalizing like the driver).
+# Driver-window rotation (round 8). The verify driver snapshots correctness
+# for only the FIRST 50 registry entries (dict order).
+#
+# ROTATION POLICY (mechanical, applied each round):
+#   1. NEVER-driver-checked queries first, oldest registration first —
+#      a query with no CORRECTNESS_r*.json row anywhere is self-certified
+#      (local gate only) and outranks any freshness refresh.
+#   2. If never-checked > 50, defer the entries whose machinery is most
+#      covered by an already-driver-green SIBLING (same operator family,
+#      same join/agg shape); deferred entries LEAD the next round's window.
+#   3. Remaining slots refresh oldest-driver-evidence first (currently the
+#      r2-vintage rows listed below, then the r4 cohort).
+#   4. Queries whose code changed this round must be in-window.
+# Window membership is derived by diffing the registry against the union
+# of CORRECTNESS_r*.json keys; outside-window queries are covered
+# meanwhile by the identical local gate (tools/verify_local.py,
+# pandas-canonicalizing like the driver).
+#
+# Round 8 application: 58 registry queries had no driver row after r7
+# (the late-r7 additions) + 1 new this round (pca_explained_variance_2d,
+# the SQL-verifiable PCA witness) = 59 candidates for 50 slots. The 9
+# DEFERRED to lead r9 (rule 2, sibling-green in parens): window_percent_rank
+# (window_rolling_1h r7), join_null_safe_eq (join family r6/r7),
+# lateral_topn_per_group (topk_orders r5 + TakeOrdered plan pins),
+# sql_registered_udf (udf/pandas_udf r4/r5), parquet_codec_zstd
+# (orc/avro/evolution/compaction/zorder r7), daily_new_and_cumulative_users
+# (cohort_retention r7), copurchase_lift (copurchase_pairs r7),
+# twap_time_weighted (asof/tumbling r4 + ohlc/gap-fill in this window),
+# anomaly_zscore_events (anomaly_mad_robust in this window). All 9 are
+# local-gate green. In-window per rule 4: the three de-funneled retrieval
+# queries (knn/maxsim/rrf). r9 plan: the 9 deferred + the 8 r2-vintage
+# rows (agg_approx_distinct, dedup_exact_by_hash, dedup_minhash_lsh,
+# dedup_simhash, multimodal_{decode_stub,feature_extract,frame_sample,
+# resize_stub}) + the oldest r4 rows fill the remainder.
 _DRIVER_WINDOW = [
-    # --- never driver-checked (late r6 additions) (11) ---
-    "setsim_join_prefix",
-    "scd2_point_in_time_join",
-    "dq_expectations",
-    "funnel_conversion",
-    "orc_roundtrip",
-    "avro_roundtrip",
-    "text_bm25_topk",
-    "xml_to_parquet_etl",
-    "graph_pagerank",
-    "streaming_static_join",
-    "streaming_dedup_minhash",
-    # --- r6 reds, oracle type fixed this round (4) ---
-    "multimodal_png_codec",
-    "multimodal_wav_codec",
-    "multimodal_gif_codec",
-    "multimodal_jpeg_codec",
-    # --- NEW this round, taking their first driver check (17, all full
-    # oracles): scale techniques (bloom-pruned join, Z-order skipping,
-    # schema evolution, portable HLL batch+streaming+grouped+merged,
-    # co-purchase pair mining), weighted sampling, CDC apply +
-    # streaming upsert, incremental view merge, size-aware compaction,
-    # the advanced-XSD end-to-end scan, and the LLM-pipeline filters
-    # (repetition gate, eval-set decontamination, leakage-safe split) ---
-    "join_bloom_pruned",
-    "zorder_write_skipping",
-    "schema_evolution_read",
-    "sketch_hll_portable",
-    "streaming_hll_distinct",
-    "sample_weighted_poisson",
-    "cdc_apply_changes",
-    "compact_small_files",
-    "incremental_agg_merge",
-    "streaming_cdc_upsert",
-    "xml_scan_advanced_xsd",
-    "sketch_hll_grouped",
-    "text_repetition_score",
-    "decontaminate_eval_ngrams",
-    "split_leakage_safe",
-    "sketch_hll_union",
-    "copurchase_pairs",
-    # --- NEW mid-r7 (14): the behavioral-analytics, LM/tokenizer,
-    # graph-motif, linkage, xpath, and exactly-once-streaming additions
-    # take their FIRST driver check (13 full-oracle; bpe_learn_merges
-    # rows-only by design with pure-Python parity in tests/test_lm.py).
-    # First-check priority displaces the r4 refreshes (salted_join_agg,
-    # agg_percentiles, cosine_topk_bruteforce, embedding_label_centroids,
-    # csv_roundtrip, text_quality_score, pack_sequences, doc_chunks_udtf,
-    # quality_filter_verdicts, tumbling/sliding/session window aggs,
-    # asof_join, hypertable_rollup — all local-gate green, prior driver
-    # rows r4) which now lead the r8 rotation together with the 17
-    # r4-checked canaries listed in README "Correctness rotation". ---
-    "cohort_retention",
-    "event_transition_matrix",
-    "window_rolling_1h",
-    "table_profile",
-    "agg_argmax_argmin",
-    "histogram_doc_length",
-    "text_ngram_novelty",
-    "tfidf_top_terms",
-    "bpe_pair_counts",
-    "bpe_learn_merges",
-    "graph_triangles",
-    "fuzzy_join_levenshtein",
-    "xml_xpath_functions",
-    "streaming_dropdup_exactly_once",
-    # --- NEW late-r7 families taking their FIRST driver check (4):
-    # perceptual-hash image dedup + audio resample (real-codec
-    # pipelines), fully-oracled BFS, and the manifest time-travel read.
-    # These displace the four r5-checked canaries (q1_pricing_summary,
-    # q6_revenue_forecast, window_rank_topn, xml_write_roundtrip):
-    # first-check priority outranks canary freshness, q1 stays smoke-
-    # checked every round via entry(), and the four remaining late-r7
-    # queries (sketch_kmv_distinct, regression_slope_closed_form,
-    # phrase_search_positional, sample_stratified_exact — all local-gate
-    # green) lead the r8 rotation with the displaced canaries. ---
-    "image_phash_dedup",
-    "audio_resample_decimate",
-    "graph_bfs_hops",
-    "time_travel_read",
+    # --- analytics/behavioral family (late-r7, first driver check) ---
+    "regression_slope_closed_form",
+    "event_pattern_match",
+    "streak_gaps_islands",
+    "attribution_last_touch",
+    "anomaly_mad_robust",
+    "pareto_skyline_2d",
+    "chi_square_independence",
+    # --- corpus curation / LLM-pipeline composites ---
+    "corpus_provenance_report",
+    "corpus_mix_weights",
+    "text_pii_redact",
+    "chunk_content_defined",
+    "corpus_curation_pipeline",
+    "filter_top_decile_docs",
+    "dedup_incremental_ingest",
+    "setsim_containment_join",
+    # --- embeddings/ML (pca witness NEW r8 — delivers the r6/r7 ask;
+    # logreg rows-only by design, numpy parity in tests/) ---
+    "pca_explained_variance_2d",
+    "embedding_drift_monitor",
+    "logreg_train_distributed",
+    # --- multimodal/perception composites ---
+    "multimodal_video_framesample",
+    "multimodal_image_augment",
+    "multimodal_tile_composite",
+    # --- relational/nested/sketch/scale shapes ---
+    "nested_denormalize_roundtrip",
+    "sketch_kmv_distinct",
+    "sketch_quantile_histogram",
+    "spatial_grid_join",
+    "bucketed_join_colocated",
+    # --- retrieval family (de-funneled THIS round — rule 4) ---
+    "knn_classify_majority",
+    "maxsim_late_interaction",
+    "hybrid_rank_fusion_rrf",
+    # --- SQL-surface / governance / lakehouse lifecycle ---
+    "recursive_cte_hierarchy",
+    "timeseries_gap_fill",
+    "rls_masked_view",
+    "hive_script_transform",
+    "vacuum_unreferenced",
+    "snapshot_change_feed",
+    # --- text/search + financial time-series ---
+    "phrase_search_positional",
+    "forecast_seasonal_naive_backtest",
+    "ohlc_bars_hourly",
+    "max_drawdown_per_user",
+    "sample_stratified_exact",
+    # --- warehouse / federation / XML round-trips ---
+    "scd2_early_arriving_fact",
+    "federated_three_source_join",
+    "xml_expression_codec",
+    "xml_corrupt_capture",
+    "xsd_generate_roundtrip",
+    "xml_attribute_roundtrip",
+    # --- streaming (vector ingest rows-only by design) ---
+    "streaming_quantile_histogram",
+    "streaming_ohlc_bars",
+    "streaming_late_data_drop",
+    "streaming_vector_ingest",
 ]
 
 
