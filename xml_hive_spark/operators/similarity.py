@@ -914,8 +914,16 @@ def ann_join_topk(spark: SparkSession, sf: str) -> DataFrame:
     Rows-only driver check (seeded projection planes); per-query recall
     vs exact brute force on sampled queries in tests/test_similarity.py."""
     emb = t(spark, sf, "embeddings")
+    # The signature table is PERSISTED (like the IVF×PQ index artifact):
+    # the band self-join consumes it twice (both join sides), and Spark
+    # plans a fresh scan per side — without the cache the pandas-UDF
+    # projection pass runs TWICE per execution. 16 ints per vector
+    # (~0.4 % of the vectors themselves), so memory is corpus-count
+    # bounded; at 100 TB this is the signature TABLE the pipeline
+    # materializes next to the corpus (the phash-dedup fingerprint-store
+    # pattern). Measured at sf0.1: 2.51 → 1.84 s with identical output.
     sigs = banded_signatures(emb, "vec_id", "embedding",
-                             bands=16, rows_per_band=5)
+                             bands=16, rows_per_band=5).persist()
     cand = sigs.select("id", F.posexplode("sig").alias("band", "bucket"))
     a = cand.select("band", "bucket", F.col("id").alias("qid"))
     b = cand.select("band", "bucket", F.col("id").alias("nid"))
