@@ -182,16 +182,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: shingles are hashed to 8 bytes before anything shuffles
     (the verify join used to move shingle STRINGS); signatures and
-    shingle sets come out of ONE aggregation (ReuseExchange — the
-    shingle UDF and partial aggs execute once, not once per consumer);
-    verification intersects two bounded arrays per candidate pair
-    (``array_intersect``) instead of re-joining exploded shingle rows.
+    shingle sets come out of ONE aggregation, and the signature table is
+    PERSISTED — it has three consumers (the band explode plus both sides
+    of the verify join) and relying on exchange reuse across them
+    measured a 1.44 → 0.85 s difference at sf0.1 (the signature-store
+    pattern: a production pipeline materializes signatures next to the
+    corpus); verification intersects two bounded arrays per candidate
+    pair (``array_intersect``) instead of re-joining exploded shingle
+    rows.
 
     Not SQL-expressible (seeded xxhash64 permutations) → rows-only check;
     tests/test_dedup.py validates recall on planted near-duplicates."""
     docs = t(spark, sf, "documents")
     hashed = shingles(docs).select("id", F.xxhash64("sh").alias("shh"))
-    sig = minhash_signatures_with_sets(hashed, num_perm=32)
+    sig = minhash_signatures_with_sets(hashed, num_perm=32).persist()
     pairs = lsh_candidate_pairs(sig, bands=8, rows=4)
     sa = sig.select(F.col("id").alias("id_a"), F.col("shs").alias("sa"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("shs").alias("sb"))
@@ -248,10 +252,13 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs: 4× 16-bit chunk blocking (any equal chunk →
     candidate; guarantees recall for Hamming distance ≤ 3 by pigeonhole),
-    then exact Hamming ≤ 3 filter via bit_count(xor). Rows-only check;
-    recall tested on planted near-dups."""
+    then exact Hamming ≤ 3 filter via bit_count(xor). The signature
+    table is persisted — the chunk self-join consumes it on both sides
+    and would otherwise run the 64-vote hash-agg twice (measured
+    2.00 → 1.46 s at sf0.1; the signature-store pattern). Rows-only
+    check; recall tested on planted near-dups."""
     docs = t(spark, sf, "documents")
-    sig = simhash64(docs)
+    sig = simhash64(docs).persist()
     chunks = sig.select(
         "id",
         "simhash",
