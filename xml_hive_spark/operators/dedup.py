@@ -581,15 +581,23 @@ def setsim_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
 
     toks = d.select("doc_id", F.explode(grams("tx")).alias("g")).select(
         "doc_id", F.xxhash64("g").alias("tok")
-    )
+    ).persist()
     # one aggregation yields set + size for verification; freq and the
     # prefix consume the skinny (doc_id, tok) rows directly — a variant
     # deriving everything from the sets exchange measured ~2x SLOWER
     # (re-exploding 2.4 KB array rows out of the exchange costs more
-    # than re-running the 0.4 s Arrow map side)
+    # than re-running the 0.4 s Arrow map side).
+    # Round 8: the three multi-consumed stages are PERSISTED instead of
+    # recomputed — toks feeds sets/freq/pref (3 scans), sets feeds
+    # pref + both verify sides (3), and pref is self-joined (2); the
+    # full combination measured 2.35 → 0.66 s at sf0.1, identical rows
+    # (persisting sets ALONE is slower — the win needs pref cached too;
+    # partial combinations are in SCALE.md). At 100 TB these persists
+    # are the staging tables a production ppjoin materializes between
+    # stages (MEMORY_AND_DISK spills instead of recomputing 3×).
     sets = toks.groupBy("doc_id").agg(
         F.collect_set("tok").alias("toks"), F.count(F.lit(1)).alias("sz")
-    )
+    ).persist()
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
@@ -608,7 +616,7 @@ def setsim_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
             <= F.col("sz") - F.ceil(F.col("sz") * T_NUM / T_DEN) + 1
         )
         .select("doc_id", "tok", "sz", "rn")
-    )
+    ).persist()
     # length filter (ppjoin's second prune): Jaccard >= t forces
     # t*|A| <= |B| <= |A|/t, so size-incompatible prefix collisions are
     # dropped INSIDE the candidate join. The POSITIONAL filter (ppjoin's
