@@ -962,7 +962,17 @@ def setsim_containment_join(spark: SparkSession, sf: str) -> DataFrame:
     caps the intersection below t·|A|); the index side (B) keeps every
     token, and the only size constraint is one-sided (|B|·10 ≥ |A|·9 —
     containment has no upper length bound, which is exactly why the
-    Jaccard prefix join can't answer it). Verification is one
+    Jaccard prefix join can't answer it). Round 8 adds ppjoin's
+    POSITIONAL filter, transferred to the asymmetric threshold: at the
+    FIRST shared token (global rarest-first order) tokens before rank
+    ra in A aren't in B and tokens before rb in B aren't in A, so
+    overlap ≤ min(sa−ra, sb−rb) + 1, and containment ≥ t needs
+    (min+1)·T_DEN ≥ sa·T_NUM in exact integers; a qualifying pair's
+    first-shared-token row always passes, so OR-ing across shared
+    tokens via the distinct keeps the prune LOSSLESS. Measured at
+    sf0.1: 1.61M → 97k distinct candidates, 11.3 → 2.9 s end-to-end,
+    identical 511 rows. The shared stages (toks/sets/ranked) persist —
+    the staging-table pattern of the Jaccard twin. Verification is one
     array_intersect per candidate; the threshold is exact integer
     arithmetic (inter·10 ≥ |A|·9), bit-identical to the naive O(n²)
     DuckDB oracle — zero recall loss, no all-pairs comparison."""
@@ -983,33 +993,38 @@ def setsim_containment_join(spark: SparkSession, sf: str) -> DataFrame:
 
     toks = d.select("doc_id", F.explode(grams("tx")).alias("g")).select(
         "doc_id", F.xxhash64("g").alias("tok")
-    )
+    ).persist()
     sets = toks.groupBy("doc_id").agg(
         F.collect_set("tok").alias("toks"), F.count(F.lit(1)).alias("sz")
-    )
+    ).persist()
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    probe = (
+    ranked = (
         toks.join(freq, "tok")
         .withColumn("rn", F.row_number().over(w))
         .join(sets.select("doc_id", "sz"), "doc_id")
-        .filter(
+    ).persist()
+    probe = (
+        ranked.filter(
             F.col("rn")
             <= F.col("sz") - F.ceil(F.col("sz") * T_NUM / T_DEN) + 1
         )
         .select(F.col("doc_id").alias("a_id"), "tok",
-                F.col("sz").alias("sa"))
+                F.col("sz").alias("sa"), F.col("rn").alias("ra"))
     )
-    index = toks.select(F.col("doc_id").alias("b_id"), "tok")
+    index = ranked.select(F.col("doc_id").alias("b_id"), "tok",
+                          F.col("sz").alias("sb"), F.col("rn").alias("rb"))
     cand = (
         probe.join(index, "tok")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .join(
-            sets.select(F.col("doc_id").alias("b_id"),
-                        F.col("sz").alias("sb")),
-            "b_id",
+        .filter(
+            (F.col("a_id") != F.col("b_id"))
+            & (F.col("sb") * T_DEN >= F.col("sa") * T_NUM)
+            & (
+                (F.least(F.col("sa") - F.col("ra"),
+                         F.col("sb") - F.col("rb")) + 1) * T_DEN
+                >= F.col("sa") * T_NUM
+            )
         )
-        .filter(F.col("sb") * T_DEN >= F.col("sa") * T_NUM)
         .select("a_id", "b_id")
         .distinct()
     )

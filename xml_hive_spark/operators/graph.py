@@ -50,14 +50,26 @@ def pagerank(edges: DataFrame, damping: float = _DAMP,
              iters: int = _ITERS) -> DataFrame:
     """PageRank with uniform teleport over the given directed edges.
     Every node in the edge list has out-degree ≥ 1 here (edges are
-    mirrored), so no dangling-mass correction is needed."""
+    mirrored), so no dangling-mass correction is needed.
+
+    The loop invariants (edges, nodes, outdeg) and each iteration's
+    ranks are PERSISTED — without them iteration k's lazy plan nests
+    every prior iteration and re-derives the edge list from the base
+    tables each time it is referenced (measured 8.6 → 1.1 s for 5
+    iterations at sf0.1, identical ranks; the graph_bfs_hops frontier
+    discipline applied to the walk family). Per-iteration state is one
+    (node, rank) row per vertex — O(V), never the crossed lineage."""
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     n = nodes.count()  # one scalar to the driver — not graph state
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         contribs = (
@@ -76,6 +88,7 @@ def pagerank(edges: DataFrame, damping: float = _DAMP,
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
+            .persist()
         )
     return ranks
 
