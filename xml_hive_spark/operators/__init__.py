@@ -125,7 +125,15 @@ _LOADED = False
 #      same join/agg shape); deferred entries LEAD the next round's window.
 #   3. Remaining slots refresh oldest-driver-evidence first (currently the
 #      r2-vintage rows listed below, then the r4 cohort).
-#   4. Queries whose code changed this round must be in-window.
+#   4. Queries whose RESULT SEMANTICS changed this round must be
+#      in-window (r8: the three de-funneled retrieval queries — RRF's
+#      oracle moved to rank-cutoff semantics). Perf-only changes with
+#      outputs verified identical (the r8 persist/positional-filter
+#      sweep: minhash/simhash/embedding-cosine/setsim/pagerank/ann —
+#      all local-gate green post-change, and all but setsim_join_prefix
+#      rows-only by design) follow normal rotation; the two with stale
+#      driver rows (dedup_minhash_lsh, dedup_simhash, r2-vintage)
+#      already lead the r9 window.
 # Window membership is derived by diffing the registry against the union
 # of CORRECTNESS_r*.json keys; outside-window queries are covered
 # meanwhile by the identical local gate (tools/verify_local.py,
