@@ -109,6 +109,17 @@ class TestTopK:
         "spatial_grid_join",
         # incremental ingest dedup: batch-vs-index equi-joins only
         "dedup_incremental_ingest",
+        # round-8 reshapes: containment join (positional filter),
+        # embedding-cosine dedup (ids-only candidates), the de-funneled
+        # retrieval trio (broadcast-query scans must plan as broadcast
+        # nested loop, never an unbounded cartesian), and the persisted
+        # PageRank iteration
+        "setsim_containment_join",
+        "dedup_embedding_cosine",
+        "knn_classify_majority",
+        "maxsim_late_interaction",
+        "hybrid_rank_fusion_rrf",
+        "graph_pagerank",
     ],
 )
 def test_no_cartesian_products(spark, sf_dir, name):
