@@ -919,7 +919,7 @@ def math_functions(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
 SELECT vec_id,
        len(embedding)                                    AS dim,
-       round(CAST(embedding[1] AS DOUBLE), 4)            AS first_val,
+       round(CAST(embedding[1] AS DOUBLE), 4) + 0        AS first_val,
        round(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE))), 3) + 0            AS vec_sum,
        round(sqrt(list_sum(list_transform(embedding,
@@ -937,7 +937,12 @@ def array_functions(spark: SparkSession, sf: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        # + 0.0 squashes IEEE negative zero: DuckDB round() preserves
+        # -0.0 while Spark's returns +0.0, and the driver canonicalizer
+        # distinguishes them (surfaced by the sf0.1 local gate, where
+        # embedding[0] values in (-5e-5, 0) exist; same guard as vec_sum)
+        (F.round(F.element_at("embedding", 1).cast("double"), 4)
+         + F.lit(0.0)).alias("first_val"),
         (F.round(F.aggregate("embedding", F.lit(0.0), to_d), 3) + F.lit(0.0)).alias(
             "vec_sum"
         ),
