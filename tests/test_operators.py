@@ -76,7 +76,6 @@ def test_registry_complete():
         "streaming_vector_ingest",  # seeded-k-means centroids — not
         # SQL-expressible; stream-equals-batch pinned in test_streaming
         "streaming_window_counts",
-        "xml_scan_bench",  # DuckDB can't read XML; exact aggregate pinned in test_xml_bench
         "xml_scan_books",
         "xml_scan_inferred",  # cross-checked vs the XSD read in test_infer
         "xml_sql_ddl",  # golden rows in test_xml_sql_ddl.py

@@ -327,12 +327,58 @@ def run_xml_scan_bench(
     )
 
 
-@query("xml_scan_bench", tags=("xml", "source", "bench"))
+@query(
+    "xml_scan_bench",
+    oracle="""
+WITH target AS (
+  SELECT CAST(round(10737418240.0 *
+         POWER(10.0, round(log10(CAST((SELECT count(*) FROM lineitem)
+                                      AS DOUBLE) / 6001215.0))))
+         AS BIGINT) AS tb
+),
+lens AS (
+  SELECT i,
+         53 + 2 * length(CAST(i AS VARCHAR))
+            + length(CAST((i * 37) % 1000 AS VARCHAR)) + 100
+            + CASE WHEN i % 100 = 0
+                   THEN 46 + length(CAST(i AS VARCHAR)) ELSE 0 END AS L
+  FROM range(0, 10000000) t(i)
+),
+cum AS (
+  SELECT i, 11 + COALESCE(SUM(L) OVER (ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wb
+  FROM lens
+),
+admitted AS (SELECT i FROM cum, target WHERE wb < tb - 11)
+SELECT 'c' || CAST(i % 7 AS VARCHAR) AS cat,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum((i * 37) % 1000) AS BIGINT) AS sum_val
+FROM admitted GROUP BY cat ORDER BY cat
+""",
+    tags=("xml", "source", "bench"),
+)
 def xml_scan_bench(spark: SparkSession, sf: str) -> DataFrame:
     """GB-scale XML source benchmark entry: file size scales with the SF
     dir (10 GiB x sf → 1 GiB at the bench's sf0.1, ~100 MiB at the
-    driver's sf0.01 correctness run). Rows-only: DuckDB cannot read XML;
-    the exact closed-form aggregate is asserted in tests/test_xml_bench.py."""
+    driver's sf0.01 correctness run).
+
+    FULLY value-oracled since round 8 (was rows-only: "DuckDB cannot
+    read XML" — but it doesn't need to: every record is a closed-form
+    function of its index, and the generator's byte-budget admission
+    loop is reproducible in SQL). The oracle replays
+    ``ensure_bench_xml`` exactly: per-record byte length
+    L(i) = 53 + 2·digits(i) + digits((37i)%1000) + len(_PAD)
+    (+ 46 + digits(i) for the every-100th decoy comment), a cumulative
+    sum gives written-before, and record i is admitted iff
+    written_before < target − 11 — validated byte-exact against the
+    real generator at 1 MiB/4 MiB/sf0.001/sf0.01 targets. The target
+    derives in-SQL from the lineitem row count log-rounded to the
+    nearest decade SF (exact for sf ∈ {0.001, 0.01, 0.1}; the range()
+    bound covers n up to 10 M records ≈ sf0.15). So the driver's hash
+    now checks the ENTIRE split-safe scan pipeline — boundary
+    detection across 32 byte-range splits, decoy-comment rejection,
+    attribute+element extraction, typed coercion — against pure
+    arithmetic, end to end."""
     import re as _re
 
     m = _re.search(r"sf([0-9.]+)", sf)
