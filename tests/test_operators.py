@@ -63,7 +63,6 @@ def test_registry_complete():
         # cross-engine; numpy power-iteration parity in test_graph
         "logreg_train_distributed",  # iterated sigmoid GD — not
         # SQL-expressible; numpy parity in test_embeddings
-        "multimodal_decode_stub",
         "multimodal_feature_extract",
         "multimodal_frame_sample",
         "multimodal_resize_stub",

@@ -239,13 +239,42 @@ def decode_binary_metadata(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
-@query("multimodal_decode_stub", tags=("multimodal", "binary", "mapinpandas"))
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+              ELSE 'gif' END AS format,
+         16 + (GREATEST(octet_length(CAST(text AS BLOB)), 1) % 48) AS w,
+         16 + ((GREATEST(octet_length(CAST(text AS BLOB)), 1) * 7) % 48) AS h,
+         CASE doc_id % 3 WHEN 2 THEN 13 ELSE 33 END AS hdr
+  FROM documents
+)
+SELECT format, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(hdr + w * h) AS BIGINT) AS total_bytes,
+       round(avg(w), 2) AS avg_width,
+       round(avg(h), 2) AS avg_height
+FROM m GROUP BY format ORDER BY format
+""",
+    tags=("multimodal", "binary", "mapinpandas"),
+)
 def multimodal_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column pipeline: text → valid PNG/JPEG/GIF container
     (``synth_media_stage``) → mapInPandas REAL header decode → typed
-    metadata → aggregate. Deterministic → stable rows-only check.
-    (Name kept from earlier rounds for snapshot continuity; the decode
-    kernel is no longer a stub — see decode_image_header.)"""
+    metadata → aggregate. (Name kept from earlier rounds for snapshot
+    continuity; the decode kernel is no longer a stub — see
+    decode_image_header.)
+
+    FULLY value-oracled since late r8 (was rows-only): the containers
+    carry no compression, so every metadata field is a closed form of
+    the document — format = doc_id % 3; w = 16 + (blen % 48),
+    h = 16 + ((7·blen) % 48) with blen = utf-8 byte length (floored at
+    1 for empty text, the generator's ``or b"\x00"``); byte_len =
+    header (PNG 33 = 8 sig + 4 len + 17 IHDR + 4 CRC, JPEG 33 = SOI +
+    APP0 + SOF0, GIF 13 = GIF89a + screen descriptor) + w·h body. The
+    driver's hash therefore checks the synth container writer AND the
+    real header parser against pure arithmetic."""
     docs = t(spark, sf, "documents")
     with_payload = synth_media_stage(
         docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
