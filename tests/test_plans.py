@@ -243,6 +243,37 @@ def test_knn_neighbor_ranking_is_two_phase(spark, sf_dir):
     assert all(w < min(map_idx) for w in win_idx), plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        # signature-store persists (round 8): each of these re-ran a
+        # multi-consumed signature/staging stage once per consumer before
+        # being persisted (minhash 1.44->0.85s, simhash 2.0->1.46s,
+        # setsim 2.35->0.66s, ann_join 2.51->1.84s, embedding-cosine
+        # 6.38->2.32s at sf0.1) — the cache scan in the plan is the pin
+        # that the shared stage is materialized once, not recomputed
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "setsim_join_prefix",
+        "setsim_containment_join",
+        "ann_join_topk",
+        "dedup_embedding_cosine",
+    ],
+)
+def test_shared_stage_is_persisted_not_recomputed(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+
+
+def test_pagerank_iterations_consume_persisted_state(spark, sf_dir):
+    """PageRank's lazy loop must not nest every prior iteration's plan:
+    iteration k reads the persisted ranks of k-1 (8.6 -> 1.1 s at sf0.1
+    when this landed). The final plan therefore scans cached state
+    instead of re-deriving the edge list from the base tables."""
+    plan = plan_of(spark, sf_dir, "graph_pagerank")
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+
+
 def test_maxsim_ranking_is_two_phase(spark, sf_dir):
     """MaxSim late-interaction: the per-query doc ranking must consume
     the partition-local partial top-3 (MapInArrow), never N scored docs
