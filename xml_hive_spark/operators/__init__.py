@@ -219,6 +219,67 @@ _DRIVER_WINDOW = [
     "streaming_vector_ingest",
 ]
 
+# ROUND-9 WINDOW, PRE-ENUMERATED (apply the policy above mechanically:
+# replace _DRIVER_WINDOW with this list at the start of round 9, then
+# swap in any query whose result semantics change during r9 — rule 4 —
+# using the one spare slot first, then evicting from the r4-cohort tail).
+# Derivation (this enumeration was computed by diffing the registry
+# against CORRECTNESS_r01..r07 latest-round-per-query, r8 window assumed
+# green): 9 rule-2 deferrals from r8 + 8 r2-vintage refreshes +
+# xml_scan_bench (full oracle NEW in late r8 — its driver row upgrades
+# from rows-only to hash) + the 31 r4-vintage rows = 49 names, 1 spare.
+# _R9_WINDOW_PLAN = [
+#     "window_percent_rank",
+#     "join_null_safe_eq",
+#     "lateral_topn_per_group",
+#     "sql_registered_udf",
+#     "parquet_codec_zstd",
+#     "daily_new_and_cumulative_users",
+#     "copurchase_lift",
+#     "twap_time_weighted",
+#     "anomaly_zscore_events",
+#     "agg_approx_distinct",
+#     "dedup_exact_by_hash",
+#     "dedup_minhash_lsh",
+#     "dedup_simhash",
+#     "multimodal_decode_stub",
+#     "multimodal_feature_extract",
+#     "multimodal_frame_sample",
+#     "multimodal_resize_stub",
+#     "xml_scan_bench",
+#     "agg_percentiles",
+#     "apply_in_pandas_centered",
+#     "array_higher_order",
+#     "asof_join",
+#     "conditional_functions",
+#     "cosine_topk_bruteforce",
+#     "csv_roundtrip",
+#     "doc_chunks_udtf",
+#     "embedding_label_centroids",
+#     "explode_outer_empty_arrays",
+#     "from_json_struct",
+#     "hypertable_rollup",
+#     "json_roundtrip",
+#     "map_functions",
+#     "pack_sequences",
+#     "quality_filter_verdicts",
+#     "salted_join_agg",
+#     "scalar_subquery_ratio",
+#     "session_window_agg",
+#     "sliding_window_agg",
+#     "sort_within_partitions",
+#     "source_stats",
+#     "string_predicates",
+#     "text_clean_normalize",
+#     "text_fingerprint",
+#     "text_language_id",
+#     "text_quality_score",
+#     "text_token_stats",
+#     "tumbling_window_agg",
+#     "variant_json_access",
+#     "vocab_topk",
+# ]
+
 
 def all_queries() -> dict[str, QueryDef]:
     """Import every operator module (side effect: registration) and return
