@@ -194,6 +194,25 @@ def _pixel_planes(payload: bytes):
                   for i in range(n_planes)]
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a small work-driver table up to the
+    cluster's default parallelism before a Python codec stage.
+
+    At production scale the codec input arrives in many file splits and
+    this is a no-op (the guard sees >= defaultParallelism partitions);
+    at tiny SF the whole documents table is ONE parquet split, so
+    without it the entire mapInPandas codec stage runs as a single
+    task (measured at sf0.1: multimodal_png_codec = 5000 encode+decode
+    round trips in one task, 1.31 s). The shuffle moves only the
+    id/payload driver columns — negligible next to the per-row codec
+    work it parallelizes."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def synth_media_stage(df: DataFrame, id_col: str = "doc_id",
                       bin_col: str = "payload", planes: int = 1) -> DataFrame:
     """Deterministic synthetic-media fixture stage: wrap each payload's
@@ -219,7 +238,9 @@ def synth_media_stage(df: DataFrame, id_col: str = "doc_id",
                 out_payload.append(make_image(kind, w, h, body))
             yield pd.DataFrame({"doc_id": out_id, "payload": out_payload})
 
-    return df.mapInPandas(synth, schema="doc_id long, payload binary")
+    return fan_out(df).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
 
 
 def decode_binary_metadata(df: DataFrame, id_col: str = "doc_id",
@@ -333,7 +354,9 @@ def synth_png_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(png_encode(px.reshape(h, w)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.mapInPandas(synth, schema="doc_id long, payload binary")
+    return fan_out(df).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
 
 
 def decode_png_stage(df: DataFrame, id_col: str = "doc_id",
@@ -431,7 +454,9 @@ def synth_wav_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.mapInPandas(synth, schema="doc_id long, payload binary")
+    return fan_out(df).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
 
 
 def decode_wav_stage(df: DataFrame, id_col: str = "doc_id",
@@ -524,7 +549,9 @@ def synth_gif_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.mapInPandas(synth, schema="doc_id long, payload binary")
+    return fan_out(df).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
 
 
 def decode_gif_stage(df: DataFrame, id_col: str = "doc_id",
@@ -623,7 +650,9 @@ def synth_jpeg_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(jpeg_encode(px))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.mapInPandas(synth, schema="doc_id long, payload binary")
+    return fan_out(df).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
 
 
 def decode_jpeg_stage(df: DataFrame, id_col: str = "doc_id",

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xml_hive_spark.operators import query, t
+from xml_hive_spark.operators.multimodal import fan_out
 
 # Perceptual-hash corpus: doc pairs (2k, 2k+1) share base = 2k. Pair
 # dims/pixels derive from the BASE id — w = 12 + base%5, h = 12 +
@@ -106,7 +107,9 @@ def synth_pair_png_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(png_encode(px.astype(np.uint8).reshape(h, w)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.mapInPandas(synth, schema="doc_id long, payload binary")
+    return fan_out(df).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
 
 
 def phash_fingerprint_stage(
@@ -249,7 +252,9 @@ def synth_mono_wav_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(wav_encode(s.reshape(frames, 1), 16000, 16))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.mapInPandas(synth, schema="doc_id long, payload binary")
+    return fan_out(df).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
 
 
 def resample_wav_stage(
@@ -372,7 +377,9 @@ def synth_animation_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(gif_encode_animation(frames, pal, delays))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.mapInPandas(synth, schema="doc_id long, payload binary")
+    return fan_out(df).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
 
 
 def framesample_stage(
@@ -580,7 +587,9 @@ def synth_group_png_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": ids, "base": bases, "payload": payloads}
             )
 
-    return df.mapInPandas(synth, schema="doc_id long, base long, payload binary")
+    return fan_out(df).mapInPandas(
+        synth, schema="doc_id long, base long, payload binary"
+    )
 
 
 @query(
