@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from xml_hive_spark.operators import query, t
+from xml_hive_spark.operators import fan_out, query, t
 
 # ------------------------------------------------------------- exact dedup
 
@@ -85,7 +85,7 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
             )
         return pd.Series(out)
 
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col).alias("id"), F.explode(mk_shingles(text_col)).alias("sh")
     )
 
@@ -222,7 +222,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """64-bit SimHash over word unigrams: per-bit signed vote weighted by
     term frequency, all as one hash-agg (64 conditional sums, one
     shuffle on id)."""
-    tokens = df.select(
+    tokens = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
     ).select("id", F.xxhash64("w").alias("h"))
@@ -579,7 +579,7 @@ def setsim_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
             [list({tx[i : i + 8] for i in range(len(tx) - 7)}) for tx in texts]
         )
 
-    toks = d.select("doc_id", F.explode(grams("tx")).alias("g")).select(
+    toks = fan_out(d).select("doc_id", F.explode(grams("tx")).alias("g")).select(
         "doc_id", F.xxhash64("g").alias("tok")
     ).persist()
     # one aggregation yields set + size for verification; freq and the
@@ -991,7 +991,7 @@ def setsim_containment_join(spark: SparkSession, sf: str) -> DataFrame:
             [list({tx[i : i + 8] for i in range(len(tx) - 7)}) for tx in texts]
         )
 
-    toks = d.select("doc_id", F.explode(grams("tx")).alias("g")).select(
+    toks = fan_out(d).select("doc_id", F.explode(grams("tx")).alias("g")).select(
         "doc_id", F.xxhash64("g").alias("tok")
     ).persist()
     sets = toks.groupBy("doc_id").agg(

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xml_hive_spark.operators import query, t
+from xml_hive_spark.operators import fan_out, query, t
 
 DECODE_SCHEMA = (
     "doc_id long, byte_len int, checksum long, width int, height int, format string"
@@ -192,25 +192,6 @@ def _pixel_planes(payload: bytes):
     arr = np.frombuffer(body[: n_planes * w * h], dtype=np.uint8)
     return w, h, [arr[i * w * h : (i + 1) * w * h].reshape(h, w)
                   for i in range(n_planes)]
-
-
-def fan_out(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a small work-driver table up to the
-    cluster's default parallelism before a Python codec stage.
-
-    At production scale the codec input arrives in many file splits and
-    this is a no-op (the guard sees >= defaultParallelism partitions);
-    at tiny SF the whole documents table is ONE parquet split, so
-    without it the entire mapInPandas codec stage runs as a single
-    task (measured at sf0.1: multimodal_png_codec = 5000 encode+decode
-    round trips in one task, 1.31 s). The shuffle moves only the
-    id/payload driver columns — negligible next to the per-row codec
-    work it parallelizes."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def synth_media_stage(df: DataFrame, id_col: str = "doc_id",

@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from xml_hive_spark.operators import query, t
+from xml_hive_spark.operators import fan_out, query, t
 
 
 def _dot(a, b):
@@ -68,7 +68,9 @@ def cosine_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
         )
     )
-    n = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+    n = fan_out(emb).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ne")
+    )
     pairs = q.crossJoin(n).filter(F.col("qid") != F.col("nid"))
     cos = F.round(
         _dot(F.col("qe"), F.col("ne")) / (_norm(F.col("qe")) * _norm(F.col("ne"))), 4
@@ -110,7 +112,7 @@ def cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_similarity.py. Rows-only check (seeded projection planes
     aren't SQL-expressible)."""
     emb = t(spark, sf, "embeddings")
-    bucketed = hyperplane_buckets(emb, "vec_id", "embedding")
+    bucketed = hyperplane_buckets(fan_out(emb), "vec_id", "embedding")
     q = F.broadcast(
         bucketed.filter(F.col("id") < 5).select(
             F.col("id").alias("qid"), F.col("vec").alias("qe"), F.col("bucket").alias("qb")
@@ -203,7 +205,7 @@ def banded_signatures(
         vals = bits.reshape(len(vecs), bands, rows_per_band) @ weights
         return pd.Series(vals.tolist())
 
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         sig(F.col(vec_col)).alias("sig"),
@@ -445,7 +447,7 @@ def train_kmeans_centroids(
         .collect()
     )
     centroids = np.stack([np.asarray(r[0], dtype=np.float64) for r in first])
-    vecs = emb.select(vec_col)
+    vecs = fan_out(emb.select(vec_col))
 
     def partials_for(cents):
         cn = cents / np.maximum(
@@ -1080,7 +1082,7 @@ def knn_classify_majority(spark: SparkSession, sf: str) -> DataFrame:
             F.col("label").alias("true_label"),
         )
     )
-    n = emb.filter(F.col("vec_id") >= 20).select(
+    n = fan_out(emb.filter(F.col("vec_id") >= 20)).select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").alias("ne"),
         "label",
@@ -1188,7 +1190,7 @@ def maxsim_late_interaction(spark: SparkSession, sf: str) -> DataFrame:
             F.col("e").alias("qe"),
         )
     )
-    d = emb.filter(F.col("doc") >= 2)
+    d = fan_out(emb.filter(F.col("doc") >= 2))
     sims = q.crossJoin(d).select(
         "qdoc", "qtok", "doc",
         F.round(
@@ -1291,7 +1293,7 @@ def hybrid_rank_fusion_rrf(spark: SparkSession, sf: str) -> DataFrame:
     q = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     )
-    n = emb.filter(F.col("vec_id") != 0).select(
+    n = fan_out(emb.filter(F.col("vec_id") != 0)).select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("ne")
     )
     scored = q.crossJoin(n).select(
@@ -1302,7 +1304,7 @@ def hybrid_rank_fusion_rrf(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("cos_s"),
         F.round(_dot(F.col("qe"), F.col("ne")), 4).alias("dot_s"),
-    )
+    ).persist()  # both scorers' shortlists consume it — score once
     # per-scorer shortlist FIRST (TakeOrderedAndProject — partial top-k
     # per partition, never a full-corpus single-partition window); the
     # rank window then runs over only the 50 survivors
