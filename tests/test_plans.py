@@ -478,3 +478,18 @@ def test_copurchase_lift_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "copurchase_lift")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fan_out_guard(spark, sf_dir):
+    """fan_out widens a single-split input to defaultParallelism (the
+    per-row map stages behind it would otherwise run as ONE task at
+    test SF) and is a NO-OP once the input already has at least that
+    many partitions — the production-scale case, where adding a
+    round-robin exchange would be pure cost."""
+    from xml_hive_spark.operators import fan_out, t
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = t(spark, sf_dir, "documents").select("doc_id")
+    assert fan_out(narrow).rdd.getNumPartitions() == target
+    wide = narrow.repartition(target + 3)
+    assert fan_out(wide) is wide  # untouched, no extra exchange
