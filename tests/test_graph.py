@@ -1,13 +1,41 @@
-"""PageRank (operators/graph.py): the distributed join/agg iteration
-must agree with a numpy power iteration over the collected edge list,
-conserve probability mass, and respect the trade graph's structure."""
+"""PageRank (operators/graph.py): the distributed fixed-point
+join/agg iteration must agree EXACTLY (integer units) with a
+pure-Python replica over the collected edge list, track real-valued
+power iteration within the quantization bound, conserve probability
+mass up to the quantified floor loss, and respect the trade graph's
+structure."""
 
 from __future__ import annotations
 
 import numpy as np
 
 from xml_hive_spark.operators import all_queries
-from xml_hive_spark.operators.graph import _DAMP, _ITERS, pagerank, trade_edges
+from xml_hive_spark.operators.graph import (
+    _DAMP,
+    _ITERS,
+    _UNIT,
+    pagerank,
+    trade_edges,
+)
+
+
+def _fixed_point_pagerank(edge_pairs, damping, iters):
+    """Pure-Python integer replica of the Spark recurrence: BIGINT
+    units, floor division everywhere — must match Spark bit-for-bit."""
+    dnum = round(damping * 100)
+    nodes = sorted({a for a, _ in edge_pairs} | {b for _, b in edge_pairs})
+    n = len(nodes)
+    out: dict = {}
+    for a, _ in edge_pairs:
+        out[a] = out.get(a, 0) + 1
+    tele = ((100 - dnum) * _UNIT) // (100 * n)
+    r = {v: _UNIT // n for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for a, b in edge_pairs:
+            s[b] += r[a] // out[a]
+        r = {v: tele + (dnum * s[v]) // 100 for v in nodes}
+    return r
 
 
 def _numpy_pagerank(edge_pairs, damping, iters):
@@ -28,21 +56,38 @@ def _numpy_pagerank(edge_pairs, damping, iters):
 
 
 class TestPagerank:
-    def test_matches_numpy_power_iteration(self, spark, sf_dir):
+    def test_exact_integer_parity(self, spark, sf_dir):
+        """The distributed loop is bit-identical to the sequential
+        integer replica — the property that makes the DuckDB oracle a
+        full value hash."""
+        edges = trade_edges(spark, sf_dir)
+        pairs = [(r.src, r.dst) for r in edges.collect()]
+        want = _fixed_point_pagerank(pairs, _DAMP, _ITERS)
+        got = {r.node: r.rank_units for r in pagerank(edges).collect()}
+        assert got == want
+
+    def test_tracks_real_power_iteration(self, spark, sf_dir):
+        """Quantization drift vs float power iteration stays inside the
+        analytic bound (iters·(indeg+2)/UNIT ≪ 1e-6 here)."""
         edges = trade_edges(spark, sf_dir)
         pairs = [(r.src, r.dst) for r in edges.collect()]
         want = _numpy_pagerank(pairs, _DAMP, _ITERS)
         got = {r.node: r.rank for r in pagerank(edges).collect()}
         assert set(got) == set(want)
         for node, rank in got.items():
-            assert abs(rank - want[node]) < 1e-9, node
+            assert abs(rank - want[node]) < 1e-6, node
 
     def test_mass_conserved_and_positive(self, spark, sf_dir):
-        ranks = pagerank(trade_edges(spark, sf_dir)).collect()
-        total = sum(r.rank for r in ranks)
-        # mirrored edges → no dangling nodes → mass exactly conserved
-        assert abs(total - 1.0) < 1e-9
-        assert all(r.rank > 0 for r in ranks)
+        rows = pagerank(trade_edges(spark, sf_dir)).collect()
+        total_units = sum(r.rank_units for r in rows)
+        # mirrored edges → no dangling nodes → mass conserved up to the
+        # floor loss: ≤1 unit per edge contribution + per-node damping
+        # floor + teleport floor, per iteration.
+        n_edges = trade_edges(spark, sf_dir).count()
+        max_loss = _ITERS * (n_edges + 2 * len(rows) + 1)
+        assert _UNIT - total_units <= max_loss
+        assert total_units <= _UNIT
+        assert all(r.rank_units > 0 for r in rows)
 
     def test_registry_query_shape(self, spark, sf_dir):
         out = all_queries()["graph_pagerank"].fn(spark, sf_dir).collect()

@@ -54,13 +54,10 @@ def test_registry_complete():
         "cosine_topk_ivf_pq_probed",  # k-means + PQ composition
         "cosine_topk_lsh",
         "dedup_embedding_cosine",  # LSH planes aren't SQL-expressible
-        "dedup_exact_by_hash",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "embedding_pca_project",  # eigendecomposition — not SQL-expressible;
         # numpy parity pinned in test_embeddings
-        "graph_pagerank",  # iterative double arithmetic — not bit-stable
-        # cross-engine; numpy power-iteration parity in test_graph
         "logreg_train_distributed",  # iterated sigmoid GD — not
         # SQL-expressible; numpy parity in test_embeddings
         "multimodal_feature_extract",
@@ -75,9 +72,6 @@ def test_registry_complete():
         "streaming_vector_ingest",  # seeded-k-means centroids — not
         # SQL-expressible; stream-equals-batch pinned in test_streaming
         "streaming_window_counts",
-        "xml_scan_books",
-        "xml_scan_inferred",  # cross-checked vs the XSD read in test_infer
-        "xml_sql_ddl",  # golden rows in test_xml_sql_ddl.py
     ]
 
 

@@ -380,13 +380,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("dedup_exact_by_hash", tags=("dedup", "exact", "hash"))
+@query(
+    "dedup_exact_by_hash",
+    oracle="""
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+""",
+    tags=("dedup", "exact", "hash"),
+)
 def dedup_exact_by_hash(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup at 100 TB: group on ``xxhash64(text)`` so the shuffle
     carries 8-byte keys instead of document bodies; collisions would be
     verified by re-grouping the (tiny) multi-member buckets on full text.
-    Rows-only check (xxhash64 isn't available in DuckDB); equivalence to
-    text-keyed dedup is asserted in tests/test_dedup.py."""
+
+    FULL value oracle despite xxhash64 being Spark-only: the hash never
+    appears in the OUTPUT — (keep_id, n_copies) is a pure function of
+    the text partition, so DuckDB groups by ``text`` directly and must
+    produce the identical row set. A 64-bit collision would surface as
+    a hash mismatch here, which is exactly the check we want.
+    Equivalence to text-keyed dedup is also asserted in
+    tests/test_dedup.py."""
     docs = t(spark, sf, "documents")
     return (
         docs.groupBy(F.xxhash64("text").alias("text_hash"))

@@ -24,6 +24,12 @@ from xml_hive_spark.operators import query, t
 
 _DAMP = 0.85
 _ITERS = 5
+# Fixed-point scale for the PageRank iteration: ranks are BIGINT
+# multiples of 1e-12.  Integer sums are associative, so the result is
+# bit-identical regardless of partitioning/parallelism — in Spark, in
+# DuckDB, and in the pure-Python test replica — which upgrades the
+# registry entry from rows-only to a full value hash.
+_UNIT = 10**12
 
 
 def trade_edges(spark: SparkSession, sf: str) -> DataFrame:
@@ -52,6 +58,22 @@ def pagerank(edges: DataFrame, damping: float = _DAMP,
     Every node in the edge list has out-degree ≥ 1 here (edges are
     mirrored), so no dangling-mass correction is needed.
 
+    FIXED-POINT iteration: ranks are BIGINT multiples of 1/``_UNIT``
+    (1e-12), contributions use integer division (``DIV``), and damping
+    is applied as an exact percent ratio.  Floating-point PageRank is
+    not bit-stable across engines (parallel double sums re-associate);
+    the integer recurrence is — the SAME numbers fall out of Spark at
+    any parallelism, of DuckDB's unrolled SQL twin, and of the
+    pure-Python replica in tests/test_graph.py, so the registry entry
+    carries a full value hash instead of a rows-only check.  The
+    quantization error vs exact real-arithmetic PageRank is bounded by
+    iters·(indeg+2)/1e12 per node — irrelevant at any ranking use, and
+    the price buys reproducibility (the property that matters for a
+    curation prior: re-running the corpus pipeline must not reshuffle
+    document priorities by machine).
+
+    Returns (node, rank_units BIGINT, rank DOUBLE = units/1e12).
+
     The loop invariants (edges, nodes, outdeg) and each iteration's
     ranks are PERSISTED — without them iteration k's lazy plan nests
     every prior iteration and re-derives the edge list from the base
@@ -59,6 +81,10 @@ def pagerank(edges: DataFrame, damping: float = _DAMP,
     iterations at sf0.1, identical ranks; the graph_bfs_hops frontier
     discipline applied to the walk family). Per-iteration state is one
     (node, rank) row per vertex — O(V), never the crossed lineage."""
+    dnum = round(damping * 100)
+    if abs(dnum / 100.0 - damping) > 1e-12:
+        raise ValueError("damping must be a multiple of 0.01 for the "
+                         f"exact fixed-point iteration, got {damping}")
     edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -70,12 +96,13 @@ def pagerank(edges: DataFrame, damping: float = _DAMP,
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("outdeg")
     ).persist()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = ((100 - dnum) * _UNIT) // (100 * n)
+    ranks = nodes.withColumn("rank_units", F.lit(_UNIT // n).cast("long"))
     for _ in range(iters):
         contribs = (
             edges.join(ranks, edges.src == ranks.node)
             .join(outdeg, "src")
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .select("dst", F.expr("rank_units DIV outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
@@ -83,29 +110,83 @@ def pagerank(edges: DataFrame, damping: float = _DAMP,
             nodes.join(contribs, nodes.node == contribs.dst, "left")
             .select(
                 "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
+                F.expr(
+                    f"CAST({teleport} AS BIGINT)"
+                    f" + ({dnum} * coalesce(s, CAST(0 AS BIGINT))) DIV 100"
+                ).alias("rank_units"),
             )
             .persist()
         )
-    return ranks
+    return ranks.select(
+        "node",
+        "rank_units",
+        (F.col("rank_units") / F.lit(_UNIT)).alias("rank"),
+    )
 
 
-@query("graph_pagerank", tags=("graph", "pagerank", "iterative"))
+def _pagerank_oracle(iters: int = _ITERS, dnum: int = round(_DAMP * 100)) -> str:
+    """DuckDB twin of the fixed-point iteration, unrolled (one CTE per
+    Lloyd step — recursive CTEs cannot aggregate over the recursive
+    reference, so the fixed iteration count is written out).  Integer
+    arithmetic end to end ⇒ bit-identical to the Spark loop."""
+    body = [
+        "WITH pairs AS (",
+        "  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cust,",
+        "                  's' || CAST(l_suppkey AS VARCHAR) AS supp",
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+        "),",
+        "e AS (",
+        "  SELECT cust AS src, supp AS dst FROM pairs",
+        "  UNION ALL SELECT supp AS src, cust AS dst FROM pairs",
+        "),",
+        "nodes AS (SELECT DISTINCT src AS node FROM e),",
+        "outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),",
+        "tele AS (SELECT CAST(({od} * 1000000000000) // (100 * count(*)) AS BIGINT) AS t,"
+        "  CAST(1000000000000 // count(*) AS BIGINT) AS r0 FROM nodes)".format(
+            od=100 - dnum
+        ),
+        ",r0 AS (SELECT node, (SELECT r0 FROM tele) AS r FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        body.append(
+            """,r{k} AS (
+  SELECT n.node,
+         (SELECT t FROM tele) + ({dnum} * COALESCE(s.s, 0)) // 100 AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.r // o.outdeg) AS BIGINT) AS s
+    FROM e JOIN r{prev} p ON e.src = p.node
+           JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)""".format(k=k, prev=k - 1, dnum=dnum)
+        )
+    body.append(
+        'SELECT node, CAST(r AS DOUBLE) / 1000000000000 AS "rank"\n'
+        f"FROM r{iters} ORDER BY r DESC, node LIMIT 20"
+    )
+    return "\n".join(body)
+
+
+@query(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative"),
+)
 def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 PageRank nodes of the trade graph (5 iterations, d=0.85).
 
-    Rows-only driver check (iterative double arithmetic is not
-    bit-stable across engines — parallel sum order varies); numpy
-    power-iteration parity, mass conservation, and bipartite symmetry
-    are asserted in tests/test_graph.py."""
+    FULL value oracle since the fixed-point rewrite: the BIGINT
+    recurrence is order-independent, so Spark at any parallelism and
+    DuckDB's unrolled CTE twin produce identical units and the final
+    double division (exact int < 2^53 by exactly-representable 1e12)
+    is correctly rounded in both.  Exact-integer parity with a
+    pure-Python replica, mass conservation (quantified floor loss),
+    and bipartite symmetry are asserted in tests/test_graph.py."""
     ranks = pagerank(trade_edges(spark, sf))
     return (
-        ranks.select("node", F.round("rank", 6).alias("rank"))
-        .orderBy(F.col("rank").desc(), "node")
+        ranks.orderBy(F.col("rank_units").desc(), "node")
         .limit(20)
+        .select("node", "rank")
     )
 
 

@@ -22,10 +22,26 @@ _FIXTURE = Path(__file__).resolve().parent.parent.parent / "tests" / "fixtures" 
 from xml_hive_spark.session import scratch_dir as _scratch
 
 
-@query("xml_scan_books", tags=("xml", "source"))
+@query(
+    "xml_scan_books",
+    oracle="""
+SELECT * FROM (VALUES
+  ('Streaming', CAST(1 AS BIGINT), CAST(42.0 AS DOUBLE), CAST(1 AS BIGINT)),
+  ('Systems',   CAST(2 AS BIGINT), CAST(24.88 AS DOUBLE), CAST(2 AS BIGINT))
+) AS t(genre, n_books, avg_price, n_tags)
+""",
+    tags=("xml", "source"),
+)
 def xml_scan_books(spark: SparkSession, sf: str) -> DataFrame:
     """XSD-schema'd XML scan (reference capability A9-A19) + a relational
-    query on top: genre rollup of the parsed catalog."""
+    query on top: genre rollup of the parsed catalog.
+
+    GOLDEN-CONSTANTS oracle: DuckDB cannot read XML, but the fixture is
+    static, so the oracle pins the parsed aggregate to hand-verified
+    literals — the same golden rows tests/test_reader.py asserts,
+    now enforced by the driver's value hash as well (the same
+    treatment that upgraded xml_scan_bench from rows-only, xmlio.py
+    bench oracle: there derived, here enumerable)."""
     from xml_hive_spark.reader import read_xml
 
     df = read_xml(
@@ -45,15 +61,24 @@ def xml_scan_books(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("genre")
     )
 
-@query("xml_scan_inferred", tags=("xml", "source", "infer"))
+@query(
+    "xml_scan_inferred",
+    oracle="""
+SELECT * FROM (VALUES
+  ('Streaming', CAST(1 AS BIGINT), CAST(42.0 AS DOUBLE)),
+  ('Systems',   CAST(2 AS BIGINT), CAST(24.88 AS DOUBLE))
+) AS t(genre, n_books, avg_price)
+""",
+    tags=("xml", "source", "infer"),
+)
 def xml_scan_inferred(spark: SparkSession, sf: str) -> DataFrame:
     """XML scan with NO schema and NO XSD — sampled inference (infer.py),
     a capability the reference lacks outright (xml.schema.location is
     mandatory, AvroTransormer.scala:35,57). Same aggregate as
     xml_scan_books, so the two entries cross-check: inference must
-    reproduce the XSD-declared read's numbers. Rows-only (DuckDB has no
-    XML reader); the lattice itself is property-tested in
-    tests/test_infer.py."""
+    reproduce the XSD-declared read's numbers. GOLDEN-CONSTANTS oracle
+    (static fixture — see xml_scan_books); the inference lattice itself
+    is property-tested in tests/test_infer.py."""
     from xml_hive_spark.sources.xml_datasource import register
 
     register(spark)
@@ -73,7 +98,16 @@ def xml_scan_inferred(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("xml_sql_ddl", tags=("xml", "source", "sql", "ddl"))
+@query(
+    "xml_sql_ddl",
+    oracle="""
+SELECT * FROM (VALUES
+  ('Streaming', CAST(1 AS BIGINT), CAST(42.0 AS DOUBLE)),
+  ('Systems',   CAST(2 AS BIGINT), CAST(24.88 AS DOUBLE))
+) AS t(genre, n_books, avg_price)
+""",
+    tags=("xml", "source", "sql", "ddl"),
+)
 def xml_sql_ddl(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's ONLY user entry point is SQL DDL — ``CREATE
     EXTERNAL TABLE ... ROW FORMAT SERDE 'AvroFromXmlSerde'`` with four
@@ -89,8 +123,9 @@ def xml_sql_ddl(spark: SparkSession, sf: str) -> DataFrame:
     catalog↔Python-DataSource options plumbing. ``CREATE TEMPORARY VIEW
     ... USING xmlhive OPTIONS (...)`` forwards options correctly and is
     the supported DDL form (same UX position as the reference's DDL:
-    declare once in SQL, then everything is SELECT). Rows-only driver
-    check (DuckDB has no XML reader); golden rows pinned in pytest."""
+    declare once in SQL, then everything is SELECT). GOLDEN-CONSTANTS
+    oracle (static fixture — see xml_scan_books); the same golden rows
+    are pinned in pytest."""
     from xml_hive_spark.sources.xml_datasource import register
 
     register(spark)
