@@ -67,11 +67,10 @@ def test_registry_complete():
         "streaming_dedup_minhash",  # stateful near-dedup — batch-twin
         # equality pinned in test_streaming
         "streaming_sessionize",  # arbitrary-state streaming — no SQL twin
-        "streaming_stream_join",  # two-stream watermark join — no SQL twin
-        "streaming_stream_join_outer",  # horizon-exact harness in test_streaming
+        "streaming_stream_join_outer",  # null rows depend on the watermark
+        # horizon — horizon-exact harness in test_streaming
         "streaming_vector_ingest",  # seeded-k-means centroids — not
         # SQL-expressible; stream-equals-batch pinned in test_streaming
-        "streaming_window_counts",
     ]
 
 

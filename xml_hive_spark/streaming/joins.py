@@ -97,9 +97,30 @@ def batch_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sides(ev, ev)
 
 
-@query("streaming_stream_join", tags=("streaming", "join"))
+@query(
+    "streaming_stream_join",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events
+)
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       v.ts AS view_ts, p.ts AS purchase_ts, p.value AS amount
+FROM ev v JOIN ev p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+""",
+    tags=("streaming", "join"),
+)
 def streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Registry entry (rows-only; batch equality in tests/test_streaming.py)."""
+    """Registry entry. FULL value oracle — INNER stream-stream joins
+    emit matches eagerly (never held for the watermark), so the
+    availableNow drain over the finite events table is exactly the
+    batch attribution join, which the DuckDB range self-join twin
+    computes directly; the same equality (plus exactly-once emission)
+    is asserted in tests/test_streaming.py. The LEFT-OUTER variant
+    stays rows-only: its null rows depend on the watermark horizon."""
     return run_streaming_stream_join(spark, sf)
 
 

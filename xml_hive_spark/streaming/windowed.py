@@ -85,10 +85,23 @@ def run_streaming_event_counts(
     return spark.table(name)
 
 
-@query("streaming_window_counts", tags=("streaming", "window"))
+@query(
+    "streaming_window_counts",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    tags=("streaming", "window"),
+)
 def streaming_window_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """Registry entry: the streaming pipeline end-to-end (rows-only check;
-    equality with the batch twin is asserted in tests/test_streaming.py)."""
+    """Registry entry: the streaming pipeline end-to-end. FULL value
+    oracle — the drain runs in COMPLETE mode over a finite input, so
+    the emitted table is exactly the batch tumbling aggregate and the
+    ``tumbling_window_agg`` oracle applies verbatim (count/decimal-sum
+    are mergeable); the same equality is asserted against the batch
+    twin in tests/test_streaming.py."""
     return run_streaming_event_counts(spark, sf)
 
 
