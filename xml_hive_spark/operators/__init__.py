@@ -146,13 +146,19 @@ _LOADED = False
 #      r2-vintage rows listed below, then the r4 cohort).
 #   4. Queries whose RESULT SEMANTICS changed this round must be
 #      in-window (r8: the three de-funneled retrieval queries — RRF's
-#      oracle moved to rank-cutoff semantics). Perf-only changes with
-#      outputs verified identical (the r8 persist/positional-filter
-#      sweep: minhash/simhash/embedding-cosine/setsim/pagerank/ann —
-#      all local-gate green post-change, and all but setsim_join_prefix
-#      rows-only by design) follow normal rotation; the two with stale
-#      driver rows (dedup_minhash_lsh, dedup_simhash, r2-vintage)
-#      already lead the r9 window.
+#      oracle moved to rank-cutoff semantics — and, late r8,
+#      graph_pagerank, whose float iteration became exact fixed-point
+#      with a full oracle). Perf-only changes with outputs verified
+#      identical (the r8 persist/positional-filter sweep:
+#      minhash/simhash/embedding-cosine/setsim/ann — all local-gate
+#      green post-change, and all but setsim_join_prefix rows-only by
+#      design) follow normal rotation; the two with stale driver rows
+#      (dedup_minhash_lsh, dedup_simhash, r2-vintage) already lead the
+#      r9 window. Oracle-only upgrades (Spark result unchanged, DuckDB
+#      twin added — late r8: dedup_exact_by_hash, xml_scan_books/
+#      inferred/sql_ddl, streaming_window_counts/stream_join) follow
+#      normal rotation and are queued at the head of r9 so the new
+#      hashes earn driver rows.
 # Window membership is derived by diffing the registry against the union
 # of CORRECTNESS_r*.json keys; outside-window queries are covered
 # meanwhile by the identical local gate (tools/verify_local.py,
@@ -192,11 +198,15 @@ _DRIVER_WINDOW = [
     "filter_top_decile_docs",
     "dedup_incremental_ingest",
     "setsim_containment_join",
-    # --- embeddings/ML (pca witness NEW r8 — delivers the r6/r7 ask;
-    # logreg rows-only by design, numpy parity in tests/) ---
+    # --- embeddings/ML (pca witness NEW r8 — delivers the r6/r7 ask) ---
     "pca_explained_variance_2d",
     "embedding_drift_monitor",
-    "logreg_train_distributed",
+    # --- graph (rule 4: result semantics changed late r8 — the float
+    # iteration became exact fixed-point and rows-only became a FULL
+    # oracle; swapped in for logreg_train_distributed, the weakest row
+    # in this window (rows-only by design, numpy-parity pinned in
+    # tests/test_embeddings.py), which moves to the r9 plan) ---
+    "graph_pagerank",
     # --- multimodal/perception composites ---
     "multimodal_video_framesample",
     "multimodal_image_augment",
@@ -241,12 +251,20 @@ _DRIVER_WINDOW = [
 # ROUND-9 WINDOW, PRE-ENUMERATED (apply the policy above mechanically:
 # replace _DRIVER_WINDOW with this list at the start of round 9, then
 # swap in any query whose result semantics change during r9 — rule 4 —
-# using the one spare slot first, then evicting from the r4-cohort tail).
-# Derivation (this enumeration was computed by diffing the registry
-# against CORRECTNESS_r01..r07 latest-round-per-query, r8 window assumed
-# green): 9 rule-2 deferrals from r8 + 8 r2-vintage refreshes +
-# xml_scan_bench (full oracle NEW in late r8 — its driver row upgrades
-# from rows-only to hash) + the 31 r4-vintage rows = 49 names, 1 spare.
+# evicting from the r4-cohort tail).
+# Derivation (computed by diffing the registry against
+# CORRECTNESS_r01..r07 latest-round-per-query, r8 window assumed green):
+# 9 rule-2 deferrals from r8 + 8 r2-vintage refreshes + the 7 late-r8
+# FULL-ORACLE UPGRADES whose driver rows graduate from rows-only to
+# hash (xml_scan_bench, multimodal_decode_stub — already below —, plus
+# xml_scan_books / xml_scan_inferred / xml_sql_ddl / streaming_window_
+# counts / streaming_stream_join; dedup_exact_by_hash was upgraded too
+# and was already queued as an r2 refresh) + logreg_train_distributed
+# (evicted from the r8 window by the rule-4 graph_pagerank swap) + the
+# r4-vintage rows = 50 names. Five r4-vintage scalar-function/projection
+# shapes (conditional_functions, from_json_struct, map_functions,
+# sort_within_partitions, string_predicates — their families have
+# driver-green siblings from r5/r6) are pushed to r10 to make room.
 # _R9_WINDOW_PLAN = [
 #     "window_percent_rank",
 #     "join_null_safe_eq",
@@ -266,29 +284,30 @@ _DRIVER_WINDOW = [
 #     "multimodal_frame_sample",
 #     "multimodal_resize_stub",
 #     "xml_scan_bench",
+#     "xml_scan_books",
+#     "xml_scan_inferred",
+#     "xml_sql_ddl",
+#     "streaming_window_counts",
+#     "streaming_stream_join",
+#     "logreg_train_distributed",
 #     "agg_percentiles",
 #     "apply_in_pandas_centered",
 #     "array_higher_order",
 #     "asof_join",
-#     "conditional_functions",
 #     "cosine_topk_bruteforce",
 #     "csv_roundtrip",
 #     "doc_chunks_udtf",
 #     "embedding_label_centroids",
 #     "explode_outer_empty_arrays",
-#     "from_json_struct",
 #     "hypertable_rollup",
 #     "json_roundtrip",
-#     "map_functions",
 #     "pack_sequences",
 #     "quality_filter_verdicts",
 #     "salted_join_agg",
 #     "scalar_subquery_ratio",
 #     "session_window_agg",
 #     "sliding_window_agg",
-#     "sort_within_partitions",
 #     "source_stats",
-#     "string_predicates",
 #     "text_clean_normalize",
 #     "text_fingerprint",
 #     "text_language_id",
@@ -298,6 +317,9 @@ _DRIVER_WINDOW = [
 #     "variant_json_access",
 #     "vocab_topk",
 # ]
+# Pushed to r10 (rule-2 sibling coverage noted above):
+# conditional_functions, from_json_struct, map_functions,
+# sort_within_partitions, string_predicates.
 
 
 def all_queries() -> dict[str, QueryDef]:
