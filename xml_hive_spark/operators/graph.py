@@ -234,7 +234,15 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     join on the (u, w) pair — both plain shuffle equi-joins. At 100 TB
     you'd orient by (degree, id) instead of id to bound the wedge
     blow-up on hubs; id-orientation is kept here for oracle parity and
-    the degree variant is a one-line change to the orientation key."""
+    the degree variant is a one-line change to the orientation key.
+
+    The edge table is PERSISTED (three consumers: e1/e2/e3) and so is
+    the triangle table (three consumers: the a/b/c projections) —
+    exchange reuse does not dedupe multi-consumed agg stages (the r8
+    recompute-sweep lesson), so without the caches the basket
+    expansion runs 3× and the wedge+closing joins 3× (interleaved A/B
+    at sf0.1: 2.34 → 2.09 s min-cold, and the first-pass cost drops
+    12.1 → 3.7 s; identical output)."""
     items = (
         t(spark, sf, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -256,11 +264,12 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 2)
         .select("u", "v")
+        .persist()
     )
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).persist()
     nodes = (
         tri.select(F.col("a").alias("part_key"))
         .unionAll(tri.select(F.col("b").alias("part_key")))
@@ -337,8 +346,8 @@ def graph_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
     the reachability/shortest-path primitive beside PageRank (walk) and
     triangles (motif). The DuckDB oracle is the same traversal as a
     recursive CTE (UNION-dedup bounds the walk at nodes x 5 rows), so
-    the iterative DataFrame loop is FULLY value-checked — unusual for
-    iterative graph ops (pagerank's float iteration is rows-only).
+    the iterative DataFrame loop is FULLY value-checked — as is
+    pagerank since its exact fixed-point rewrite.
 
     Scale shape: per hop ONE frontier-to-edges equi-join keyed on the
     node id (frontier starts at 1 row and stays a broadcast-sized
@@ -346,8 +355,13 @@ def graph_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
     and an anti-join against the settled set — no driver graph state,
     no collect anywhere (the source node is itself a 1-row aggregate
     joined in, never collected). Fixed hop bound keeps lineage bounded;
-    each frontier is persisted so prior hops never recompute."""
-    edges = copurchase_edges(spark, sf)
+    each frontier is persisted so prior hops never recompute, and the
+    EDGE LIST is persisted too — it is consumed five times (source
+    aggregate + one join per hop) and without the cache each hop
+    re-runs the whole basket-bounded pair expansion (measured 5.55 →
+    3.45 s min-cold at sf0.1, identical output — the pagerank
+    loop-invariant discipline)."""
+    edges = copurchase_edges(spark, sf).persist()
     frontier = (
         edges.groupBy()
         .agg(F.min("u").alias("node"))
