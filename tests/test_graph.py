@@ -89,6 +89,29 @@ class TestPagerank:
         assert total_units <= _UNIT
         assert all(r.rank_units > 0 for r in rows)
 
+    def test_exact_parity_on_crafted_graph(self, spark):
+        """Bit-exactness must hold on an asymmetric, skewed-degree graph
+        too (hub, chain, and a 2-cycle — shapes the bipartite trade
+        graph never produces), and for a non-default damping/iteration
+        count. Edges are mirrored to satisfy the no-dangling contract."""
+        once = [("a", "b"), ("a", "c"), ("a", "d"), ("d", "e"),
+                ("e", "f"), ("b", "c")]
+        pairs = once + [(y, x) for x, y in once]
+        edges = spark.createDataFrame(pairs, "src string, dst string")
+        want = _fixed_point_pagerank(pairs, 0.5, 3)
+        got = {r.node: r.rank_units
+               for r in pagerank(edges, damping=0.5, iters=3).collect()}
+        assert got == want
+
+    def test_damping_must_be_percent_exact(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a")], "src string, dst string"
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="multiple of 0.01"):
+            pagerank(edges, damping=0.8503)
+
     def test_registry_query_shape(self, spark, sf_dir):
         out = all_queries()["graph_pagerank"].fn(spark, sf_dir).collect()
         assert len(out) == 20
