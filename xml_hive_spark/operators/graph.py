@@ -236,13 +236,16 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     blow-up on hubs; id-orientation is kept here for oracle parity and
     the degree variant is a one-line change to the orientation key.
 
-    The edge table is PERSISTED (three consumers: e1/e2/e3) and so is
-    the triangle table (three consumers: the a/b/c projections) —
-    exchange reuse does not dedupe multi-consumed agg stages (the r8
-    recompute-sweep lesson), so without the caches the basket
-    expansion runs 3× and the wedge+closing joins 3× (interleaved A/B
-    at sf0.1: 2.34 → 2.09 s min-cold, and the first-pass cost drops
-    12.1 → 3.7 s; identical output)."""
+    The edge table is PERSISTED (three consumers: e1/e2/e3 — exchange
+    reuse does not dedupe multi-consumed agg stages, the r8
+    recompute-sweep lesson), so the basket expansion runs once instead
+    of 3×; the corner counting explodes [a,b,c] in ONE pass over the
+    triangle table (replacing a 3-way unionAll that re-ran the
+    wedge+closing joins per branch), so the potentially huge triangle
+    list is never cached or recomputed (interleaved A/B at sf0.1:
+    2.34 → 2.09 s min-cold for the persist form, first pass 12.1 →
+    3.7 s; the explode form matches with one consumer and no tri
+    cache)."""
     items = (
         t(spark, sf, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -269,11 +272,13 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"]).persist()
-    nodes = (
-        tri.select(F.col("a").alias("part_key"))
-        .unionAll(tri.select(F.col("b").alias("part_key")))
-        .unionAll(tri.select(F.col("c").alias("part_key")))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # One explode pass instead of a 3-way unionAll: the triangle table
+    # has a single consumer, so it needs no persist — at real scale the
+    # triangle list can dwarf the edge list and caching it would be the
+    # expensive-wide-stage anti-pattern the copurchase_lift A/B measured.
+    nodes = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("part_key")
     )
     return (
         nodes.groupBy("part_key")
