@@ -47,9 +47,17 @@ def trade_edges(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
+    # Mirror via ONE explode pass (not unionAll of two projections,
+    # which would run the join+distinct once per branch — the
+    # graph_triangles corner-count lesson).
     return pairs.select(
-        F.col("cust").alias("src"), F.col("supp").alias("dst")
-    ).unionAll(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("cust").alias("src"), F.col("supp").alias("dst")),
+                F.struct(F.col("supp").alias("src"), F.col("cust").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def pagerank(edges: DataFrame, damping: float = _DAMP,
@@ -315,8 +323,16 @@ def copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("n") >= 2)
         .select("u", "v")
     )
-    return once.unionAll(once.select(F.col("v").alias("u"),
-                                     F.col("u").alias("v")))
+    # Mirror via ONE explode pass — the unionAll form re-ran the whole
+    # basket-bounded expansion once per direction.
+    return once.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
 
 
 @query(
