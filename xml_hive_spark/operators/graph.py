@@ -94,9 +94,12 @@ def pagerank(edges: DataFrame, damping: float = _DAMP,
         raise ValueError("damping must be a multiple of 0.01 for the "
                          f"exact fixed-point iteration, got {damping}")
     edges = edges.persist()
+    # No-dangling contract (docstring): every node has out-degree >= 1,
+    # so the src column alone spans the node set — one cache pass and
+    # half the distinct input vs unioning both endpoint columns (the
+    # DuckDB oracle derives nodes the same way).
     nodes = (
         edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
