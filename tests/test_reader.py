@@ -403,3 +403,43 @@ def test_rich_types_end_to_end(spark, fixtures_dir):
     n = df.filter(F.year("publish_date") >= 2014).count()
     assert n == 2
     assert isinstance(df.collect()[0].publish_date, datetime.date)
+
+
+class TestByteLevelEdgeCases:
+    """Byte-layout robustness of the record scanner: a UTF-8 BOM before
+    the prolog, a rowTag at byte 0 (no prolog at all), and CRLF line
+    endings must all parse identically — the scanner works on raw bytes
+    and must not assume the first record starts past a clean prolog."""
+
+    BODY = (
+        '<book id="1"><title>T1</title><price>9.5</price></book>\n'
+        '<book id="2"><title>T2</title><price>3.25</price></book>\n'
+    )
+
+    def _rows(self, spark, path):
+        df = read_xml(spark, str(path), row_tag="book")
+        return sorted(tuple(r) for r in df.collect())
+
+    WANT = [(1, "T1", 9.5), (2, "T2", 3.25)]
+
+    def test_utf8_bom_is_transparent(self, spark, tmp_path):
+        p = tmp_path / "bom.xml"
+        p.write_bytes(
+            b"\xef\xbb\xbf"
+            + ('<?xml version="1.0" encoding="UTF-8"?>\n<catalog>\n'
+               + self.BODY + "</catalog>\n").encode()
+        )
+        assert self._rows(spark, p) == self.WANT
+
+    def test_rowtag_at_byte_zero_no_prolog(self, spark, tmp_path):
+        p = tmp_path / "noprolog.xml"
+        p.write_bytes(self.BODY.encode())  # no prolog, no root wrapper
+        assert self._rows(spark, p) == self.WANT
+
+    def test_crlf_line_endings(self, spark, tmp_path):
+        p = tmp_path / "crlf.xml"
+        p.write_bytes(
+            ('<?xml version="1.0"?>\r\n<catalog>\r\n'
+             + self.BODY.replace("\n", "\r\n") + "</catalog>\r\n").encode()
+        )
+        assert self._rows(spark, p) == self.WANT
