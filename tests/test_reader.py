@@ -443,3 +443,16 @@ class TestByteLevelEdgeCases:
              + self.BODY.replace("\n", "\r\n") + "</catalog>\r\n").encode()
         )
         assert self._rows(spark, p) == self.WANT
+
+    def test_utf16_rejected_fail_fast(self, spark, tmp_path):
+        """UTF-16 would silently scan to zero records (no single-byte
+        '<book' match); the planner must refuse it loudly instead."""
+        import pytest
+
+        p = tmp_path / "u16.xml"
+        p.write_bytes(
+            ('<?xml version="1.0"?><catalog>' + self.BODY + "</catalog>")
+            .encode("utf-16")  # writes the FF FE BOM
+        )
+        with pytest.raises(ValueError, match="UTF-16/UTF-32"):
+            read_xml(spark, str(p), row_tag="book").collect()

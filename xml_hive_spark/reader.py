@@ -1027,7 +1027,31 @@ def resolve_paths(path: str | list[str]) -> list[str]:
             out += sorted(_glob.glob(pat))
     if not out:
         raise FileNotFoundError(f"no XML input files for {path!r}")
+    for f in out:
+        _reject_utf16(f)
     return out
+
+
+def _reject_utf16(path: str) -> None:
+    """Fail FAST on UTF-16/UTF-32 input instead of silently scanning to
+    zero records: the byte scanner matches single-byte ``<rowTag``
+    patterns, which never occur in multi-byte-unit encodings (every
+    ASCII code unit is padded with NULs), so such a file would read as
+    an empty table — a silent data-loss trap. A UTF-8 BOM is fine (the
+    scanner skips it as text; pinned in tests). One 4-byte read per
+    file at plan time, plain files only (compressed members are
+    produced by this repo's own UTF-8 sink or the reference's)."""
+    if path.endswith((".gz", ".bz2")):
+        return
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head[:2] in (b"\xff\xfe", b"\xfe\xff") or head[:4] in (
+        b"\x00\x00\xfe\xff", b"\xff\xfe\x00\x00",
+    ):
+        raise ValueError(
+            f"{path}: UTF-16/UTF-32 XML is not supported (byte-oriented "
+            "record scanner); transcode to UTF-8 first"
+        )
 
 
 def iter_split_record_bytes(split: tuple, row_tag: str,
