@@ -49,6 +49,7 @@ from xml_hive_spark.flat import FlatAssembler, strip_metadata
 from xml_hive_spark.reader import (
     DEFAULT_PARTITION_BYTES,
     _read_split,
+    _reject_utf16,
     chain_splits,
     iter_split_record_bytes,
 )
@@ -151,6 +152,7 @@ class XmlStreamReader(DataSourceStreamReader):
                     out[p] = os.path.getsize(p)
                 except OSError:
                     continue
+                _reject_utf16(p)  # fail fast, not a silent empty batch
         return out
 
     def latestOffset(self) -> dict:
