@@ -456,3 +456,18 @@ class TestByteLevelEdgeCases:
         )
         with pytest.raises(ValueError, match="UTF-16/UTF-32"):
             read_xml(spark, str(p), row_tag="book").collect()
+
+    def test_utf16_rejected_inside_gzip(self, spark, tmp_path):
+        """The guard peeks DECOMPRESSED bytes, so a gzipped UTF-16
+        member is rejected too."""
+        import gzip
+        import pytest
+
+        p = tmp_path / "u16.xml.gz"
+        with gzip.open(p, "wb") as f:
+            f.write(
+                ('<?xml version="1.0"?><catalog>' + self.BODY + "</catalog>")
+                .encode("utf-16")
+            )
+        with pytest.raises(ValueError, match="UTF-16/UTF-32"):
+            read_xml(spark, str(p), row_tag="book").collect()

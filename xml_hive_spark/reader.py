@@ -1039,11 +1039,10 @@ def _reject_utf16(path: str) -> None:
     ASCII code unit is padded with NULs), so such a file would read as
     an empty table — a silent data-loss trap. A UTF-8 BOM is fine (the
     scanner skips it as text; pinned in tests). One 4-byte read per
-    file at plan time, plain files only (compressed members are
-    produced by this repo's own UTF-8 sink or the reference's)."""
-    if path.endswith((".gz", ".bz2")):
-        return
-    with open(path, "rb") as f:
+    file at plan time — for compressed members that is a 4-byte
+    DECOMPRESSED peek (the codec streams incrementally, so only the
+    first block is touched)."""
+    with open_xml(path) as f:
         head = f.read(4)
     if head[:2] in (b"\xff\xfe", b"\xfe\xff") or head[:4] in (
         b"\x00\x00\xfe\xff", b"\xff\xfe\x00\x00",
