@@ -180,72 +180,61 @@ _LOADED = False
 # rows (agg_approx_distinct, dedup_exact_by_hash, dedup_minhash_lsh,
 # dedup_simhash, multimodal_{decode_stub,feature_extract,frame_sample,
 # resize_stub}) + the oldest r4 rows fill the remainder.
+# Round 9 application: _R9_WINDOW_PLAN applied mechanically (below,
+# now retired) — 9 rule-2 deferrals from r8 + 8 r2-vintage refreshes +
+# the 7 late-r8 full-oracle upgrades + logreg_train_distributed (evicted
+# by the rule-4 graph_pagerank swap) + the r4-vintage cohort = 50.
 _DRIVER_WINDOW = [
-    # --- analytics/behavioral family (late-r7, first driver check) ---
-    "regression_slope_closed_form",
-    "event_pattern_match",
-    "streak_gaps_islands",
-    "attribution_last_touch",
-    "anomaly_mad_robust",
-    "pareto_skyline_2d",
-    "chi_square_independence",
-    # --- corpus curation / LLM-pipeline composites ---
-    "corpus_provenance_report",
-    "corpus_mix_weights",
-    "text_pii_redact",
-    "chunk_content_defined",
-    "corpus_curation_pipeline",
-    "filter_top_decile_docs",
-    "dedup_incremental_ingest",
-    "setsim_containment_join",
-    # --- embeddings/ML (pca witness NEW r8 — delivers the r6/r7 ask) ---
-    "pca_explained_variance_2d",
-    "embedding_drift_monitor",
-    # --- graph (rule 4: result semantics changed late r8 — the float
-    # iteration became exact fixed-point and rows-only became a FULL
-    # oracle; swapped in for logreg_train_distributed, the weakest row
-    # in this window (rows-only by design, numpy-parity pinned in
-    # tests/test_embeddings.py), which moves to the r9 plan) ---
-    "graph_pagerank",
-    # --- multimodal/perception composites ---
-    "multimodal_video_framesample",
-    "multimodal_image_augment",
-    "multimodal_tile_composite",
-    # --- relational/nested/sketch/scale shapes ---
-    "nested_denormalize_roundtrip",
-    "sketch_kmv_distinct",
-    "sketch_quantile_histogram",
-    "spatial_grid_join",
-    "bucketed_join_colocated",
-    # --- retrieval family (de-funneled THIS round — rule 4) ---
-    "knn_classify_majority",
-    "maxsim_late_interaction",
-    "hybrid_rank_fusion_rrf",
-    # --- SQL-surface / governance / lakehouse lifecycle ---
-    "recursive_cte_hierarchy",
-    "timeseries_gap_fill",
-    "rls_masked_view",
-    "hive_script_transform",
-    "vacuum_unreferenced",
-    "snapshot_change_feed",
-    # --- text/search + financial time-series ---
-    "phrase_search_positional",
-    "forecast_seasonal_naive_backtest",
-    "ohlc_bars_hourly",
-    "max_drawdown_per_user",
-    "sample_stratified_exact",
-    # --- warehouse / federation / XML round-trips ---
-    "scd2_early_arriving_fact",
-    "federated_three_source_join",
-    "xml_expression_codec",
-    "xml_corrupt_capture",
-    "xsd_generate_roundtrip",
-    "xml_attribute_roundtrip",
-    # --- streaming (vector ingest rows-only by design) ---
-    "streaming_quantile_histogram",
-    "streaming_ohlc_bars",
-    "streaming_late_data_drop",
-    "streaming_vector_ingest",
+    "window_percent_rank",
+    "join_null_safe_eq",
+    "lateral_topn_per_group",
+    "sql_registered_udf",
+    "parquet_codec_zstd",
+    "daily_new_and_cumulative_users",
+    "copurchase_lift",
+    "twap_time_weighted",
+    "anomaly_zscore_events",
+    "agg_approx_distinct",
+    "dedup_exact_by_hash",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "multimodal_decode_stub",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    "xml_scan_bench",
+    "xml_scan_books",
+    "xml_scan_inferred",
+    "xml_sql_ddl",
+    "streaming_window_counts",
+    "streaming_stream_join",
+    "logreg_train_distributed",
+    "agg_percentiles",
+    "apply_in_pandas_centered",
+    "array_higher_order",
+    "asof_join",
+    "cosine_topk_bruteforce",
+    "csv_roundtrip",
+    "doc_chunks_udtf",
+    "embedding_label_centroids",
+    "explode_outer_empty_arrays",
+    "hypertable_rollup",
+    "json_roundtrip",
+    "pack_sequences",
+    "quality_filter_verdicts",
+    "salted_join_agg",
+    "scalar_subquery_ratio",
+    "session_window_agg",
+    "sliding_window_agg",
+    "source_stats",
+    "text_clean_normalize",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_stats",
+    "tumbling_window_agg",
+    "variant_json_access",
+    "vocab_topk",
 ]
 
 # ROUND-9 WINDOW, PRE-ENUMERATED (apply the policy above mechanically:
