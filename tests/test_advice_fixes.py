@@ -161,3 +161,54 @@ class TestFileUriAuthority:
 
         with pytest.raises(ValueError, match="authority"):
             resolve_paths("file://somehost/data/a.xml")
+
+
+class TestStreamListRaceTolerance:
+    """r9 advice: the UTF-16 plan-time peek in XmlStreamReader._list must
+    tolerate landing-dir races (vanished / partially-written files) the
+    same way the getsize stat does, and must peek each path only once."""
+
+    def _reader(self, d):
+        from pyspark.sql.types import StructType
+
+        from xml_hive_spark.sources.xml_stream import XmlStreamReader
+
+        return XmlStreamReader(
+            StructType(), {"path": str(d), "rowTag": "r"}
+        )
+
+    def test_truncated_gzip_member_skipped_not_crash(self, tmp_path):
+        import gzip
+
+        ok = tmp_path / "a.xml"
+        ok.write_bytes(b"<root><r><x>1</x></r></root>")
+        good_gz = gzip.compress(b"<root><r><x>2</x></r></root>")
+        # cut INSIDE the 10-byte gzip header: the 4-byte decompressed
+        # peek then raises (EOFError/BadGzipFile) instead of returning
+        # partial bytes — the mid-write snapshot a landing dir produces
+        (tmp_path / "b.xml.gz").write_bytes(good_gz[:6])
+        out = self._reader(tmp_path)._list()
+        # the truncated member is skipped THIS poll (retried next); the
+        # healthy file is still admitted
+        assert str(ok) in out
+        assert not any(p.endswith("b.xml.gz") for p in out)
+
+    def test_utf16_still_fails_fast(self, tmp_path):
+        (tmp_path / "u.xml").write_bytes(
+            "<root><r><x>1</x></r></root>".encode("utf-16")
+        )
+        with pytest.raises(ValueError, match="UTF-16/UTF-32"):
+            self._reader(tmp_path)._list()
+
+    def test_known_files_not_repeeked(self, tmp_path):
+        """Once a path is in the monotone floor it was vetted at
+        admission; later polls must not re-open it (O(files) opens per
+        poll otherwise — and a file REPLACED by bad bytes after commit
+        must not retro-crash the stream)."""
+        p = tmp_path / "a.xml"
+        p.write_bytes(b"<root><r><x>1</x></r></root>")
+        r = self._reader(tmp_path)
+        r.latestOffset()  # admits + vets the file
+        p.write_bytes("<root/>".encode("utf-16"))  # now invalid on disk
+        out = r._list()  # must NOT raise: path already known
+        assert str(p) in out

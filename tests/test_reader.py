@@ -457,6 +457,21 @@ class TestByteLevelEdgeCases:
         with pytest.raises(ValueError, match="UTF-16/UTF-32"):
             read_xml(spark, str(p), row_tag="book").collect()
 
+    def test_utf16_bomless_rejected(self, spark, tmp_path):
+        """BOM-less UTF-16 (encoding declared only in the XML prolog —
+        common from Windows tools) has no BOM to match, but every ASCII
+        code unit is NUL-padded; the NUL-in-head check must catch both
+        endiannesses."""
+        import pytest
+
+        body = '<?xml version="1.0" encoding="UTF-16"?><catalog>' \
+               + self.BODY + "</catalog>"
+        for enc, name in (("utf-16-le", "le"), ("utf-16-be", "be")):
+            p = tmp_path / f"u16_{name}.xml"
+            p.write_bytes(body.encode(enc))  # no BOM with explicit endian
+            with pytest.raises(ValueError, match="UTF-16/UTF-32"):
+                read_xml(spark, str(p), row_tag="book").collect()
+
     def test_utf16_rejected_inside_gzip(self, spark, tmp_path):
         """The guard peeks DECOMPRESSED bytes, so a gzipped UTF-16
         member is rejected too."""

@@ -88,7 +88,13 @@ def pagerank(edges: DataFrame, damping: float = _DAMP,
     tables each time it is referenced (measured 8.6 → 1.1 s for 5
     iterations at sf0.1, identical ranks; the graph_bfs_hops frontier
     discipline applied to the walk family). Per-iteration state is one
-    (node, rank) row per vertex — O(V), never the crossed lineage."""
+    (node, rank) row per vertex — O(V), never the crossed lineage.
+    Superseded state is RELEASED as the walk advances (r9 advice):
+    each new ranks is materialized, then its predecessor unpersisted;
+    the invariants are unpersisted after the loop. A long session
+    running many registry queries therefore holds at most two O(V)
+    rank tables at any instant, and exactly one — the returned
+    frame's — after pagerank() returns."""
     dnum = round(damping * 100)
     if abs(dnum / 100.0 - damping) > 1e-12:
         raise ValueError("damping must be a multiple of 0.01 for the "
@@ -109,7 +115,7 @@ def pagerank(edges: DataFrame, damping: float = _DAMP,
     ).persist()
     teleport = ((100 - dnum) * _UNIT) // (100 * n)
     ranks = nodes.withColumn("rank_units", F.lit(_UNIT // n).cast("long"))
-    for _ in range(iters):
+    for k in range(iters):
         contribs = (
             edges.join(ranks, edges.src == ranks.node)
             .join(outdeg, "src")
@@ -117,7 +123,7 @@ def pagerank(edges: DataFrame, damping: float = _DAMP,
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
             .select(
                 "node",
@@ -128,6 +134,13 @@ def pagerank(edges: DataFrame, damping: float = _DAMP,
             )
             .persist()
         )
+        new_ranks.count()  # materialize BEFORE dropping the predecessor
+        if k > 0:  # iteration 0 reads the unpersisted seed frame
+            ranks.unpersist()
+        ranks = new_ranks
+    # the final ranks is cached; the invariants' blocks are dead weight
+    for inv in (edges, nodes, outdeg):
+        inv.unpersist()
     return ranks.select(
         "node",
         "rank_units",

@@ -1041,11 +1041,17 @@ def _reject_utf16(path: str) -> None:
     scanner skips it as text; pinned in tests). One 4-byte read per
     file at plan time — for compressed members that is a 4-byte
     DECOMPRESSED peek (the codec streams incrementally, so only the
-    first block is touched)."""
+    first block is touched). Detection covers BOM-prefixed files AND
+    BOM-less UTF-16/32 (encoding declared only in the XML prolog,
+    common from Windows tools): a NUL anywhere in the first 4 bytes is
+    impossible in well-formed UTF-8 XML (NUL is not an XML Char and
+    every multi-byte-unit encoding NUL-pads its ASCII code units)."""
     with open_xml(path) as f:
         head = f.read(4)
-    if head[:2] in (b"\xff\xfe", b"\xfe\xff") or head[:4] in (
-        b"\x00\x00\xfe\xff", b"\xff\xfe\x00\x00",
+    if (
+        head[:2] in (b"\xff\xfe", b"\xfe\xff")
+        or head[:4] in (b"\x00\x00\xfe\xff", b"\xff\xfe\x00\x00")
+        or b"\x00" in head
     ):
         raise ValueError(
             f"{path}: UTF-16/UTF-32 XML is not supported (byte-oriented "

@@ -149,10 +149,20 @@ class XmlStreamReader(DataSourceStreamReader):
             if e.endswith((".xml", ".xml.gz", ".xml.bz2")):
                 p = os.path.join(self._dir, e)
                 try:
-                    out[p] = os.path.getsize(p)
-                except OSError:
+                    size = os.path.getsize(p)
+                    if p not in self._known:
+                        # Fail fast on UTF-16/32 (ValueError propagates),
+                        # but peek each file ONCE (new paths only) and
+                        # tolerate landing-dir races the same way the
+                        # getsize above does: a file that vanishes
+                        # between stat and open, or a partially-written
+                        # compressed member (BadGzipFile/EOFError on the
+                        # decompressed peek), is skipped this poll and
+                        # retried on the next one.
+                        _reject_utf16(p)
+                except (OSError, EOFError):
                     continue
-                _reject_utf16(p)  # fail fast, not a silent empty batch
+                out[p] = size
         return out
 
     def latestOffset(self) -> dict:
