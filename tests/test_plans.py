@@ -514,15 +514,25 @@ def test_copurchase_lift_take_ordered(spark, sf_dir):
 
 
 def test_fan_out_guard(spark, sf_dir):
-    """fan_out widens a single-split input to defaultParallelism (the
-    per-row map stages behind it would otherwise run as ONE task at
-    test SF) and is a NO-OP once the input already has at least that
-    many partitions — the production-scale case, where adding a
-    round-robin exchange would be pure cost."""
+    """fan_out widens a small input to defaultParallelism (the per-row
+    map stages behind it would otherwise run as ONE task at test SF)
+    and is a NO-OP once the optimizer's size estimate already spans
+    >= parallelism file splits — the production-scale case, where
+    adding a round-robin exchange would be pure cost. The guard reads
+    the optimized logical plan's stats, NOT df.rdd (r9 advice: the RDD
+    conversion forced eager physical planning at every call site and
+    misjudges AQE-coalesced inputs)."""
     from xml_hive_spark.operators import fan_out, t
 
     target = spark.sparkContext.defaultParallelism
     narrow = t(spark, sf_dir, "documents").select("doc_id")
     assert fan_out(narrow).rdd.getNumPartitions() == target
-    wide = narrow.repartition(target + 3)
-    assert fan_out(wide) is wide  # untouched, no extra exchange
+    # simulate the at-scale case: shrink maxPartitionBytes until the
+    # same scan's size estimate covers >= parallelism splits
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1b")
+        wide = t(spark, sf_dir, "documents").select("doc_id")
+        assert fan_out(wide) is wide  # untouched, no extra exchange
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

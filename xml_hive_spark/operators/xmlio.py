@@ -384,11 +384,33 @@ cum AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wb
   FROM lens
 ),
-admitted AS (SELECT i FROM cum, target WHERE wb < tb - 11)
+admitted AS (SELECT i FROM cum, target WHERE wb < tb - 11),
+-- DOMAIN GUARD (r9 advice): this oracle is valid only while (a) the
+-- byte budget is exhausted strictly inside the range() bound and
+-- (b) the lineitem count sits on a log10 decade of the reference SF.
+-- Outside that envelope it would silently under-admit and the driver
+-- would go red on CORRECT scan code; instead fail LOUDLY with a
+-- data-dependent string->BIGINT cast (cannot be constant-folded) so
+-- the failure reads as an oracle-domain error, not a hash mismatch.
+guard AS (
+  SELECT CASE
+    WHEN (SELECT max(i) FROM admitted) >= (SELECT max(i) FROM lens)
+    THEN CAST('xml_scan_bench ORACLE DOMAIN ERROR: range() ceiling hit at i='
+              || CAST((SELECT max(i) FROM admitted) AS VARCHAR)
+              || ' — raise the lens bound' AS BIGINT)
+    WHEN abs(log10(CAST((SELECT count(*) FROM lineitem) AS DOUBLE) / 6001215.0)
+             - round(log10(CAST((SELECT count(*) FROM lineitem) AS DOUBLE)
+                           / 6001215.0))) > 0.05
+    THEN CAST('xml_scan_bench ORACLE DOMAIN ERROR: non-decade SF (lineitem='
+              || CAST((SELECT count(*) FROM lineitem) AS VARCHAR)
+              || ')' AS BIGINT)
+    ELSE 0 END AS ok
+)
 SELECT 'c' || CAST(i % 7 AS VARCHAR) AS cat,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum((i * 37) % 1000) AS BIGINT) AS sum_val
-FROM admitted GROUP BY cat ORDER BY cat
+FROM admitted WHERE (SELECT ok FROM guard) = 0
+GROUP BY cat ORDER BY cat
 """,
     tags=("xml", "source", "bench"),
 )
