@@ -63,10 +63,8 @@ def test_registry_complete():
         "multimodal_feature_extract",
         "multimodal_frame_sample",
         "multimodal_resize_stub",
-        "sample_deterministic",
         "streaming_dedup_minhash",  # stateful near-dedup — batch-twin
         # equality pinned in test_streaming
-        "streaming_sessionize",  # arbitrary-state streaming — no SQL twin
         "streaming_stream_join_outer",  # null rows depend on the watermark
         # horizon — horizon-exact harness in test_streaming
         "streaming_vector_ingest",  # seeded-k-means centroids — not

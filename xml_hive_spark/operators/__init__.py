@@ -204,6 +204,15 @@ _LOADED = False
 # now retired) — 9 rule-2 deferrals from r8 + 8 r2-vintage refreshes +
 # the 7 late-r8 full-oracle upgrades + logreg_train_distributed (evicted
 # by the rule-4 graph_pagerank swap) + the r4-vintage cohort = 50.
+# Rule-4 swaps during r9: sample_deterministic (result semantics changed
+# — engine RNG became the portable md5 Bernoulli, now a FULL oracle) and
+# streaming_sessionize (oracle-only upgrade rows-only → full
+# gaps-and-islands + flushed-prefix twin; enforced this round while
+# slots allow rather than queued to r10). Evicted to the r10 plan:
+# sliding_window_agg (exact family siblings tumbling_window_agg +
+# session_window_agg remain in-window) and apply_in_pandas_centered
+# (the Pandas-UDF family has driver-green r6 siblings udf/pandas_udf
+# and the in-window doc_chunks_udtf).
 _DRIVER_WINDOW = [
     "window_percent_rank",
     "join_null_safe_eq",
@@ -230,7 +239,6 @@ _DRIVER_WINDOW = [
     "streaming_stream_join",
     "logreg_train_distributed",
     "agg_percentiles",
-    "apply_in_pandas_centered",
     "array_higher_order",
     "asof_join",
     "cosine_topk_bruteforce",
@@ -245,7 +253,8 @@ _DRIVER_WINDOW = [
     "salted_join_agg",
     "scalar_subquery_ratio",
     "session_window_agg",
-    "sliding_window_agg",
+    "sample_deterministic",
+    "streaming_sessionize",
     "source_stats",
     "text_clean_normalize",
     "text_fingerprint",
@@ -300,8 +309,7 @@ _DRIVER_WINDOW = [
 #     "streaming_stream_join",
 #     "logreg_train_distributed",
 #     "agg_percentiles",
-#     "apply_in_pandas_centered",
-#     "array_higher_order",
+# #     "array_higher_order",
 #     "asof_join",
 #     "cosine_topk_bruteforce",
 #     "csv_roundtrip",

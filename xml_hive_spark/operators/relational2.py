@@ -396,13 +396,52 @@ def set_except_all(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------------ sampling / SORT BY
 
 
-@query("sample_deterministic", tags=("sample",))
+@query(
+    "sample_deterministic",
+    oracle="""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled
+FROM lineitem
+WHERE CAST('0x' || substr(md5('42|' || CAST(l_orderkey * 8 + l_linenumber
+                                             AS VARCHAR)), 1, 12)
+           AS BIGINT) < 28147497671065
+GROUP BY l_returnflag
+""",
+    tags=("sample",),
+)
 def sample_deterministic(spark: SparkSession, sf: str) -> DataFrame:
-    """Seeded Bernoulli sample (TABLESAMPLE surface). Engine-specific RNG
-    → rows-only check; determinism across runs is asserted in tests."""
+    """Seeded Bernoulli sample at fraction 0.1 (TABLESAMPLE semantics),
+    made ENGINE-PORTABLE (r9 rows-only conversion): admit a row iff the
+    first 48 md5 bits of '<seed>|<row key>' fall below fraction * 2^48.
+    Spark's native ``df.sample(seed=)`` gives the same statistical
+    contract but an engine-specific RNG stream, which forced a
+    rows-only check; the md5 threshold is the SAME sample in any engine
+    with md5 — so the driver now hash-checks the realized sample, not
+    just its shape. Still a pure scan-level filter: embarrassingly
+    parallel, no shuffle before the aggregation, and the sampled subset
+    is REPRODUCIBLE across engines/cluster sizes — the property a
+    training-data ablation actually needs (native .sample determinism
+    per engine is still pinned in tests). Row key = l_orderkey*8 +
+    l_linenumber (injective: l_linenumber is 1-7)."""
     li = t(spark, sf, "lineitem")
+    frac_threshold = (1 << 48) // 10  # fraction 0.1 of the 48-bit space
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("42|"),
+                    (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast(
+                        "string"
+                    ),
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
     return (
-        li.sample(fraction=0.1, seed=42)
+        li.filter(h < F.lit(frac_threshold))
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
