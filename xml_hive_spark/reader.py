@@ -1099,6 +1099,7 @@ def read_xml(
     use_datasource: bool = True,
     mode: str = "FAILFAST",
     corrupt_column: str | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Read XML files into a DataFrame, one row per ``row_tag`` record.
 
@@ -1114,6 +1115,17 @@ def read_xml(
     null on clean rows (spark-xml ``columnNameOfCorruptRecord``
     semantics; the reference just drops bad records with a console
     warning, AvroTransormer.scala:185).
+
+    ``columns`` is EXPLICIT projection pushdown: narrow the scan to the
+    named top-level fields (schema order preserved). Unrequested fields
+    are parsed past but never captured, converted, or shipped across
+    the Python→JVM Arrow boundary — the column-pruning win Spark's own
+    sources get from Catalyst automatically. The Python DataSource API
+    (pyspark 4.1.2) has no pruneColumns hook (a ``.select()`` on the
+    loaded frame still scans the full declared schema; probe pinned in
+    tests), so callers that know their projection pass it here — the
+    same contract as the reference's Hive table, where the declared
+    Avro schema IS the projection (AvroFromXmlSerde.scala:13-26).
     """
     if schema is None:
         if xsd is not None and sep_tag_type is not None:
@@ -1128,6 +1140,17 @@ def read_xml(
 
             log.info("read_xml: no schema/XSD given; inferring from a sample")
             schema = infer_xml_schema(path, row_tag)
+
+    if columns is not None:
+        names = schema.fieldNames()
+        missing = [c for c in columns if c not in names]
+        if missing:
+            raise ValueError(
+                f"read_xml: columns {missing} not in the resolved schema "
+                f"(available: {names})"
+            )
+        keep = set(columns)
+        schema = StructType([f for f in schema.fields if f.name in keep])
 
     if corrupt_column is not None:
         schema = tag_corrupt_field(schema, corrupt_column)
