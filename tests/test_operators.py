@@ -65,8 +65,6 @@ def test_registry_complete():
         "multimodal_resize_stub",
         "streaming_dedup_minhash",  # stateful near-dedup — batch-twin
         # equality pinned in test_streaming
-        "streaming_stream_join_outer",  # null rows depend on the watermark
-        # horizon — horizon-exact harness in test_streaming
         "streaming_vector_ingest",  # seeded-k-means centroids — not
         # SQL-expressible; stream-equals-batch pinned in test_streaming
     ]

@@ -212,7 +212,11 @@ _LOADED = False
 # sliding_window_agg (exact family siblings tumbling_window_agg +
 # session_window_agg remain in-window) and apply_in_pandas_centered
 # (the Pandas-UDF family has driver-green r6 siblings udf/pandas_udf
-# and the in-window doc_chunks_udtf).
+# and the in-window doc_chunks_udtf). Third swap:
+# streaming_stream_join_outer (rows-only → full oracle: min-of-sides
+# watermark + flushed-prefix holdback, boundary probed to the ms)
+# enters; json_roundtrip evicted (csv_roundtrip stays in-window and
+# the avro/orc/zstd roundtrip siblings are driver r7/r8 green).
 _DRIVER_WINDOW = [
     "window_percent_rank",
     "join_null_safe_eq",
@@ -237,6 +241,7 @@ _DRIVER_WINDOW = [
     "xml_sql_ddl",
     "streaming_window_counts",
     "streaming_stream_join",
+    "streaming_stream_join_outer",
     "logreg_train_distributed",
     "agg_percentiles",
     "array_higher_order",
@@ -247,7 +252,6 @@ _DRIVER_WINDOW = [
     "embedding_label_centroids",
     "explode_outer_empty_arrays",
     "hypertable_rollup",
-    "json_roundtrip",
     "pack_sequences",
     "quality_filter_verdicts",
     "salted_join_agg",
@@ -309,7 +313,7 @@ _DRIVER_WINDOW = [
 #     "streaming_stream_join",
 #     "logreg_train_distributed",
 #     "agg_percentiles",
-# #     "array_higher_order",
+#     "array_higher_order",
 #     "asof_join",
 #     "cosine_topk_bruteforce",
 #     "csv_roundtrip",

@@ -177,10 +177,53 @@ def batch_join_outer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sides(ev, ev, how="left_outer")
 
 
-@query("streaming_stream_join_outer", tags=("streaming", "join", "outer"))
+@query(
+    "streaming_stream_join_outer",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events
+),
+j AS (
+  SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+         v.ts AS view_ts, p.ts AS purchase_ts, p.value AS amount
+  FROM ev v LEFT JOIN ev p
+    ON p.user_id = v.user_id AND p.event_type = 'purchase'
+   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+  WHERE v.event_type = 'view'
+)
+SELECT user_id, view_id, purchase_id, view_ts, purchase_ts, amount
+FROM j
+WHERE purchase_id IS NOT NULL
+   OR (epoch_us(view_ts) // 1000 + 1800000
+       < (SELECT max(epoch_us(ts)) // 1000 FROM ev
+          WHERE event_type = 'view') - 7200000
+   AND epoch_us(view_ts) // 1000 + 1800000
+       < (SELECT max(epoch_us(ts)) // 1000 FROM ev
+          WHERE event_type = 'purchase') - 7200000)
+""",
+    tags=("streaming", "join", "outer"),
+)
 def streaming_stream_join_outer(spark: SparkSession, sf: str) -> DataFrame:
-    """Registry entry (rows-only; horizon-exact equality with the batch
-    left-outer twin in tests/test_streaming.py)."""
+    """Registry entry. FULL value oracle (r9 rows-only conversion — the
+    sessionize flushed-prefix argument applied to outer joins): matched
+    rows are the batch attribution join verbatim (inner joins emit
+    eagerly); a NULL row is emitted iff the view's join window provably
+    closed under the final watermark — view ms + 30 min attribution
+    strictly below the query watermark. The watermark is the MIN across
+    BOTH withWatermark nodes (each tracks the max event time of rows
+    flowing through it POST-FILTER), so the basis is
+    min(max view ts, max purchase ts) − 2 h, NOT the global event max —
+    found empirically: a synthetic stream with zero purchases emits
+    ZERO nulls (the purchase-side watermark never advances), and a
+    purchase-pinned boundary probe localized the cutoff exactly
+    (margin 0 held in state, margin +60 s emitted → strict <,
+    ms-quantized). Views whose window is still open stay in state and
+    are never emitted; the WHERE arm reproduces that holdback with two
+    NULL-safe comparisons (an empty side makes the predicate NULL →
+    no nulls, exactly the stream's behavior). Validated stream-vs-SQL
+    at sf0.001/0.01/0.1; the horizon-exact harness in
+    tests/test_streaming.py remains."""
     return run_streaming_stream_join_outer(spark, sf)
 
 
