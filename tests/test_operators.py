@@ -60,7 +60,6 @@ def test_registry_complete():
         # numpy parity pinned in test_embeddings
         "logreg_train_distributed",  # iterated sigmoid GD — not
         # SQL-expressible; numpy parity in test_embeddings
-        "multimodal_feature_extract",
         "multimodal_frame_sample",
         "multimodal_resize_stub",
         "streaming_dedup_minhash",  # stateful near-dedup — batch-twin

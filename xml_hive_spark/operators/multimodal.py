@@ -786,12 +786,67 @@ def extract_byte_features(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(feats, schema="doc_id long, features array<float>")
 
 
-@query("multimodal_feature_extract", tags=("multimodal", "binary", "features"))
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents
+),
+guard AS (
+  SELECT CASE WHEN (SELECT COALESCE(max(length(hx)), 0) FROM b) >= 2 * 4096
+    THEN CAST('multimodal_feature_extract ORACLE DOMAIN ERROR: payload '
+              || CAST((SELECT max(length(hx)) // 2 FROM b) AS VARCHAR)
+              || ' bytes exceeds the range(4096) nibble sweep' AS BIGINT)
+    ELSE 0 END AS ok
+),
+nib AS (
+  SELECT b.doc_id, substr(b.hx, CAST(2*t.i + 1 AS BIGINT), 1) AS d
+  FROM b CROSS JOIN range(0, 4096) t(i)
+  WHERE t.i < length(b.hx) // 2
+),
+cnts AS (
+  SELECT doc_id, d, CAST(count(*) AS BIGINT) AS c FROM nib GROUP BY doc_id, d
+),
+per AS (
+  SELECT b.doc_id,
+         sqrt(CAST(SUM(COALESCE(c.c * c.c, 0)) AS DOUBLE)) AS nrm,
+         SUM(CASE WHEN c.d = '0' THEN c.c ELSE 0 END) AS c0,
+         SUM(CASE WHEN c.d = '1' THEN c.c ELSE 0 END) AS c1,
+         SUM(CASE WHEN c.d = '2' THEN c.c ELSE 0 END) AS c2,
+         SUM(CASE WHEN c.d = '3' THEN c.c ELSE 0 END) AS c3
+  FROM b LEFT JOIN cnts c USING (doc_id)
+  GROUP BY b.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(floor(CAST(CAST(CASE WHEN nrm > 0 THEN COALESCE(c0,0)/nrm ELSE 0 END
+      AS REAL) AS DOUBLE) * 1048576.0)) AS BIGINT) AS qsum_d0,
+  CAST(SUM(floor(CAST(CAST(CASE WHEN nrm > 0 THEN COALESCE(c1,0)/nrm ELSE 0 END
+      AS REAL) AS DOUBLE) * 1048576.0)) AS BIGINT) AS qsum_d1,
+  CAST(SUM(floor(CAST(CAST(CASE WHEN nrm > 0 THEN COALESCE(c2,0)/nrm ELSE 0 END
+      AS REAL) AS DOUBLE) * 1048576.0)) AS BIGINT) AS qsum_d2,
+  CAST(SUM(floor(CAST(CAST(CASE WHEN nrm > 0 THEN COALESCE(c3,0)/nrm ELSE 0 END
+      AS REAL) AS DOUBLE) * 1048576.0)) AS BIGINT) AS qsum_d3
+FROM per WHERE (SELECT ok FROM guard) = 0
+""",
+    tags=("multimodal", "binary", "features"),
+)
 def multimodal_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Binary → feature-vector pipeline, aggregated to a per-corpus
     centroid of the first 4 dimensions (quantized for stability).
-    Deterministic end to end — rows-only check, exactness pinned in
-    tests/test_multimodal_extra.py against a numpy reference."""
+
+    FULL value oracle (r9 rows-only conversion): the 16-bin HIGH-NIBBLE
+    histogram is recomputable in SQL via hex() — hex digit 2i+1
+    (1-indexed) of the payload IS byte i's high nibble, so per-bin
+    counts are one unnest+GROUP BY away. The float chain is
+    bit-reproducible cross-engine: integer counts are exact in float64,
+    the norm is one IEEE sqrt of an exact integer sum of squares, the
+    division is one correctly-rounded IEEE op, the float32 cast rounds
+    half-even in both engines, and floor(f32→f64 × 2^20) is an exact
+    exponent shift — the same determinism ladder dsum/pagerank use.
+    Out-of-envelope payloads (> 4096 bytes) fail LOUDLY as an
+    oracle-domain error, not a hash mismatch (bench-oracle guard
+    pattern). Numpy-reference exactness stays pinned in
+    tests/test_multimodal_extra.py."""
     docs = t(spark, sf, "documents")
     with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     fv = extract_byte_features(with_payload)
