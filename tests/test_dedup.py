@@ -12,7 +12,7 @@ from xml_hive_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     shingles,
-    simhash64,
+    simhash48,
 )
 
 BASE = (
@@ -71,15 +71,15 @@ class TestMinHashLSH:
 
 class TestSimHash:
     def test_exact_dup_identical_simhash(self, docs):
-        sig = simhash64(docs)
+        sig = simhash48(docs)
         rows = {r["id"]: r.simhash for r in sig.collect()}
         assert rows[3] == rows[5]
 
     def test_near_dup_small_hamming(self, docs, spark):
-        sig = simhash64(docs)
+        sig = simhash48(docs)
         rows = {r["id"]: r.simhash for r in sig.collect()}
         ham_01 = bin(rows[0] ^ rows[1]).count("1")
-        ham_03 = bin((rows[0] ^ rows[3]) & ((1 << 64) - 1)).count("1")
+        ham_03 = bin((rows[0] ^ rows[3]) & ((1 << 48) - 1)).count("1")
         assert ham_01 <= 12  # one-word edit moves few bits
         assert ham_03 > 12  # unrelated docs are far apart
 

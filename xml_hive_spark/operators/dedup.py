@@ -218,47 +218,113 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 # ----------------------------------------------------------------- simhash
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word unigrams: per-bit signed vote weighted by
-    term frequency, all as one hash-agg (64 conditional sums, one
-    shuffle on id)."""
+_SIMHASH_BITS = 48
+
+
+def simhash48(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """48-bit SimHash over word unigrams: per-bit signed vote weighted by
+    term frequency, all as one hash-agg (48 conditional sums, one
+    shuffle on id).
+
+    PORTABLE hash (r9 rows-only conversion, was 64-bit xxhash64): token
+    hash = first 48 md5 bits ('0x'+12-hex-chars → BIGINT, the repo's
+    portable-hash convention from the sketch family), so the whole
+    signature — votes, tie rule (sum > 0 strictly), bit packing — is
+    recomputable in any engine with md5 and the dedup_simhash registry
+    entry carries a full value hash. 48 bits keeps every intermediate
+    in exact BIGINT range in both engines; the near-dup geometry is
+    unchanged (expected unrelated hamming 24 of 48 vs 32 of 64, planted
+    near-dups still ≤ a few bits, pinned in tests/test_dedup.py)."""
     tokens = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
-    ).select("id", F.xxhash64("w").alias("h"))
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
     votes = [
         F.sum(
-            F.when(
-                F.col("h").bitwiseAND(
-                    # bit 63 of a signed long: use min-long, 1<<63 overflows
-                    F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
-                )
-                != 0,
-                1,
-            ).otherwise(-1)
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(_SIMHASH_BITS)
     ]
     agg = tokens.groupBy("id").agg(*votes)
     sim = F.lit(0).cast("long")
-    for b in range(64):
-        # bit 63 of a signed long is the sign bit: 1<<63 overflows, use min-long
-        bit = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
-        sim = sim + F.when(F.col(f"b{b}") > 0, bit.cast("long")).otherwise(F.lit(0).cast("long"))
+    for b in range(_SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return agg.select("id", sim.alias("simhash"))
 
 
-@query("dedup_simhash", tags=("dedup", "simhash"))
+def _simhash_oracle() -> str:
+    """DuckDB twin of the 48-bit portable SimHash pipeline, vote sums
+    unrolled one per bit (the pagerank-oracle pattern). Integer
+    arithmetic end to end — token hashes are the same md5 slices, the
+    tie rule (vote sum > 0 strictly) is written identically, and the
+    chunk blocking + hamming filter mirror the Spark plan."""
+    vote_cols = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    packed = "\n          + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT id, CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS h
+  FROM (SELECT doc_id AS id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents)
+),
+votes AS (
+  SELECT id,
+         {vote_cols}
+  FROM tok GROUP BY id
+),
+sig AS (
+  SELECT id,
+         {packed}
+         AS simhash
+  FROM votes
+),
+ck AS (
+  SELECT id, simhash, t.c AS chunk_id,
+         (simhash >> CAST(12 * t.c AS BIGINT)) & 4095 AS chunk
+  FROM sig CROSS JOIN range(0, 4) t(c)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM ck a JOIN ck b
+    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs: 4× 16-bit chunk blocking (any equal chunk →
+    """SimHash near-dup pairs: 4× 12-bit chunk blocking (any equal chunk →
     candidate; guarantees recall for Hamming distance ≤ 3 by pigeonhole),
     then exact Hamming ≤ 3 filter via bit_count(xor). The signature
     table is persisted — the chunk self-join consumes it on both sides
-    and would otherwise run the 64-vote hash-agg twice (measured
-    2.00 → 1.46 s at sf0.1; the signature-store pattern). Rows-only
-    check; recall tested on planted near-dups."""
+    and would otherwise run the 48-vote hash-agg twice (measured
+    2.00 → 1.46 s at sf0.1; the signature-store pattern).
+
+    FULL value oracle since r9 (was rows-only under xxhash64): the
+    portable md5-slice SimHash is replayed in SQL end to end — same
+    token hashes (parity probed: identical token count AND hash sum at
+    sf0.001/0.01), 48 unrolled vote sums, same strict-positive tie
+    rule, same chunk blocking — so the driver now hash-checks the
+    entire near-dedup pipeline. Recall on planted near-dups stays
+    pinned in tests/test_dedup.py."""
     docs = t(spark, sf, "documents")
-    sig = simhash64(docs).persist()
+    sig = simhash48(docs).persist()
     chunks = sig.select(
         "id",
         "simhash",
@@ -267,8 +333,8 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftright("simhash", 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", 12 * c)
+                        .bitwiseAND(F.lit(0xFFF))
                         .alias("chunk"),
                     )
                     for c in range(4)
