@@ -270,77 +270,72 @@ _DRIVER_WINDOW = [
     "vocab_topk",
 ]
 
-# ROUND-9 WINDOW, PRE-ENUMERATED (apply the policy above mechanically:
-# replace _DRIVER_WINDOW with this list at the start of round 9, then
-# swap in any query whose result semantics change during r9 — rule 4 —
-# evicting from the r4-cohort tail).
-# Derivation (computed by diffing the registry against
-# CORRECTNESS_r01..r07 latest-round-per-query, r8 window assumed green):
-# 9 rule-2 deferrals from r8 + 8 r2-vintage refreshes + the 7 late-r8
-# FULL-ORACLE UPGRADES whose driver rows graduate from rows-only to
-# hash (xml_scan_bench, multimodal_decode_stub — already below —, plus
-# xml_scan_books / xml_scan_inferred / xml_sql_ddl / streaming_window_
-# counts / streaming_stream_join; dedup_exact_by_hash was upgraded too
-# and was already queued as an r2 refresh) + logreg_train_distributed
-# (evicted from the r8 window by the rule-4 graph_pagerank swap) + the
-# r4-vintage rows = 50 names. Five r4-vintage scalar-function/projection
-# shapes (conditional_functions, from_json_struct, map_functions,
-# sort_within_partitions, string_predicates — their families have
-# driver-green siblings from r5/r6) are pushed to r10 to make room.
-# _R9_WINDOW_PLAN = [
-#     "window_percent_rank",
-#     "join_null_safe_eq",
-#     "lateral_topn_per_group",
-#     "sql_registered_udf",
-#     "parquet_codec_zstd",
-#     "daily_new_and_cumulative_users",
-#     "copurchase_lift",
-#     "twap_time_weighted",
-#     "anomaly_zscore_events",
-#     "agg_approx_distinct",
-#     "dedup_exact_by_hash",
-#     "dedup_minhash_lsh",
-#     "dedup_simhash",
-#     "multimodal_decode_stub",
-#     "multimodal_feature_extract",
-#     "multimodal_frame_sample",
-#     "multimodal_resize_stub",
-#     "xml_scan_bench",
-#     "xml_scan_books",
-#     "xml_scan_inferred",
-#     "xml_sql_ddl",
-#     "streaming_window_counts",
-#     "streaming_stream_join",
-#     "logreg_train_distributed",
-#     "agg_percentiles",
-#     "array_higher_order",
-#     "asof_join",
-#     "cosine_topk_bruteforce",
-#     "csv_roundtrip",
-#     "doc_chunks_udtf",
-#     "embedding_label_centroids",
-#     "explode_outer_empty_arrays",
-#     "hypertable_rollup",
-#     "json_roundtrip",
-#     "pack_sequences",
-#     "quality_filter_verdicts",
-#     "salted_join_agg",
-#     "scalar_subquery_ratio",
-#     "session_window_agg",
+# ROUND-10 WINDOW, PRE-ENUMERATED (apply mechanically at r10 start:
+# replace _DRIVER_WINDOW with this list, run tools/verify_local.py over
+# it, commit first; then rule-4 swap any query whose result semantics
+# change during r10, evicting from the refresh tail).
+# Derivation (mechanical, this round): never-driver-checked after r9 =
+# ZERO. Leads: the five scalar-function shapes deferred from r9
+# (conditional_functions, from_json_struct, map_functions,
+# sort_within_partitions, string_predicates) + the three r9 rule-4
+# evictions (sliding_window_agg, apply_in_pandas_centered,
+# json_roundtrip). The rest is the oldest-driver-evidence refresh
+# cohort, (vintage, name)-sorted: the remaining r4 rows, then the r5
+# block (TPC-H queries, join/set/window families, the ANN ladder,
+# xml_stream_scan/write_roundtrip), cut at 50 with agg_cube and
+# agg_grouping_id as the first r6 entries.
+# _R10_WINDOW_PLAN = [
+#     "conditional_functions",
+#     "from_json_struct",
+#     "map_functions",
+#     "sort_within_partitions",
+#     "string_predicates",
 #     "sliding_window_agg",
-#     "source_stats",
-#     "text_clean_normalize",
-#     "text_fingerprint",
-#     "text_language_id",
-#     "text_quality_score",
-#     "text_token_stats",
-#     "tumbling_window_agg",
-#     "variant_json_access",
-#     "vocab_topk",
+#     "apply_in_pandas_centered",
+#     "json_roundtrip",
+#     "agg_approx_percentiles",
+#     "agg_distinct_count",
+#     "agg_grouping_sets",
+#     "agg_rollup",
+#     "agg_stats",
+#     "ann_join_topk",
+#     "cosine_topk_ivf",
+#     "cosine_topk_ivf_kmeans",
+#     "cosine_topk_ivf_pq",
+#     "cosine_topk_ivf_pq_probed",
+#     "cosine_topk_lsh",
+#     "date_arithmetic",
+#     "dedup_embedding_cosine",
+#     "doc_chunk_pack_pipeline",
+#     "join_anti",
+#     "join_broadcast_dims",
+#     "join_cross",
+#     "join_left_outer_agg",
+#     "join_nonequi_range",
+#     "join_semi",
+#     "json_construction",
+#     "math_functions",
+#     "q10_returned_items",
+#     "q12_priority_lines",
+#     "q14_promo_effect",
+#     "q18_large_volume_customer",
+#     "q1_pricing_summary",
+#     "q3_shipping_priority",
+#     "q4_priority_exists",
+#     "q5_local_supplier_volume",
+#     "q6_revenue_forecast",
+#     "set_except_all",
+#     "set_intersect_all",
+#     "string_functions",
+#     "topk_orders",
+#     "window_moving_avg",
+#     "window_rank_topn",
+#     "window_running_sum",
+#     "xml_stream_scan",
+#     "xml_write_roundtrip",
+#     "agg_cube",
+#     "agg_grouping_id",
 # ]
-# Pushed to r10 (rule-2 sibling coverage noted above):
-# conditional_functions, from_json_struct, map_functions,
-# sort_within_partitions, string_predicates.
 
 
 def all_queries() -> dict[str, QueryDef]:
