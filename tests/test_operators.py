@@ -54,7 +54,6 @@ def test_registry_complete():
         "cosine_topk_ivf_pq_probed",  # k-means + PQ composition
         "cosine_topk_lsh",
         "dedup_embedding_cosine",  # LSH planes aren't SQL-expressible
-        "dedup_minhash_lsh",
         "embedding_pca_project",  # eigendecomposition — not SQL-expressible;
         # numpy parity pinned in test_embeddings
         "logreg_train_distributed",  # iterated sigmoid GD — not

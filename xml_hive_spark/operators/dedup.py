@@ -90,44 +90,89 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
     )
 
 
-def minhash_signatures(sh: DataFrame, num_perm: int = 32) -> DataFrame:
-    """Wide signature (id, m0..m{k-1}): k permutations approximated by
-    seeding ``xxhash64`` with the permutation index, computed as k min
-    aggregates in ONE hash-agg pass — one shuffle of the shingle rows with
-    map-side partial mins, no k-fold row blowup (the naive
-    explode-seeds formulation shuffles k× the shingles and was ~6× slower
-    at sf0.1)."""
-    aggs = [
-        F.min(F.xxhash64("sh", F.lit(i))).alias(f"m{i}") for i in range(num_perm)
+_MINHASH_P = 2147483647  # Mersenne prime 2^31 - 1: permutation modulus
+
+
+def _minhash_ab(num_perm: int = 32) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for the k universal-hash
+    permutations h_i(x) = (a_i * x + b_i) mod P, derived from a fixed
+    LCG walk so the SAME literals land in the Spark expressions and in
+    the generated DuckDB twin. a in [1, P-1], b in [0, P-1]; with
+    x < P < 2^31 every product stays under 2^62 — exact BIGINT range in
+    both engines."""
+    pairs, x = [], 0x5DEECE66D
+    for _ in range(num_perm):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = x % (_MINHASH_P - 1) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = x % _MINHASH_P
+        pairs.append((a, b))
+    return pairs
+
+
+def _hash48(col) -> "F.Column":
+    """Portable 48-bit hash: first 12 md5 hex chars as BIGINT (the repo's
+    cross-engine hash convention; DuckDB twin
+    ``CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 12), 16, 10).cast(
+        "long"
+    )
+
+
+def _perm_mins(src_col: str, num_perm: int) -> list:
+    """The k min-of-permutation aggregates over a 48-bit hash column —
+    one md5 per row upstream, then k multiply-mod ops (cheaper than the
+    k seeded xxhash64 calls they replaced, and exactly replayable in
+    SQL)."""
+    hp = F.col(src_col) % F.lit(_MINHASH_P)
+    return [
+        F.min((F.lit(a) * hp + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_minhash_ab(num_perm))
     ]
-    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures(sh: DataFrame, num_perm: int = 32) -> DataFrame:
+    """Wide signature (id, m0..m{k-1}): k universal-hash permutations of
+    the 48-bit md5 shingle hash, computed as k min aggregates in ONE
+    hash-agg pass — one shuffle of the shingle rows with map-side
+    partial mins, no k-fold row blowup (the naive explode-seeds
+    formulation shuffles k× the shingles and was ~6× slower at sf0.1).
+    PORTABLE since r9 (was k seeded xxhash64 calls): one md5 + k
+    multiply-mods per row, replayable in any engine with md5."""
+    hashed = sh.select("id", _hash48("sh").alias("shh"))
+    return hashed.groupBy("id").agg(*_perm_mins("shh", num_perm))
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
     """Band the wide signature (bands × rows columns) and bucket-join:
-    candidate pairs collide on at least one full band. The self-join is on
-    (band_id, band_hash) — bounded fan-out per bucket."""
+    candidate pairs collide on at least one full band. The self-join key
+    is (band_id, r0..r{rows-1}) — the band's raw signature values, not a
+    hash of them (r9: the xxhash64 band key was engine-specific AND
+    carried a theoretical collision-admits-candidate hole; raw values
+    join exactly and replay in SQL). Bounded fan-out per bucket."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.xxhash64(
-                *[F.col(f"m{b * rows + r}") for r in range(rows)]
-            ).alias("band_hash"),
+            *[
+                F.col(f"m{b * rows + r}").alias(f"r{r}")
+                for r in range(rows)
+            ],
         )
         for b in range(bands)
     ]
     banded = sig.select(
         "id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("id", "bk.band_id", "bk.band_hash")
+    ).select("id", "bk.band_id", *[f"bk.r{r}" for r in range(rows)])
     a = banded.alias("a")
     b = banded.alias("b")
+    cond = (F.col("a.band_id") == F.col("b.band_id")) & (
+        F.col("a.id") < F.col("b.id")
+    )
+    for r in range(rows):
+        cond = cond & (F.col(f"a.r{r}") == F.col(f"b.r{r}"))
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
@@ -168,19 +213,99 @@ def minhash_signatures_with_sets(
     map side (text scan → shingle UDF → hash → partial aggs) runs once
     and Catalyst's ReuseExchange serves every downstream consumer —
     banding and both verify sides — from the same shuffle files.
-    Input: (id, shh) with 8-byte hashed shingles."""
-    aggs = [
-        F.min(F.xxhash64("shh", F.lit(i))).alias(f"m{i}") for i in range(num_perm)
-    ]
-    return hashed.groupBy("id").agg(*aggs, F.collect_set("shh").alias("shs"))
+    Input: (id, shh) with 48-bit portable shingle hashes."""
+    return hashed.groupBy("id").agg(
+        *_perm_mins("shh", num_perm), F.collect_set("shh").alias("shs")
+    )
 
 
-@query("dedup_minhash_lsh", tags=("dedup", "minhash", "lsh"))
+def _minhash_oracle(bands: int = 8, rows: int = 4, num_perm: int = 32) -> str:
+    """DuckDB twin of the full MinHash-LSH pipeline: shingling (the
+    pandas UDF's ``text.lower().split()`` ≡ regex split + drop-empties,
+    DISTINCT 3-gram set, one partial shingle for short docs), 48-bit md5
+    hashes, the k unrolled min-of-permutation aggregates with the SAME
+    (a, b) literals, band blocking on raw signature values, and the
+    exact-Jaccard verify over distinct hash sets. Out-of-envelope docs
+    (> 512 tokens) fail loudly as an oracle-domain error."""
+    ab = _minhash_ab(num_perm)
+    mins = ",\n         ".join(
+        f"MIN(({a} * (shh % {_MINHASH_P}) + {b}) % {_MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(ab)
+    )
+    band_sel = "\n  UNION ALL ".join(
+        "SELECT id, {b} AS band_id, {cols} FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"m{b * rows + r} AS r{r}" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    band_eq = " AND ".join(f"a.r{r} = b.r{r}" for r in range(rows))
+    return f"""
+WITH ws AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+guard AS (
+  SELECT CASE WHEN (SELECT COALESCE(max(len(w)), 0) FROM ws) > 512
+    THEN CAST('dedup_minhash_lsh ORACLE DOMAIN ERROR: doc has '
+              || CAST((SELECT max(len(w)) FROM ws) AS VARCHAR)
+              || ' tokens, beyond the range(512) shingle sweep' AS BIGINT)
+    ELSE 0 END AS ok
+),
+sh AS (
+  SELECT DISTINCT id, array_to_string(list_slice(w, t.i + 1, t.i + 3), ' ') AS s
+  FROM ws CROSS JOIN range(0, 512) t(i)
+  WHERE t.i <= greatest(len(w) - 3, 0)
+),
+hd AS (
+  SELECT DISTINCT id, CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) AS shh
+  FROM sh
+),
+sig AS (
+  SELECT id,
+         {mins}
+  FROM hd GROUP BY id
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM hd GROUP BY id),
+band AS (
+  {band_sel}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM band a JOIN band b
+    ON a.band_id = b.band_id AND {band_eq} AND a.id < b.id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN hd x ON x.id = c.id_a
+  JOIN hd y ON y.id = c.id_b AND y.shh = x.shh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0)), 4) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes na ON na.id = c.id_a
+JOIN sizes nb ON nb.id = c.id_b
+WHERE round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+            / (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0)), 4) >= 0.5
+  AND (SELECT ok FROM guard) = 0
+ORDER BY c.id_a, c.id_b
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4 rows, ~0.6 Jaccard threshold) near-dup
     candidate pairs, verified with exact shingle Jaccard.
 
-    Scale shape: shingles are hashed to 8 bytes before anything shuffles
+    Scale shape: shingles are hashed to 48 bits before anything shuffles
     (the verify join used to move shingle STRINGS); signatures and
     shingle sets come out of ONE aggregation, and the signature table is
     PERSISTED — it has three consumers (the band explode plus both sides
@@ -191,10 +316,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     pair (``array_intersect``) instead of re-joining exploded shingle
     rows.
 
-    Not SQL-expressible (seeded xxhash64 permutations) → rows-only check;
-    tests/test_dedup.py validates recall on planted near-duplicates."""
+    FULL value oracle since r9 (was rows-only under seeded xxhash64):
+    permutations are now universal hashes (a_i·x + b_i) mod (2^31−1)
+    over the portable 48-bit md5 shingle hash — one md5 + 32
+    multiply-mods per row instead of 32 xxhash64 calls, every
+    intermediate exact BIGINT in both engines — and band blocking joins
+    on RAW signature values (the old 64-bit band hash was
+    engine-specific and carried a theoretical collision-admits-candidate
+    hole). The DuckDB twin replays shingling, hashing, all 32 unrolled
+    permutation mins, banding, and the exact-Jaccard verify; recall on
+    planted near-duplicates stays pinned in tests/test_dedup.py."""
     docs = t(spark, sf, "documents")
-    hashed = shingles(docs).select("id", F.xxhash64("sh").alias("shh"))
+    hashed = shingles(docs).select("id", _hash48("sh").alias("shh"))
     sig = minhash_signatures_with_sets(hashed, num_perm=32).persist()
     pairs = lsh_candidate_pairs(sig, bands=8, rows=4)
     sa = sig.select(F.col("id").alias("id_a"), F.col("shs").alias("sa"))
