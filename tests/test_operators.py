@@ -40,27 +40,39 @@ def test_registry_complete():
     assert len(reg) >= 70
     oracled = [n for n, q in reg.items() if q.oracle is not None]
     assert len(oracled) >= 65
-    # rows-only entries are the genuinely non-SQL-expressible ones
+    # rows-only entries are the genuinely non-SQL-expressible ones.
+    # Re-audited round 9 (six entries converted to full oracles that
+    # round: sample_deterministic, streaming_sessionize,
+    # streaming_stream_join_outer, multimodal_feature_extract,
+    # dedup_simhash, dedup_minhash_lsh); every remaining entry's blocker
+    # is named inline and none is a portable-hash or flushed-prefix
+    # case — those patterns are exhausted.
     rows_only = sorted(n for n, q in reg.items() if q.oracle is None)
     assert rows_only == [
-        "agg_approx_distinct",
+        "agg_approx_distinct",  # Spark-internal HLL++ registers;
+        # error bound pinned below
         "agg_approx_percentiles",  # sketch internals; error bound pinned below
         "ann_join_topk",  # seeded LSH planes; recall test in test_similarity
         "bpe_learn_merges",  # iterative argmax loop — pure-Python BPE
         # parity pinned in test_lm
-        "cosine_topk_ivf",
+        "cosine_topk_ivf",  # iterative Lloyd's coarse quantizer
         "cosine_topk_ivf_kmeans",  # iterative Lloyd's — not SQL-expressible
         "cosine_topk_ivf_pq",  # sampled PQ training — not SQL-expressible
         "cosine_topk_ivf_pq_probed",  # k-means + PQ composition
-        "cosine_topk_lsh",
+        "cosine_topk_lsh",  # seeded Gaussian hyperplanes (numpy RNG)
         "dedup_embedding_cosine",  # LSH planes aren't SQL-expressible
         "embedding_pca_project",  # eigendecomposition — not SQL-expressible;
         # numpy parity pinned in test_embeddings
         "logreg_train_distributed",  # iterated sigmoid GD — not
         # SQL-expressible; numpy parity in test_embeddings
-        "multimodal_frame_sample",
-        "multimodal_resize_stub",
-        "streaming_dedup_minhash",  # stateful near-dedup — batch-twin
+        "multimodal_frame_sample",  # zlib.crc32 frame checksums — no
+        # CRC32 in DuckDB SQL (r9 re-audit)
+        "multimodal_resize_stub",  # pooled mean = float64 sum of
+        # NON-integer block means — numpy pairwise vs SQL sequential
+        # summation can differ in the last ulp at the floor boundary
+        # (r9 re-audit); numpy parity pinned in test_multimodal_extra
+        "streaming_dedup_minhash",  # stateful near-dedup over
+        # zlib.crc32 buckets (no CRC32 in DuckDB) — batch-twin
         # equality pinned in test_streaming
         "streaming_vector_ingest",  # seeded-k-means centroids — not
         # SQL-expressible; stream-equals-batch pinned in test_streaming
