@@ -354,3 +354,85 @@ def test_streaming_vector_ingest_equals_batch(spark, sf_dir):
     )
     assert got == want
     assert sum(r[1] for r in got) == emb.count()
+
+
+def test_outer_join_eviction_boundary_pinned(spark):
+    """r9 oracle-semantics pin for streaming_stream_join_outer: the
+    eviction watermark is the MIN across BOTH withWatermark nodes (each
+    tracks max event time of rows flowing through it POST-FILTER), and
+    the null-row cutoff is STRICT — a view whose attribution window
+    closes exactly AT the watermark stays in state. Synthetic stream:
+    views every 60 s over 6 h; the last purchase lands 45 min before
+    the last view, pinning the purchase-side watermark below the global
+    max. The oracle in streaming/joins.py encodes exactly this rule; if
+    Spark's eviction semantics ever shift, this pin fails before the
+    driver does."""
+    import datetime
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from xml_hive_spark.session import scratch_dir
+    from xml_hive_spark.streaming.joins import _sides
+    from xml_hive_spark.streaming.stateful import _STAGED_SCHEMA
+
+    base = 1_700_000_000_000_000  # us
+    span_s = 6 * 3600
+    rows, eid = [], 0
+    for s in range(0, span_s, 60):
+        rows.append((eid, base + s * 1_000_000, 1 + (eid % 5), "view", 1.0, "{}"))
+        eid += 1
+    p_max = base + (span_s - 45 * 60) * 1_000_000  # purchase watermark pin
+    rows.append((eid, p_max - 60_000_000, 999, "purchase", 1.0, "{}")); eid += 1
+    rows.append((eid, p_max, 999, "purchase", 1.0, "{}")); eid += 1
+    rows.append((eid, base + span_s * 1_000_000, 998, "view", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(rows, schema=_STAGED_SCHEMA)
+
+    out = scratch_dir("bound-pin-")
+    bounds = [base + span_s * 1_000_000 // 3, base + 2 * span_s * 1_000_000 // 3]
+    lo = None
+    for i in range(3):
+        hi = bounds[i] if i < 2 else None
+        part = df
+        if lo is not None:
+            part = part.filter(F.col("ts") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("ts") < hi)
+        pdir = os.path.join(out, f"chunk={i}")
+        part.coalesce(1).write.parquet(pdir)
+        lo = hi
+        for root, _, files in os.walk(pdir):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1_000_000 + i,) * 2)
+
+    raw = (
+        spark.readStream.schema(_STAGED_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
+    j = _sides(ev, ev, how="left_outer")
+    name = f"bound_pin_{uuid.uuid4().hex[:6]}"
+    q = (
+        j.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", scratch_dir("ckpt-"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+    got = spark.table(name).collect()
+
+    def us(t):
+        return int(t.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+
+    emitted = {us(r["view_ts"]) for r in got if r["purchase_id"] is None}
+    # watermark basis: MIN of (max view ts, max purchase ts) - 2h delay
+    wm_ms = min(base + span_s * 1_000_000, p_max) // 1000 - 7_200_000
+    for s in range(0, span_s, 60):
+        v = base + s * 1_000_000
+        margin = wm_ms - (v // 1000 + 1_800_000)
+        if margin > 0:
+            assert v in emitted, f"margin {margin} ms should have flushed"
+        else:
+            assert v not in emitted, f"margin {margin} ms must stay in state"
