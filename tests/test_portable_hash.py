@@ -1,0 +1,90 @@
+"""Cross-engine pins for the portable-hash convention (r9).
+
+Three oracles (dedup_minhash_lsh, dedup_simhash,
+multimodal_feature_extract) and the sketch family depend on the 48-bit
+md5-slice hash agreeing byte-for-byte between Spark, DuckDB, and the
+Python reference, and the two lowering oracles depend on the engines'
+``lower()`` agreeing on the corpus (they DON'T in general — dotted
+capital I and Greek final sigma diverge — so those oracles carry an
+ASCII domain guard that must fail LOUDLY, not as a hash mismatch)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+
+def _py48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=40))
+def test_hash48_duckdb_equals_python(s):
+    con = duckdb.connect()
+    du = con.execute(
+        "SELECT CAST('0x' || substr(md5(?), 1, 12) AS BIGINT)", [s]
+    ).fetchone()[0]
+    assert du == _py48(s)
+
+
+def test_hash48_spark_equals_python(spark):
+    """One Spark round for a tricky batch (per-example Spark rounds are
+    too slow for hypothesis; DuckDB carries the fuzz above)."""
+    from xml_hive_spark.operators.dedup import _hash48
+
+    samples = ["", "a", "hello world", "ümläut", "漢字", "a b  c",
+               "x" * 200, "\t tab", "naïve", "ß", "🙂🙂"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", _hash48("s").alias("h")).collect()}
+    for s in samples:
+        assert got[s] == _py48(s), s
+
+
+def test_lower_divergence_is_real_and_guarded():
+    """The reason the lowering oracles carry an ASCII guard: these
+    inputs lower() differently in DuckDB vs Python (and unguarded
+    would surface as an inscrutable driver hash mismatch)."""
+    con = duckdb.connect()
+    diverging = ["İstanbul", "ΣΙΓΜΑΣ"]
+    seen = False
+    for s in diverging:
+        if con.execute("SELECT lower(?)", [s]).fetchone()[0] != s.lower():
+            seen = True
+    assert seen, "engines now agree on lower() — the ASCII guards can go"
+
+
+@pytest.mark.parametrize("qname", ["dedup_minhash_lsh", "dedup_simhash"])
+def test_lowering_oracles_fail_loudly_on_non_ascii(qname):
+    from xml_hive_spark.operators import all_queries
+
+    oracle = all_queries()[qname].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'plain ascii words here'), (2, 'İstanbul ΣΙΓΜΑΣ tricky')) "
+        "t(doc_id, text)"
+    )
+    with pytest.raises(duckdb.ConversionException, match="DOMAIN ERROR"):
+        con.execute(oracle).fetchall()
+
+
+@pytest.mark.parametrize("qname", ["dedup_minhash_lsh", "dedup_simhash"])
+def test_lowering_oracles_run_clean_on_ascii(qname):
+    from xml_hive_spark.operators import all_queries
+
+    oracle = all_queries()[qname].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'alpha beta gamma delta'), (2, 'alpha beta gamma delta'), "
+        "(3, 'something else entirely distinct')) t(doc_id, text)"
+    )
+    rows = con.execute(oracle).fetchall()
+    assert (1, 2) in {(r[0], r[1]) for r in rows}  # exact dups pair up

@@ -254,6 +254,11 @@ guard AS (
     THEN CAST('dedup_minhash_lsh ORACLE DOMAIN ERROR: doc has '
               || CAST((SELECT max(len(w)) FROM ws) AS VARCHAR)
               || ' tokens, beyond the range(512) shingle sweep' AS BIGINT)
+    WHEN (SELECT count(*) FROM documents
+          WHERE strlen(text) <> length(text)) > 0
+    THEN CAST('dedup_minhash_lsh ORACLE DOMAIN ERROR: non-ASCII text — '
+              || 'Python str.lower / DuckDB lower diverge on dotted-I '
+              || 'and final sigma' AS BIGINT)
     ELSE 0 END AS ok
 ),
 sh AS (
@@ -407,11 +412,20 @@ def _simhash_oracle() -> str:
         for b in range(_SIMHASH_BITS)
     )
     return f"""
-WITH tok AS (
+WITH guard AS (
+  SELECT CASE WHEN (SELECT count(*) FROM documents
+                    WHERE strlen(text) <> length(text)) > 0
+    THEN CAST('dedup_simhash ORACLE DOMAIN ERROR: non-ASCII text — '
+              || 'engine lower() implementations diverge on dotted-I '
+              || 'and final sigma' AS BIGINT)
+    ELSE 0 END AS ok
+),
+tok AS (
   SELECT id, CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS h
   FROM (SELECT doc_id AS id,
                unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
         FROM documents)
+  WHERE (SELECT ok FROM guard) = 0
 ),
 votes AS (
   SELECT id,
