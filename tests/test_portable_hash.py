@@ -88,3 +88,21 @@ def test_lowering_oracles_run_clean_on_ascii(qname):
     )
     rows = con.execute(oracle).fetchall()
     assert (1, 2) in {(r[0], r[1]) for r in rows}  # exact dups pair up
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_documents_corpus_is_ascii(sf):
+    """Preflight for EVERY lowercasing oracle (text family, dedup
+    family): the cross-engine case-folding contract is only verified
+    for ASCII (see the divergence pin above). If the driver ever
+    regenerates documents.parquet with non-ASCII text, this fails with
+    a clear name instead of N inscrutable driver hash mismatches."""
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('/root/testdata/{sf}/documents.parquet') "
+        "WHERE strlen(text) <> length(text)"
+    ).fetchone()[0]
+    assert n == 0, (
+        f"{n} non-ASCII documents at {sf}: audit every oracle that "
+        "lowercases text before trusting driver comparisons"
+    )
