@@ -168,3 +168,44 @@ class TestSparkEndToEnd:
         assert len(rows) == n
         assert sorted(r.id for r in rows) == list(range(n))
         assert all(r.id == r.v for r in rows)
+
+
+def test_projection_exactly_once_across_splits(spark, tmp_path):
+    """r9 columns= lever at split boundaries: a PRUNED schema (the id
+    attribute dropped from capture) over a many-split file must still
+    deliver every record exactly once — boundary detection is
+    schema-independent, and the attribute bytes the template now
+    wildcards sit right where splits cut."""
+    n = 300
+    parts = ["<log>"]
+    for i in range(n):
+        parts.append(f'<e id="{i}"><v>{i}</v><w>x{i}</w></e>')
+    parts.append("</log>")
+    p = tmp_path / "proj.xml"
+    p.write_text("".join(parts))
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from xml_hive_spark.reader import read_xml
+
+    st = StructType(
+        [
+            StructField("id", IntegerType(), False,
+                        metadata={"xmlKind": "attribute", "xmlName": "id"}),
+            StructField("v", IntegerType(), False,
+                        metadata={"xmlKind": "element", "xmlName": "v"}),
+            StructField("w", StringType(), False,
+                        metadata={"xmlKind": "element", "xmlName": "w"}),
+        ]
+    )
+    df = read_xml(spark, str(p), "e", schema=st, partition_bytes=512,
+                  columns=["v"])
+    assert df.rdd.getNumPartitions() > 5
+    assert df.schema.fieldNames() == ["v"]
+    vals = sorted(r.v for r in df.collect())
+    assert vals == list(range(n))  # exactly once, none lost at a cut
