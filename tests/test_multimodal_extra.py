@@ -137,3 +137,16 @@ def test_arrow_chunking_reassembles_exactly(spark, sf_dir):
         joined = b"".join(c for _, c in sorted(pieces))
         assert joined == orig[doc_id]
         assert all(len(c) <= 128 for _, c in pieces)
+
+
+def test_resize_block_inverse_swept():
+    """The resize oracle inverts numpy's linspace pooling boundaries
+    with block(y) = (8y+7)//h; sweep EVERY dimension the synth stage
+    can produce (16..63) to pin the equivalence."""
+    ys_of = lambda h: np.linspace(0, h, 9).astype(int)  # noqa: E731
+    for h in range(16, 64):
+        ys = ys_of(h)
+        assert all(int(ys[i]) == (i * h) // 8 for i in range(9))
+        for y in range(h):
+            true_i = int(np.searchsorted(ys, y, side="right")) - 1
+            assert (8 * y + 7) // h == true_i, (h, y)

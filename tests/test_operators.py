@@ -67,10 +67,6 @@ def test_registry_complete():
         # SQL-expressible; numpy parity in test_embeddings
         "multimodal_frame_sample",  # zlib.crc32 frame checksums — no
         # CRC32 in DuckDB SQL (r9 re-audit)
-        "multimodal_resize_stub",  # pooled mean = float64 sum of
-        # NON-integer block means — numpy pairwise vs SQL sequential
-        # summation can differ in the last ulp at the floor boundary
-        # (r9 re-audit); numpy parity pinned in test_multimodal_extra
         "streaming_dedup_minhash",  # stateful near-dedup over
         # zlib.crc32 buckets (no CRC32 in DuckDB) — batch-twin
         # equality pinned in test_streaming

@@ -860,7 +860,7 @@ def multimodal_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, mean_px double, corner_px long"
+RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, q_mean_px long, corner_px long"
 
 
 def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8,
@@ -868,41 +868,109 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8,
     """Resize stage: REAL header parse (``_pixel_planes`` — the image's
     actual w×h drive the pooling grid), then a REAL average-pool resize
     to ``out_w × out_h`` in numpy. ``PIL.Image.open`` would replace only
-    the plane extraction inside ``_pixel_planes``."""
+    the plane extraction inside ``_pixel_planes``.
+
+    INTEGER-QUANTIZED pooling (r9, was a float64 mean-of-means): each
+    block contributes ``block_sum * 2^20 // block_count`` (exact BIGINT
+    — pixel sums are small ints), ``q_mean_px`` is the sum of the 64
+    block quantities and ``corner_px`` is block (0,0)'s integer mean.
+    Same fidelity for any ranking/monitoring use, but order-independent
+    and bit-identical in every engine — numpy's pairwise float
+    summation over non-integer block means was the one thing keeping
+    this query rows-only."""
     import numpy as np
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"doc_id": [], "out_w": [], "out_h": [], "mean_px": [],
+            rows = {"doc_id": [], "out_w": [], "out_h": [], "q_mean_px": [],
                     "corner_px": []}
             for did, payload in zip(pdf[id_col], pdf[bin_col]):
                 w, h, planes = _pixel_planes(bytes(payload))
                 if not planes:
                     continue
-                img = planes[0].astype(np.float64)
+                img = planes[0].astype(np.int64)
                 # real average-pool resize over the parsed h×w grid
                 ys = np.linspace(0, h, out_h + 1).astype(int)
                 xs = np.linspace(0, w, out_w + 1).astype(int)
-                pooled = np.array(
-                    [[img[ys[i]:ys[i+1], xs[j]:xs[j+1]].mean()
-                      for j in range(out_w)] for i in range(out_h)]
-                )
+                q_mean = 0
+                for i in range(out_h):
+                    for j in range(out_w):
+                        blk = img[ys[i]:ys[i+1], xs[j]:xs[j+1]]
+                        if blk.size:
+                            q_mean += int(blk.sum()) * 1048576 // blk.size
+                c_blk = img[ys[0]:ys[1], xs[0]:xs[1]]
+                corner = int(c_blk.sum()) // c_blk.size if c_blk.size else 0
                 rows["doc_id"].append(did)
                 rows["out_w"].append(out_w)
                 rows["out_h"].append(out_h)
-                rows["mean_px"].append(float(np.floor(pooled.mean() * 1048576.0)))
-                rows["corner_px"].append(int(pooled[0, 0]))
+                rows["q_mean_px"].append(q_mean)
+                rows["corner_px"].append(corner)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
 
 
-@query("multimodal_resize_stub", tags=("multimodal", "binary", "resize"))
+@query(
+    "multimodal_resize_stub",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, upper(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS L
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, hx, L, greatest(L, 1) AS le,
+         16 + (greatest(L, 1) % 48) AS w,
+         16 + ((greatest(L, 1) * 7) % 48) AS h
+  FROM b
+),
+px AS (
+  SELECT d.doc_id,
+         (8 * (t.i // d.w) + 7) // d.h AS bi,
+         (8 * (t.i % d.w) + 7) // d.w AS bj,
+         CASE WHEN d.L = 0 THEN 0
+              ELSE CAST('0x' || substr(d.hx, 2 * (t.i % d.le) + 1, 2) AS INT)
+         END AS v
+  FROM dims d CROSS JOIN range(0, 4096) t(i)
+  WHERE t.i < d.w * d.h
+),
+blk AS (
+  SELECT doc_id, bi, bj, CAST(sum(v) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM px GROUP BY doc_id, bi, bj
+),
+per AS (
+  SELECT doc_id,
+         CAST(SUM(s * 1048576 // cnt) AS BIGINT) AS q_mean_px,
+         CAST(SUM(CASE WHEN bi = 0 AND bj = 0 THEN s // cnt ELSE 0 END)
+              AS BIGINT) AS corner_px
+  FROM blk GROUP BY doc_id
+)
+SELECT 8 AS out_w, 8 AS out_h, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(q_mean_px) AS BIGINT) AS qsum_mean_px,
+       CAST(SUM(corner_px) AS BIGINT) AS sum_corner
+FROM per
+""",
+    tags=("multimodal", "binary", "resize"),
+)
 def multimodal_resize_stub(spark: SparkSession, sf: str) -> DataFrame:
     """Image-resize pipeline: valid containers → header-parsed dims →
-    average-pool to 8×8, aggregated per output shape. Deterministic →
-    rows-only. (Name kept from earlier rounds for snapshot continuity;
-    the decode is no longer a stub.)"""
+    average-pool to 8×8, aggregated per output shape. (Name kept from
+    earlier rounds for snapshot continuity; the decode is no longer a
+    stub.)
+
+    FULL value oracle (r9 rows-only conversion): the pooling was made
+    integer-quantized (see ``resize_images``), so the whole pipeline is
+    exact arithmetic on the payload bytes and the DuckDB twin recomputes
+    it from FIRST PRINCIPLES — byte k of the text via the hex trick,
+    synth dims w = 16 + L%48 / h = 16 + 7L%48, pixel (y,x) =
+    byte[(y·w+x) mod L] (the np.resize tiling), pooling blocks via the
+    verified integer inverse block(y) = (8y+7)//h of the linspace
+    boundaries floor(i·h/8) (equivalence swept for every h in 16..63 in
+    tests), block quantities S·2^20//n. The oracle never touches the
+    container, so the driver hash verifies the make_image encode →
+    header parse → plane-extract round trip end to end — the same
+    codec-closure trick as the phash and decode-stub oracles."""
     docs = t(spark, sf, "documents")
     with_payload = synth_media_stage(
         docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
@@ -912,7 +980,7 @@ def multimodal_resize_stub(spark: SparkSession, sf: str) -> DataFrame:
         rs.groupBy("out_w", "out_h")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("mean_px").cast("long").alias("qsum_mean_px"),
+            F.sum("q_mean_px").alias("qsum_mean_px"),
             F.sum("corner_px").alias("sum_corner"),
         )
         .orderBy("out_w")
