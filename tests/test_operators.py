@@ -65,8 +65,6 @@ def test_registry_complete():
         # numpy parity pinned in test_embeddings
         "logreg_train_distributed",  # iterated sigmoid GD — not
         # SQL-expressible; numpy parity in test_embeddings
-        "multimodal_frame_sample",  # zlib.crc32 frame checksums — no
-        # CRC32 in DuckDB SQL (r9 re-audit)
         "streaming_dedup_minhash",  # stateful near-dedup over
         # zlib.crc32 buckets (no CRC32 in DuckDB) — batch-twin
         # equality pinned in test_streaming

@@ -713,10 +713,11 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
     parsed for real (``_pixel_planes``); frames are w×h pixel planes
     sampled evenly across the stream — ffmpeg keyframe seeking would
     replace only the plane extraction."""
-    import zlib
     from typing import Iterator
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_checksum": [], "frame_bytes": []}
             for did, payload in zip(pdf[id_col], pdf[bin_col]):
@@ -732,18 +733,67 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
                     frame = planes[pi].tobytes()
                     out["doc_id"].append(did)
                     out["frame_idx"].append(i)
-                    out["frame_checksum"].append(zlib.crc32(frame))
+                    # portable 48-bit md5 content fingerprint (r9, was
+                    # zlib.crc32 — no CRC32 in DuckDB, which kept the
+                    # registry entry rows-only)
+                    out["frame_checksum"].append(
+                        int(hashlib.md5(frame).hexdigest()[:12], 16)
+                    )
                     out["frame_bytes"].append(len(frame))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(explode_frames, schema=FRAME_SCHEMA)
 
 
-@query("multimodal_frame_sample", tags=("multimodal", "binary", "fanout"))
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS L FROM documents
+),
+guard AS (
+  SELECT CASE WHEN (SELECT count(*) FROM documents
+                    WHERE length(text) = 0
+                       OR strlen(text) <> length(text)) > 0
+    THEN CAST('multimodal_frame_sample ORACLE DOMAIN ERROR: empty or '
+              || 'non-ASCII text — the cyclic frame slice is replayed '
+              || 'with char-indexed substr' AS BIGINT)
+    ELSE 0 END AS ok
+),
+dims AS (
+  SELECT doc_id, text, L,
+         16 + (L % 48) AS w, 16 + ((L * 7) % 48) AS h
+  FROM b WHERE (SELECT ok FROM guard) = 0
+),
+frames AS (
+  SELECT d.doc_id, t.i AS frame_idx, d.w * d.h AS wh,
+         substr(repeat(d.text, (d.w * d.h) // d.L + 2),
+                ((2 * t.i * d.w * d.h) % d.L) + 1,
+                d.w * d.h) AS fr
+  FROM dims d CROSS JOIN range(0, 4) t(i)
+)
+SELECT CAST(frame_idx AS INT) AS frame_idx,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(wh) AS BIGINT) AS total_bytes,
+       min(CAST('0x' || substr(md5(fr), 1, 12) AS BIGINT)) AS min_fp
+FROM frames GROUP BY frame_idx ORDER BY frame_idx
+""",
+    tags=("multimodal", "binary", "fanout"),
+)
 def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Video-style frame sampling: docs → 8-plane containers with valid
     headers → header parse + evenly-spaced plane sample (4 of 8) →
-    aggregate per frame position. Deterministic → stable rows-only."""
+    aggregate per frame position.
+
+    FULL value oracle (r9 rows-only conversion): the frame checksum
+    moved from zlib.crc32 (no CRC32 in DuckDB) to the portable 48-bit
+    md5 fingerprint, and frame BYTES are reconstructible in SQL — the
+    synth body is the text tiled cyclically (np.resize), so sampled
+    plane 2i is the char-slice [(2i·wh) mod L, +wh) of the repeated
+    text (char == byte under the ASCII corpus guard, which fails
+    LOUDLY otherwise). Like the resize oracle, the twin never touches
+    the container, so the driver hash covers the 8-plane make_image
+    encode → header parse → plane-extract → even-sample round trip."""
     docs = t(spark, sf, "documents")
     with_payload = synth_media_stage(
         docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
@@ -755,7 +805,7 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_frames"),
             F.sum("frame_bytes").alias("total_bytes"),
-            F.min("frame_checksum").alias("min_crc"),
+            F.min("frame_checksum").alias("min_fp"),
         )
         .orderBy("frame_idx")
     )
