@@ -65,9 +65,6 @@ def test_registry_complete():
         # numpy parity pinned in test_embeddings
         "logreg_train_distributed",  # iterated sigmoid GD — not
         # SQL-expressible; numpy parity in test_embeddings
-        "streaming_dedup_minhash",  # stateful near-dedup over
-        # zlib.crc32 buckets (no CRC32 in DuckDB) — batch-twin
-        # equality pinned in test_streaming
         "streaming_vector_ingest",  # seeded-k-means centroids — not
         # SQL-expressible; stream-equals-batch pinned in test_streaming
     ]

@@ -217,6 +217,11 @@ _LOADED = False
 # watermark + flushed-prefix holdback, boundary probed to the ms)
 # enters; json_roundtrip evicted (csv_roundtrip stays in-window and
 # the avro/orc/zstd roundtrip siblings are driver r7/r8 green).
+# Fourth swap: streaming_dedup_minhash (bucket hash went portable
+# md5+universal-perms, first-seq-wins verdict now fully oracled)
+# enters; embedding_label_centroids evicted (embedding-family siblings
+# pca_explained_variance_2d + embedding_drift_monitor are driver r8
+# green).
 _DRIVER_WINDOW = [
     "window_percent_rank",
     "join_null_safe_eq",
@@ -242,6 +247,7 @@ _DRIVER_WINDOW = [
     "streaming_window_counts",
     "streaming_stream_join",
     "streaming_stream_join_outer",
+    "streaming_dedup_minhash",
     "logreg_train_distributed",
     "agg_percentiles",
     "array_higher_order",
@@ -249,7 +255,6 @@ _DRIVER_WINDOW = [
     "cosine_topk_bruteforce",
     "csv_roundtrip",
     "doc_chunks_udtf",
-    "embedding_label_centroids",
     "explode_outer_empty_arrays",
     "hypertable_rollup",
     "pack_sequences",
@@ -277,9 +282,11 @@ _DRIVER_WINDOW = [
 # Derivation (mechanical, this round): never-driver-checked after r9 =
 # ZERO. Leads: the five scalar-function shapes deferred from r9
 # (conditional_functions, from_json_struct, map_functions,
-# sort_within_partitions, string_predicates) + the three r9 rule-4
+# sort_within_partitions, string_predicates) + the four r9 rule-4
 # evictions (sliding_window_agg, apply_in_pandas_centered,
-# json_roundtrip). The rest is the oldest-driver-evidence refresh
+# json_roundtrip, embedding_label_centroids — added when the late-r9
+# streaming_dedup_minhash conversion displaced it, so agg_grouping_id
+# drops to the r11 refresh tail). The rest is the oldest-driver-evidence refresh
 # cohort, (vintage, name)-sorted: the remaining r4 rows, then the r5
 # block (TPC-H queries, join/set/window families, the ANN ladder,
 # xml_stream_scan/write_roundtrip), cut at 50 with agg_cube and
@@ -293,6 +300,7 @@ _DRIVER_WINDOW = [
 #     "sliding_window_agg",
 #     "apply_in_pandas_centered",
 #     "json_roundtrip",
+#     "embedding_label_centroids",
 #     "agg_approx_percentiles",
 #     "agg_distinct_count",
 #     "agg_grouping_sets",
@@ -334,7 +342,6 @@ _DRIVER_WINDOW = [
 #     "xml_stream_scan",
 #     "xml_write_roundtrip",
 #     "agg_cube",
-#     "agg_grouping_id",
 # ]
 
 

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import os
 import uuid
-import zlib
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -51,28 +50,36 @@ _ROWS = 2  # minhash rows per band → 16 permutations
 
 
 def _minhash_buckets(text: str) -> list[int]:
-    """One bucket per band from 3-word shingles (crc32 permutations —
-    deterministic everywhere, no seed state). Short texts fall back to
-    whole-text shingles so every doc occupies every band."""
+    """One bucket per band from 3-word shingles. PORTABLE hashing since
+    r9 (was crc32 chains — no CRC32 in DuckDB, which kept the registry
+    entry rows-only): shingle hash = first 48 md5 bits, permutations =
+    the batch family's universal hashes (a_j·x + b_j) mod (2^31−1) with
+    the SAME LCG-derived literals, band bucket = its two row-mins
+    packed injectively into one BIGINT (m_a·2^31 + m_b < 2^62). Short
+    texts fall back to whole-text shingles so every doc occupies every
+    band."""
+    import hashlib
+
+    from xml_hive_spark.operators.dedup import _MINHASH_P, _minhash_ab
+
     words = text.lower().split()
     shingles = (
         [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
         or [" ".join(words) or ""]
     )
     n_perm = _BANDS * _ROWS
-    mins = [0xFFFFFFFF] * n_perm
+    ab = _minhash_ab(n_perm)
+    mins = [_MINHASH_P] * n_perm
     for s in shingles:
-        base = zlib.crc32(s.encode())
-        for j in range(n_perm):
-            # j-th "permutation": crc of the shingle crc mixed with j
-            h = zlib.crc32(j.to_bytes(2, "big"), base)
+        hp = int(hashlib.md5(s.encode()).hexdigest()[:12], 16) % _MINHASH_P
+        for j, (a, b) in enumerate(ab):
+            h = (a * hp + b) % _MINHASH_P
             if h < mins[j]:
                 mins[j] = h
-    out = []
-    for b in range(_BANDS):
-        seg = mins[b * _ROWS : (b + 1) * _ROWS]
-        out.append(zlib.crc32(b"".join(m.to_bytes(4, "big") for m in seg)))
-    return out
+    return [
+        mins[b * _ROWS] * (1 << 31) + mins[b * _ROWS + 1]
+        for b in range(_BANDS)
+    ]
 
 
 def band_bucket_stage(df: DataFrame, id_col: str = "doc_id",
@@ -205,12 +212,87 @@ def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_dedup_minhash", tags=("streaming", "stateful", "dedup",
-                                        "minhash"))
+@query(
+    "streaming_dedup_minhash",
+    oracle="""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+guard AS (
+  SELECT CASE WHEN (SELECT COALESCE(max(len(w)), 0) FROM ws) > 512
+    THEN CAST('streaming_dedup_minhash ORACLE DOMAIN ERROR: doc beyond '
+              || 'the range(512) shingle sweep' AS BIGINT)
+    WHEN (SELECT count(*) FROM documents
+          WHERE strlen(text) <> length(text)) > 0
+    THEN CAST('streaming_dedup_minhash ORACLE DOMAIN ERROR: non-ASCII '
+              || 'text — engine lower() implementations diverge' AS BIGINT)
+    ELSE 0 END AS ok
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, t.i + 1, t.i + 3), ' ') AS s
+  FROM ws CROSS JOIN range(0, 512) t(i)
+  WHERE t.i <= greatest(len(w) - 3, 0)
+    AND (SELECT ok FROM guard) = 0
+),
+hd AS (
+  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) AS shh
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         MIN((1817744323 * (shh % 2147483647) + 1991548402) % 2147483647) AS m0,
+         MIN((1455621887 * (shh % 2147483647) + 2004649363) % 2147483647) AS m1,
+         MIN((487171149 * (shh % 2147483647) + 748347981) % 2147483647) AS m2,
+         MIN((54095623 * (shh % 2147483647) + 1080316566) % 2147483647) AS m3,
+         MIN((359902949 * (shh % 2147483647) + 840486481) % 2147483647) AS m4,
+         MIN((422672625 * (shh % 2147483647) + 514315077) % 2147483647) AS m5,
+         MIN((1574968125 * (shh % 2147483647) + 499863824) % 2147483647) AS m6,
+         MIN((306853201 * (shh % 2147483647) + 296475365) % 2147483647) AS m7,
+         MIN((1822992699 * (shh % 2147483647) + 1916846303) % 2147483647) AS m8,
+         MIN((1527153947 * (shh % 2147483647) + 465909699) % 2147483647) AS m9,
+         MIN((1923036923 * (shh % 2147483647) + 438910777) % 2147483647) AS m10,
+         MIN((306384507 * (shh % 2147483647) + 860581414) % 2147483647) AS m11,
+         MIN((1815961697 * (shh % 2147483647) + 937479430) % 2147483647) AS m12,
+         MIN((458493787 * (shh % 2147483647) + 984414468) % 2147483647) AS m13,
+         MIN((320749777 * (shh % 2147483647) + 126698445) % 2147483647) AS m14,
+         MIN((1726450267 * (shh % 2147483647) + 1626903236) % 2147483647) AS m15
+  FROM hd GROUP BY doc_id
+),
+band AS (
+  SELECT doc_id, 0 AS band, m0 * 2147483648 + m1 AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1 AS band, m2 * 2147483648 + m3 AS bucket FROM sig
+  UNION ALL SELECT doc_id, 2 AS band, m4 * 2147483648 + m5 AS bucket FROM sig
+  UNION ALL SELECT doc_id, 3 AS band, m6 * 2147483648 + m7 AS bucket FROM sig
+  UNION ALL SELECT doc_id, 4 AS band, m8 * 2147483648 + m9 AS bucket FROM sig
+  UNION ALL SELECT doc_id, 5 AS band, m10 * 2147483648 + m11 AS bucket FROM sig
+  UNION ALL SELECT doc_id, 6 AS band, m12 * 2147483648 + m13 AS bucket FROM sig
+  UNION ALL SELECT doc_id, 7 AS band, m14 * 2147483648 + m15 AS bucket FROM sig
+),
+firsts AS (
+  SELECT band, bucket, min(doc_id) AS first_id FROM band GROUP BY band, bucket
+)
+SELECT b.doc_id, bool_or(b.doc_id > f.first_id) AS is_dup
+FROM band b JOIN firsts f ON f.band = b.band AND f.bucket = b.bucket
+GROUP BY b.doc_id ORDER BY b.doc_id
+""",
+    tags=("streaming", "stateful", "dedup", "minhash"),
+)
 def streaming_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """Registry entry (rows-only: arbitrary-state streaming isn't
-    SQL-expressible; exact equality with the batch self-join twin is
-    asserted in tests/test_streaming.py)."""
+    """Registry entry. FULL value oracle (r9 rows-only conversion): the
+    first-seq-wins state machine is order-independent once the landing
+    files replay in seq order — a doc is a dup iff its seq exceeds the
+    MINIMUM seq of any band bucket it occupies, which is one window/
+    group-by away in SQL. With the bucket hash made portable
+    (md5-48 + the batch family's universal-hash permutations, two
+    row-mins packed injectively per band), the DuckDB twin recomputes
+    buckets from the text and replays the verdict exactly — the driver
+    now hash-checks the full streaming ingest-dedup path. Exact
+    equality with the batch self-join twin remains pinned in
+    tests/test_streaming.py."""
     return run_streaming_neardup(spark, sf)
 
 
