@@ -52,7 +52,6 @@ def test_registry_complete():
         "agg_approx_distinct",  # Spark-internal HLL++ registers;
         # error bound pinned below
         "agg_approx_percentiles",  # sketch internals; error bound pinned below
-        "ann_join_topk",  # seeded LSH planes; recall test in test_similarity
         "bpe_learn_merges",  # iterative argmax loop — pure-Python BPE
         # parity pinned in test_lm
         "cosine_topk_ivf",  # iterative Lloyd's coarse quantizer
@@ -60,7 +59,6 @@ def test_registry_complete():
         "cosine_topk_ivf_pq",  # sampled PQ training — not SQL-expressible
         "cosine_topk_ivf_pq_probed",  # k-means + PQ composition
         "cosine_topk_lsh",  # seeded Gaussian hyperplanes (numpy RNG)
-        "dedup_embedding_cosine",  # LSH planes aren't SQL-expressible
         "embedding_pca_project",  # eigendecomposition — not SQL-expressible;
         # numpy parity pinned in test_embeddings
         "logreg_train_distributed",  # iterated sigmoid GD — not

@@ -96,7 +96,9 @@ class TestEmbeddingDedupLSH:
     def test_recall_and_exactness_vs_numpy_ground_truth(self, spark, sf_dir):
         """dedup_embedding_cosine (banded LSH candidates + exact verify):
         every emitted pair must truly exceed the threshold (no false
-        positives, cosine exact to 1e-9), and recall vs the exact
+        positives beyond the 2^-20 quantization grain — the r9
+        quantized-cosine trades a ~1e-6 value shift for bit-exact
+        cross-engine reproducibility), and recall vs the exact
         all-pairs set must meet the banding construction's bound."""
         import numpy as np
 
@@ -110,19 +112,20 @@ class TestEmbeddingDedupLSH:
         nrm = np.linalg.norm(m, axis=1)
         cos = (m @ m.T) / np.outer(nrm, nrm)
         iu = np.triu_indices(len(ids), k=1)
+        Q_TOL = 1e-5  # bound on |quantized cos - float cos| at 2^-20
         truth = {
             (int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))): cos[i, j]
             for i, j in zip(*iu)
-            if cos[i, j] > 0.25
+            if cos[i, j] > 0.25 - Q_TOL
         }
 
         got = all_queries()["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
         got_pairs = {(r.id_a, r.id_b): r.cos_sim for r in got}
 
-        # no false positives; exact cosine on everything returned
+        # no false positives; cosine within the quantization grain
         for (a, b), c in got_pairs.items():
             assert (a, b) in truth, f"false positive pair {(a, b)}"
-            assert abs(c - truth[(a, b)]) < 1e-9
+            assert abs(c - truth[(a, b)]) < Q_TOL
 
         # recall: theory gives ~0.93 at cos=0.25 rising toward 1 for
         # nearer pairs; assert a conservative floor

@@ -221,7 +221,13 @@ _LOADED = False
 # md5+universal-perms, first-seq-wins verdict now fully oracled)
 # enters; embedding_label_centroids evicted (embedding-family siblings
 # pca_explained_variance_2d + embedding_drift_monitor are driver r8
-# green).
+# green). Fifth/sixth swaps: ann_join_topk + dedup_embedding_cosine
+# (sign-LSH went md5-Rademacher over 2^20-quantized integers and the
+# cosine became a ratio of exact int64 aggregates — both now FULLY
+# oracled, bit-exact cross-engine) enter; hypertable_rollup (siblings
+# agg_rollup r6 + the r8-green timeseries family) and
+# explode_outer_empty_arrays (array_functions r8-green,
+# array_higher_order in-window) evicted to the r10 plan.
 _DRIVER_WINDOW = [
     "window_percent_rank",
     "join_null_safe_eq",
@@ -253,10 +259,10 @@ _DRIVER_WINDOW = [
     "array_higher_order",
     "asof_join",
     "cosine_topk_bruteforce",
+    "ann_join_topk",
+    "dedup_embedding_cosine",
     "csv_roundtrip",
     "doc_chunks_udtf",
-    "explode_outer_empty_arrays",
-    "hypertable_rollup",
     "pack_sequences",
     "quality_filter_verdicts",
     "salted_join_agg",
@@ -306,14 +312,14 @@ _DRIVER_WINDOW = [
 #     "agg_grouping_sets",
 #     "agg_rollup",
 #     "agg_stats",
-#     "ann_join_topk",
+#     "hypertable_rollup",
 #     "cosine_topk_ivf",
 #     "cosine_topk_ivf_kmeans",
 #     "cosine_topk_ivf_pq",
 #     "cosine_topk_ivf_pq_probed",
 #     "cosine_topk_lsh",
 #     "date_arithmetic",
-#     "dedup_embedding_cosine",
+#     "explode_outer_empty_arrays",
 #     "doc_chunk_pack_pipeline",
 #     "join_anti",
 #     "join_broadcast_dims",

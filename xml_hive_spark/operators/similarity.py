@@ -169,6 +169,49 @@ def embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_Q20 = 1048576.0  # 2^20 vector quantization for exact cross-engine math
+
+
+def _rademacher_planes(n_planes: int, dim: int = 64):
+    """Deterministic ±1 projection planes: sign(p, d) = +1 iff the first
+    md5 hex digit of ``"{p}_{d}"`` is odd. Replayable verbatim in SQL
+    (``substr(md5(p || '_' || d), 1, 1)`` parity), unlike the seeded
+    numpy Gaussians they replaced (r9 — the one thing keeping the
+    sign-LSH family rows-only). Rademacher projections satisfy the same
+    sign-LSH collision bound as Gaussians (Achlioptas 2001: ±1 entries
+    are a valid database-friendly random projection). Cached per shape;
+    returns (dim, n_planes) int64."""
+    import hashlib
+
+    import numpy as np
+
+    key = (n_planes, dim)
+    cached = _rademacher_planes.__dict__.get(key)
+    if cached is None:
+        cached = np.array(
+            [
+                [
+                    1 if int(hashlib.md5(f"{p}_{d}".encode())
+                             .hexdigest()[0], 16) % 2 == 1 else -1
+                    for p in range(n_planes)
+                ]
+                for d in range(dim)
+            ],
+            dtype=np.int64,
+        )
+        _rademacher_planes.__dict__[key] = cached
+    return cached
+
+
+def _quantize20(m):
+    """floor(v · 2^20) as int64 — exact in float64 (pure exponent shift
+    of a float32 value) and identical to SQL's
+    ``CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)``."""
+    import numpy as np
+
+    return np.floor(np.asarray(m, dtype=np.float64) * _Q20).astype(np.int64)
+
+
 def banded_signatures(
     df: DataFrame,
     id_col: str,
@@ -176,7 +219,6 @@ def banded_signatures(
     bands: int = 12,
     rows_per_band: int = 3,
     dim: int = 64,
-    seed: int = 7,
 ) -> DataFrame:
     """Banded sign-random-projection signatures: ``bands`` independent
     hash tables of ``rows_per_band`` hyperplanes each (the OR-of-ANDs
@@ -185,23 +227,26 @@ def banded_signatures(
     recall = 1-(1-p^r)^B with p = 1-θ/π, so cos 0.25 → ~0.93 and true
     near-dups (cos ≥ 0.9) → >0.9999 at B=12, r=3.
 
-    The signature pass is one Arrow-batched numpy matmul per batch
-    (measured faster than interpreted higher-order-function lambdas —
-    see cosine_topk_lsh's per-plane variant for the pure-JVM shape).
+    PORTABLE since r9: planes are md5-derived Rademacher ±1 vectors and
+    the projection runs on 2^20-quantized INTEGER vector entries, so
+    every sign bit is exact integer arithmetic both engines replay
+    identically (a float Gaussian projection's sign can flip in the
+    last ulp between summation orders; an integer one cannot). The
+    signature pass is one int64 matmul per Arrow batch.
     Returns (id, vec, sig: array<int> of per-band bucket values)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, bands * rows_per_band))
+    planes = _rademacher_planes(bands * rows_per_band, dim)
     weights = 1 << np.arange(rows_per_band)
 
     @pandas_udf("array<int>")
     def sig(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (m @ planes) > 0  # (n, bands*rows)
+        m = _quantize20(np.stack([np.asarray(v, dtype=np.float64)
+                                  for v in vecs]))
+        bits = (m @ planes) >= 0  # (n, bands*rows) — exact int sums
         vals = bits.reshape(len(vecs), bands, rows_per_band) @ weights
         return pd.Series(vals.tolist())
 
@@ -212,7 +257,56 @@ def banded_signatures(
     )
 
 
-@query("dedup_embedding_cosine", tags=("similarity", "dedup"))
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH qv AS (
+  SELECT vec_id, t.d,
+         CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0, 64) t(d)
+),
+planes AS (
+  SELECT p.p, d.d,
+         CASE WHEN CAST('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_'
+                    || CAST(d.d AS VARCHAR)), 1, 1) AS INT) % 2 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(0, 36) p(p) CROSS JOIN range(0, 64) d(d)
+),
+proj AS (
+  SELECT v.vec_id, pl.p, SUM(v.q * pl.s) AS pr
+  FROM qv v JOIN planes pl ON pl.d = v.d
+  GROUP BY v.vec_id, pl.p
+),
+bk AS (
+  SELECT vec_id, p // 3 AS band,
+         SUM(CASE WHEN pr >= 0 THEN 1 << (p % 3) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id, p // 3
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id
+),
+ssq AS (SELECT vec_id, SUM(q * q) AS ss FROM qv GROUP BY vec_id),
+dots AS (
+  SELECT c.id_a, c.id_b, SUM(x.q * y.q) AS dq
+  FROM cand c JOIN qv x ON x.vec_id = c.id_a
+              JOIN qv y ON y.vec_id = c.id_b AND y.d = x.d
+  GROUP BY c.id_a, c.id_b
+)
+SELECT d.id_a, d.id_b,
+       CAST(d.dq AS DOUBLE)
+         / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE)))
+         AS cos_sim
+FROM dots d
+JOIN ssq sa ON sa.vec_id = d.id_a
+JOIN ssq sb ON sb.vec_id = d.id_b
+WHERE CAST(d.dq AS DOUBLE)
+        / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE))) > 0.25
+""",
+    tags=("similarity", "dedup"),
+)
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the semantic-dedup stage of
     an LLM data pipeline) over the FULL corpus — no id bound.
@@ -225,8 +319,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     so each surviving pair pays the dot product once. The verify step is
     exact, so every emitted pair truly exceeds the threshold (no false
     positives; recall vs the exact pair set is asserted in
-    tests/test_similarity.py). Rows-only driver check: the seeded
-    projection planes aren't SQL-expressible.
+    tests/test_similarity.py).
+
+    FULL value oracle since r9: the planes are md5-derived Rademacher
+    vectors, the sign bits are exact integer sums over 2^20-quantized
+    entries, and the verify cosine is a ratio of exact integer
+    aggregates — every stage replays verbatim in SQL, so the driver
+    hash-checks candidate generation AND the verify (see
+    banded_signatures / cosine_threshold_pairs).
 
     Round-8 reshape (measured 6.38 → 2.32 s at sf0.1, identical rows):
     the candidate phase moves IDS ONLY — the earlier version carried
@@ -296,8 +396,18 @@ def cosine_threshold_pairs(pairs: DataFrame, threshold: float,
                     np.asarray(v, dtype=np.float64)
                     for v in batch.column("eb").to_pylist()
                 ])
-            cos = np.einsum("ij,ij->i", ea, eb) / (
-                np.linalg.norm(ea, axis=1) * np.linalg.norm(eb, axis=1)
+            # QUANTIZED cosine (r9): dot and squared norms are exact
+            # int64 sums of floor(v·2^20) entries, so the final two
+            # sqrts and one division produce BIT-IDENTICAL doubles in
+            # numpy and SQL regardless of summation order — the float
+            # einsum's last-ulp order sensitivity was the one thing
+            # keeping this family's oracles unreachable. Error vs the
+            # float cosine is O(2^-20) — invisible at the 1e-4 output
+            # grain.
+            qa, qb = _quantize20(ea), _quantize20(eb)
+            cos = np.einsum("ij,ij->i", qa, qb).astype(np.float64) / (
+                np.sqrt(np.einsum("ij,ij->i", qa, qa).astype(np.float64))
+                * np.sqrt(np.einsum("ij,ij->i", qb, qb).astype(np.float64))
             )
             m = cos > threshold
             if m.any():
@@ -676,16 +786,19 @@ def cosine_partial_topk(pairs: DataFrame, k: int,
             qid = batch.column(0).to_numpy(zero_copy_only=False)
             nid = batch.column(1).to_numpy(zero_copy_only=False)
             # ListArray -> (n, dim): flatten() honors slice offsets
-            qm = np.asarray(
+            qm = _quantize20(np.asarray(
                 batch.column(2).flatten().to_numpy(zero_copy_only=False),
                 dtype=np.float64,
-            ).reshape(batch.num_rows, -1)
-            nm = np.asarray(
+            ).reshape(batch.num_rows, -1))
+            nm = _quantize20(np.asarray(
                 batch.column(3).flatten().to_numpy(zero_copy_only=False),
                 dtype=np.float64,
-            ).reshape(batch.num_rows, -1)
-            adc = np.einsum("ij,ij->i", qm, nm) / (
-                np.linalg.norm(qm, axis=1) * np.linalg.norm(nm, axis=1)
+            ).reshape(batch.num_rows, -1))
+            # quantized cosine — exact int64 sums, bit-identical doubles
+            # in any engine (see cosine_threshold_pairs)
+            adc = np.einsum("ij,ij->i", qm, nm).astype(np.float64) / (
+                np.sqrt(np.einsum("ij,ij->i", qm, qm).astype(np.float64))
+                * np.sqrt(np.einsum("ij,ij->i", nm, nm).astype(np.float64))
             )
             _topk_accumulate(acc, qid, nid, adc, k)
             if symmetric:
@@ -936,7 +1049,69 @@ def cosine_topk_ivf_pq_probed(spark: SparkSession, sf: str) -> DataFrame:
     return _shortlist_rerank(scored, probed, emb)
 
 
-@query("ann_join_topk", tags=("similarity", "ann", "join"))
+@query(
+    "ann_join_topk",
+    oracle="""
+WITH qv AS (
+  SELECT vec_id, t.d,
+         CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0, 64) t(d)
+),
+planes AS (
+  SELECT p.p, d.d,
+         CASE WHEN CAST('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_'
+                    || CAST(d.d AS VARCHAR)), 1, 1) AS INT) % 2 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(0, 80) p(p) CROSS JOIN range(0, 64) d(d)
+),
+proj AS (
+  SELECT v.vec_id, pl.p, SUM(v.q * pl.s) AS pr
+  FROM qv v JOIN planes pl ON pl.d = v.d
+  GROUP BY v.vec_id, pl.p
+),
+bk AS (
+  SELECT vec_id, p // 5 AS band,
+         SUM(CASE WHEN pr >= 0 THEN 1 << (p % 5) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id, p // 5
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id
+),
+ssq AS (SELECT vec_id, SUM(q * q) AS ss FROM qv GROUP BY vec_id),
+dots AS (
+  SELECT c.id_a, c.id_b, SUM(x.q * y.q) AS dq
+  FROM cand c JOIN qv x ON x.vec_id = c.id_a
+              JOIN qv y ON y.vec_id = c.id_b AND y.d = x.d
+  GROUP BY c.id_a, c.id_b
+),
+scored AS (
+  SELECT d.id_a, d.id_b,
+         CAST(d.dq AS DOUBLE)
+           / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE)))
+           AS adc
+  FROM dots d
+  JOIN ssq sa ON sa.vec_id = d.id_a
+  JOIN ssq sb ON sb.vec_id = d.id_b
+),
+sym AS (
+  SELECT id_a AS qid, id_b AS nid, adc FROM scored
+  UNION ALL
+  SELECT id_b AS qid, id_a AS nid, adc FROM scored
+),
+ranked AS (
+  SELECT qid, nid, adc,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc DESC, nid) AS rnk
+  FROM sym
+)
+SELECT qid, nid, round(adc, 4) AS cos_sim, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 5
+""",
+    tags=("similarity", "ann", "join"),
+)
 def ann_join_topk(spark: SparkSession, sf: str) -> DataFrame:
     """ALL-corpus approximate top-k similarity JOIN: every vector gets
     its k=5 nearest neighbors — the batch shape of embedding-based
@@ -972,8 +1147,12 @@ def ann_join_topk(spark: SparkSession, sf: str) -> DataFrame:
     are FUSED in one mapInArrow (:func:`cosine_partial_topk`): one BLAS
     einsum per Arrow batch instead of an interpreted ~200-step JVM
     aggregate lambda per pair.
-    Rows-only driver check (seeded projection planes); per-query recall
-    vs exact brute force on sampled queries in tests/test_similarity.py."""
+    FULL value oracle since r9: md5-Rademacher planes over quantized
+    integer entries make every candidate bit exact, and the quantized
+    cosine (ratio of exact int64 aggregates) is the same double in any
+    engine, so ordering and the 4-decimal rounding agree everywhere —
+    the driver hash-checks the whole two-phase ANN join. Per-query
+    recall vs exact brute force stays in tests/test_similarity.py."""
     emb = t(spark, sf, "embeddings")
     # The signature table is PERSISTED (like the IVF×PQ index artifact):
     # the band self-join consumes it twice (both join sides), and Spark
