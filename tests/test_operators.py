@@ -54,11 +54,9 @@ def test_registry_complete():
         "agg_approx_percentiles",  # sketch internals; error bound pinned below
         "bpe_learn_merges",  # iterative argmax loop — pure-Python BPE
         # parity pinned in test_lm
-        "cosine_topk_ivf",  # iterative Lloyd's coarse quantizer
         "cosine_topk_ivf_kmeans",  # iterative Lloyd's — not SQL-expressible
         "cosine_topk_ivf_pq",  # sampled PQ training — not SQL-expressible
         "cosine_topk_ivf_pq_probed",  # k-means + PQ composition
-        "cosine_topk_lsh",  # seeded Gaussian hyperplanes (numpy RNG)
         "embedding_pca_project",  # eigendecomposition — not SQL-expressible;
         # numpy parity pinned in test_embeddings
         "logreg_train_distributed",  # iterated sigmoid GD — not

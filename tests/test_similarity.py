@@ -26,21 +26,48 @@ class TestBruteForce:
 class TestLSH:
     def test_lsh_results_subset_quality(self, spark, sf_dir):
         """LSH top-k must (a) only return same-bucket candidates whose
-        exact cosine matches brute-force's value for that pair, and (b)
-        achieve nonzero recall of the true top-5."""
+        exact cosine matches brute-force's value for that pair (up to
+        the r9 2^-20 quantization grain), (b) return exactly the top-5
+        OF THE QUERY'S BUCKET (the contract a single-table LSH can
+        actually promise), and (c) produce a healthy bucket spread.
+
+        NOTE the assertion this test deliberately does NOT make:
+        overlap with the GLOBAL top-5. Single-table sign-LSH with 8
+        planes collides a cos≈0.3 pair with p = (1−θ/π)^8 ≈ 2 %, so
+        zero global-top-5 overlap happens ~60 % of the time for ANY
+        plane draw — the pre-r9 version of this assertion passed on a
+        lucky seed. Recall floors belong to the BANDED construction
+        (dedup_embedding_cosine / ann_join_topk tests), whose
+        OR-of-bands design actually provides them."""
+        from xml_hive_spark.operators.similarity import hyperplane_buckets
+        from xml_hive_spark.operators import t as load
+
         brute = all_queries()["cosine_topk_bruteforce"].fn(spark, sf_dir).collect()
         lsh = all_queries()["cosine_topk_lsh"].fn(spark, sf_dir).collect()
         brute_cos = {(r.qid, r.nid): r.cos_sim for r in brute}
-        brute_set = set(brute_cos)
-        lsh_set = {(r.qid, r.nid) for r in lsh}
-        # exact cosine agreement on overlapping pairs
+        # (a) cosine agreement on overlapping pairs
         for r in lsh:
             if (r.qid, r.nid) in brute_cos:
-                assert abs(r.cos_sim - brute_cos[(r.qid, r.nid)]) < 1e-9
-        # recall: random hyperplanes on near-orthogonal random vectors is
-        # approximate — require > 0 overall and every query answered
-        assert len(lsh_set & brute_set) > 0
-        assert {q for q, _ in lsh_set} == {q for q, _ in brute_set}
+                assert abs(r.cos_sim - brute_cos[(r.qid, r.nid)]) < 1e-5
+        # (b) per-query results are exactly the bucket's own top-5
+        emb = load(spark, sf_dir, "embeddings")
+        b = {r.id: r.bucket
+             for r in hyperplane_buckets(emb, "vec_id", "embedding").collect()}
+        by_q: dict = {}
+        for r in lsh:
+            by_q.setdefault(r.qid, []).append(r)
+        for qid, rs in by_q.items():
+            assert all(b[r.nid] == b[qid] for r in rs)
+            n_bucket_mates = sum(
+                1 for v, bk in b.items() if bk == b[qid] and v != qid
+            )
+            assert len(rs) == min(5, n_bucket_mates)
+        # (c) buckets neither degenerate nor vacuous: >= 32 distinct of
+        # 256 at 500+ vectors, and no bucket holds > 20 % of the corpus
+        from collections import Counter
+        spread = Counter(b.values())
+        assert len(spread) >= 32
+        assert max(spread.values()) <= max(2, len(b) // 5)
 
 
 class TestIVF:

@@ -227,7 +227,13 @@ _LOADED = False
 # oracled, bit-exact cross-engine) enter; hypertable_rollup (siblings
 # agg_rollup r6 + the r8-green timeseries family) and
 # explode_outer_empty_arrays (array_functions r8-green,
-# array_higher_order in-window) evicted to the r10 plan.
+# array_higher_order in-window) evicted to the r10 plan. Seventh/
+# eighth swaps: cosine_topk_ivf + cosine_topk_lsh (integer floor-div
+# centroids / md5-Rademacher planes + quantized cosine — both now
+# FULLY oracled) enter; csv_roundtrip (parquet_codec_zstd keeps the
+# roundtrip family in-window; avro/orc r7-green) and
+# scalar_subquery_ratio (subquery family q2/q4/q22 r5/r6-green)
+# evicted to the r10 plan.
 _DRIVER_WINDOW = [
     "window_percent_rank",
     "join_null_safe_eq",
@@ -259,14 +265,14 @@ _DRIVER_WINDOW = [
     "array_higher_order",
     "asof_join",
     "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
+    "cosine_topk_lsh",
     "ann_join_topk",
     "dedup_embedding_cosine",
-    "csv_roundtrip",
     "doc_chunks_udtf",
     "pack_sequences",
     "quality_filter_verdicts",
     "salted_join_agg",
-    "scalar_subquery_ratio",
     "session_window_agg",
     "sample_deterministic",
     "streaming_sessionize",
@@ -313,11 +319,11 @@ _DRIVER_WINDOW = [
 #     "agg_rollup",
 #     "agg_stats",
 #     "hypertable_rollup",
-#     "cosine_topk_ivf",
+#     "csv_roundtrip",
 #     "cosine_topk_ivf_kmeans",
 #     "cosine_topk_ivf_pq",
 #     "cosine_topk_ivf_pq_probed",
-#     "cosine_topk_lsh",
+#     "scalar_subquery_ratio",
 #     "date_arithmetic",
 #     "explode_outer_empty_arrays",
 #     "doc_chunk_pack_pipeline",

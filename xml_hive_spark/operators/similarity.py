@@ -32,6 +32,35 @@ def _norm(a):
     )
 
 
+def _q20col(x):
+    """floor(x · 2^20) as BIGINT — the JVM-expression twin of
+    :func:`_quantize20` (exact: a float32 value scaled by a power of
+    two then floored is the same integer in every engine)."""
+    return F.floor(x.cast("double") * F.lit(1048576.0)).cast("long")
+
+
+def _dot_q(a, b):
+    """Exact integer dot of two float vectors after 2^20 quantization —
+    associative BIGINT sums, so the JVM fold and a SQL SUM over the
+    dimension range produce the identical value."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _q20col(x) * _q20col(y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_q(a):
+    """sqrt of the exact integer sum of squared quantized entries."""
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + _q20col(x) * _q20col(x),
+        ).cast("double")
+    )
+
+
 @query(
     "cosine_topk_bruteforce",
     oracle="""
@@ -84,33 +113,101 @@ def cosine_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def hyperplane_buckets(df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8,
-                       dim: int = 64, seed: int = 42) -> DataFrame:
-    """Sign-random-projection bucket id per vector (deterministic planes
-    from a seeded RNG, shipped as a literal array — no Python UDF)."""
-    import numpy as np
+                       dim: int = 64) -> DataFrame:
+    """Sign-random-projection bucket id per vector, shipped as literal
+    JVM expressions — no Python UDF. PORTABLE since r9: planes are the
+    md5-Rademacher ±1 vectors (prefixed ``lsh_`` so this 8-plane table
+    is independent of the banded family's), and the projection runs on
+    2^20-quantized INTEGER entries, so every sign bit is exact and the
+    bucket id replays verbatim in SQL."""
+    import hashlib
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
     bucket = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
+        signs = [
+            1 if int(hashlib.md5(f"lsh_{p}_{d}".encode())
+                     .hexdigest()[0], 16) % 2 == 1 else -1
+            for d in range(dim)
+        ]
+        plane = F.array(*[F.lit(s).cast("long") for s in signs])
         proj = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
+            F.zip_with(F.col(vec_col), plane, lambda x, s: _q20col(x) * s),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(0)
     return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                      bucket.alias("bucket"))
 
 
-@query("cosine_topk_lsh", tags=("similarity", "ann", "lsh"))
+@query(
+    "cosine_topk_lsh",
+    oracle="""
+WITH qv AS (
+  SELECT vec_id, t.d,
+         CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0, 64) t(d)
+),
+planes AS (
+  SELECT p.p, d.d,
+         CASE WHEN CAST('0x' || substr(md5('lsh_' || CAST(p.p AS VARCHAR)
+                    || '_' || CAST(d.d AS VARCHAR)), 1, 1) AS INT) % 2 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(0, 8) p(p) CROSS JOIN range(0, 64) d(d)
+),
+proj AS (
+  SELECT v.vec_id, pl.p, SUM(v.q * pl.s) AS pr
+  FROM qv v JOIN planes pl ON pl.d = v.d
+  GROUP BY v.vec_id, pl.p
+),
+bk AS (
+  SELECT vec_id,
+         SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id
+),
+ssq AS (SELECT vec_id, SUM(q * q) AS ss FROM qv GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 5
+),
+dots AS (
+  SELECT p.qid, p.nid, SUM(x.q * y.q) AS dq
+  FROM pairs p JOIN qv x ON x.vec_id = p.qid
+               JOIN qv y ON y.vec_id = p.nid AND y.d = x.d
+  GROUP BY p.qid, p.nid
+),
+ranked AS (
+  SELECT d.qid, d.nid,
+         round(CAST(d.dq AS DOUBLE)
+               / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE))),
+               4) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY d.qid
+           ORDER BY CAST(d.dq AS DOUBLE)
+                    / (sqrt(CAST(sa.ss AS DOUBLE))
+                       * sqrt(CAST(sb.ss AS DOUBLE))) DESC, d.nid) AS rnk
+  FROM dots d
+  JOIN ssq sa ON sa.vec_id = d.qid
+  JOIN ssq sb ON sb.vec_id = d.nid
+)
+SELECT qid, nid, cos_sim, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 5
+""",
+    tags=("similarity", "ann", "lsh"),
+)
 def cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate cosine top-5 via random-hyperplane LSH (8 planes → 256
     buckets): candidates only within the query's bucket, then exact cosine
     + ranking window. Recall vs the brute-force baseline is asserted in
-    tests/test_similarity.py. Rows-only check (seeded projection planes
-    aren't SQL-expressible)."""
+    tests/test_similarity.py.
+
+    FULL value oracle since r9: md5-Rademacher planes over quantized
+    integer entries (see :func:`hyperplane_buckets`) make the bucket
+    ids exact, and the quantized cosine (ratio of exact int64
+    aggregates via :func:`_dot_q`/:func:`_norm_q`) gives bit-identical
+    ordering in both engines."""
     emb = t(spark, sf, "embeddings")
     bucketed = hyperplane_buckets(fan_out(emb), "vec_id", "embedding")
     q = F.broadcast(
@@ -122,14 +219,15 @@ def cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id").alias("nid"), F.col("vec").alias("ne"), F.col("bucket").alias("nb")
     )
     pairs = q.join(n, (F.col("qb") == F.col("nb")) & (F.col("qid") != F.col("nid")))
-    cos = F.round(
-        _dot(F.col("qe"), F.col("ne")) / (_norm(F.col("qe")) * _norm(F.col("ne"))), 4
+    cos_exact = _dot_q(F.col("qe"), F.col("ne")) / (
+        _norm_q(F.col("qe")) * _norm_q(F.col("ne"))
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "nid")
     return (
-        pairs.select("qid", "nid", cos.alias("cos_sim"))
+        pairs.select("qid", "nid", cos_exact.alias("cos_raw"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
+        .select("qid", "nid", F.round("cos_raw", 4).alias("cos_sim"), "rank")
     )
 
 
@@ -424,7 +522,71 @@ def cosine_threshold_pairs(pairs: DataFrame, threshold: float,
     return sel.mapInArrow(fn, out_schema)
 
 
-@query("cosine_topk_ivf", tags=("similarity", "ann", "ivf"))
+@query(
+    "cosine_topk_ivf",
+    oracle="""
+WITH qv AS (
+  SELECT e.vec_id, e.label, t.d,
+         CAST(floor(CAST(e.embedding[t.d + 1] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS q
+  FROM embeddings e CROSS JOIN range(0, 64) t(d)
+),
+cent AS (
+  SELECT label, d, SUM(q) // count(*) AS c
+  FROM qv GROUP BY label, d
+),
+css AS (SELECT label, SUM(c * c) AS ss FROM cent GROUP BY label),
+ssq AS (SELECT vec_id, SUM(q * q) AS ss FROM qv GROUP BY vec_id),
+qdotc AS (
+  SELECT v.vec_id AS qid, c.label, SUM(v.q * c.c) AS dq
+  FROM qv v JOIN cent c ON c.d = v.d
+  WHERE v.vec_id < 5
+  GROUP BY v.vec_id, c.label
+),
+probed AS (
+  SELECT qid, label FROM (
+    SELECT d.qid, d.label,
+           row_number() OVER (
+             PARTITION BY d.qid
+             ORDER BY CAST(d.dq AS DOUBLE)
+                      / (sqrt(CAST(sq.ss AS DOUBLE))
+                         * sqrt(CAST(cs.ss AS DOUBLE))) DESC,
+                      d.label) AS pr
+    FROM qdotc d
+    JOIN ssq sq ON sq.vec_id = d.qid
+    JOIN css cs ON cs.label = d.label) x
+  WHERE pr <= 3
+),
+pairs AS (
+  SELECT p.qid, e.vec_id AS nid
+  FROM probed p JOIN embeddings e ON e.label = p.label
+  WHERE e.vec_id <> p.qid
+),
+dots AS (
+  SELECT p.qid, p.nid, SUM(x.q * y.q) AS dq
+  FROM pairs p JOIN qv x ON x.vec_id = p.qid
+               JOIN qv y ON y.vec_id = p.nid AND y.d = x.d
+  GROUP BY p.qid, p.nid
+),
+ranked AS (
+  SELECT d.qid, d.nid,
+         round(CAST(d.dq AS DOUBLE)
+               / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE))),
+               4) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY d.qid
+           ORDER BY CAST(d.dq AS DOUBLE)
+                    / (sqrt(CAST(sa.ss AS DOUBLE))
+                       * sqrt(CAST(sb.ss AS DOUBLE))) DESC, d.nid) AS rnk
+  FROM dots d
+  JOIN ssq sa ON sa.vec_id = d.qid
+  JOIN ssq sb ON sb.vec_id = d.nid
+)
+SELECT qid, nid, cos_sim, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 5
+""",
+    tags=("similarity", "ann", "ivf"),
+)
 def cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style approximate top-5: the ``label`` column partitions the
     corpus into inverted lists; per-list centroids are computed as
@@ -436,14 +598,29 @@ def cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     All-DataFrame composition: centroid build is one posexplode +
     hash-agg + sort-collect; probing is a broadcast query×centroid join.
     At scale the lists come from a k-means coarse quantizer and the same
-    plan applies unchanged. Rows-only check; recall vs brute force is
-    asserted in tests/test_similarity.py."""
+    plan applies unchanged.
+
+    FULL value oracle since r9: centroids are FLOOR-DIVIDED integer
+    means of the 2^20-quantized entries (probing by cosine is
+    scale-invariant, so an integer centroid ranks lists identically to
+    a float one up to the 2^-20 grain — and exactly reproducibly), and
+    both the probe similarity and the final cosine are ratios of exact
+    int64 aggregates, bit-identical in any engine. Spark's ``DIV``
+    truncates while SQL ``//`` floors, so the Spark side floors
+    explicitly via pmod. Recall vs brute force stays asserted in
+    tests/test_similarity.py."""
     emb = t(spark, sf, "embeddings")
 
-    # per-label centroid vectors: (label, centroid array<double>)
+    # per-label integer centroid: floor(sum(q20) / n) per dimension
     per_dim = emb.select(
         "label", F.posexplode("embedding").alias("pos", "v")
-    ).groupBy("label", "pos").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    ).groupBy("label", "pos").agg(
+        F.expr(
+            "(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))"
+            " - pmod(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576.0)"
+            " AS BIGINT)), count(1))) DIV count(1)"
+        ).alias("c")
+    )
     centroids = (
         per_dim.groupBy("label")
         .agg(
@@ -460,11 +637,22 @@ def cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     # probe: nprobe=3 nearest centroids per query (broadcast nested loop
-    # over ~#lists rows — constant-sized)
+    # over ~#lists rows — constant-sized). Integer dot of the quantized
+    # query against the already-integer centroid.
     qc = q.crossJoin(F.broadcast(centroids))
-    cdist = _dot(F.col("qe"), F.col("centroid")) / (
-        _norm(F.col("qe")) * _norm(F.col("centroid"))
+    qdotc = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("centroid"),
+                   lambda x, c: _q20col(x) * c),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.col("centroid"), F.lit(0).cast("long"),
+            lambda acc, c: acc + c * c,
+        ).cast("double")
+    )
+    cdist = qdotc / (_norm_q(F.col("qe")) * cnorm)
     wprobe = Window.partitionBy("qid").orderBy(F.col("c_sim").desc(), "label")
     probed = (
         qc.select("qid", "qe", "label", cdist.alias("c_sim"))
@@ -478,14 +666,15 @@ def cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"), "label"
     )
     pairs = probed.join(n, "label").filter(F.col("qid") != F.col("nid"))
-    cos = F.round(
-        _dot(F.col("qe"), F.col("ne")) / (_norm(F.col("qe")) * _norm(F.col("ne"))), 4
+    cos_exact = _dot_q(F.col("qe"), F.col("ne")) / (
+        _norm_q(F.col("qe")) * _norm_q(F.col("ne"))
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "nid")
     return (
-        pairs.select("qid", "nid", cos.alias("cos_sim"))
+        pairs.select("qid", "nid", cos_exact.alias("cos_raw"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
+        .select("qid", "nid", F.round("cos_raw", 4).alias("cos_sim"), "rank")
     )
 
 
