@@ -54,13 +54,15 @@ def test_registry_complete():
         "agg_approx_percentiles",  # sketch internals; error bound pinned below
         "bpe_learn_merges",  # iterative argmax loop — pure-Python BPE
         # parity pinned in test_lm
-        "cosine_topk_ivf_kmeans",  # iterative Lloyd's — not SQL-expressible
-        "cosine_topk_ivf_pq",  # sampled PQ training — not SQL-expressible
+        "cosine_topk_ivf_pq",  # sampled PQ training: per-subspace
+        # k-means x16 — an unrolled twin would be ~16x the kmeans
+        # oracle (r9 re-audit); recall pinned in test_similarity
         "cosine_topk_ivf_pq_probed",  # k-means + PQ composition
         "embedding_pca_project",  # eigendecomposition — not SQL-expressible;
         # numpy parity pinned in test_embeddings
-        "logreg_train_distributed",  # iterated sigmoid GD — not
-        # SQL-expressible; numpy parity in test_embeddings
+        "logreg_train_distributed",  # iterated sigmoid GD — exp() is
+        # not cross-libm bit-reproducible, so no exact twin exists
+        # (r9 re-audit); numpy parity in test_embeddings
         "streaming_vector_ingest",  # seeded-k-means centroids — not
         # SQL-expressible; stream-equals-batch pinned in test_streaming
     ]

@@ -233,7 +233,11 @@ _LOADED = False
 # FULLY oracled) enter; csv_roundtrip (parquet_codec_zstd keeps the
 # roundtrip family in-window; avro/orc r7-green) and
 # scalar_subquery_ratio (subquery family q2/q4/q22 r5/r6-green)
-# evicted to the r10 plan.
+# evicted to the r10 plan. Ninth swap: cosine_topk_ivf_kmeans (integer
+# Lloyd's recurrence, 3 iterations unrolled in the DuckDB twin — the
+# pagerank fixed-point discipline applied to ML training) enters;
+# source_stats evicted (profiling-aggregate siblings agg_stats +
+# corpus_provenance_report, the latter driver r8 green).
 _DRIVER_WINDOW = [
     "window_percent_rank",
     "join_null_safe_eq",
@@ -266,6 +270,7 @@ _DRIVER_WINDOW = [
     "asof_join",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
+    "cosine_topk_ivf_kmeans",
     "cosine_topk_lsh",
     "ann_join_topk",
     "dedup_embedding_cosine",
@@ -276,7 +281,6 @@ _DRIVER_WINDOW = [
     "session_window_agg",
     "sample_deterministic",
     "streaming_sessionize",
-    "source_stats",
     "text_clean_normalize",
     "text_fingerprint",
     "text_language_id",
@@ -351,9 +355,9 @@ _DRIVER_WINDOW = [
 #     "window_moving_avg",
 #     "window_rank_topn",
 #     "window_running_sum",
+#     "source_stats",
 #     "xml_stream_scan",
 #     "xml_write_roundtrip",
-#     "agg_cube",
 # ]
 
 

@@ -41,7 +41,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_INDEX_FORMAT = 1  # bump on any layout change; mismatch → rebuild
+_INDEX_FORMAT = 2  # bump on any layout change; mismatch → rebuild
+# (2: r9 — integer-quantized k-means centroids + md5-48 init)
 
 
 @dataclass(frozen=True)

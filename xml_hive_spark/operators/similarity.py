@@ -699,62 +699,88 @@ def fixed_dim_matrix(col, dim: int):
     return flat.astype(np.float64).reshape(-1, dim)
 
 
+def _int_argmax_cosine(q, centroids):
+    """Per-row argmax of cos(v, c) over INTEGER-quantized vectors and
+    integer centroids: scores = (q @ cᵀ) / |c| — the dot is an exact
+    int64 matmul and each score is one IEEE division of exact values,
+    so the argmax (first-max tie rule = lowest cluster, numpy's and
+    SQL's ``ORDER BY score DESC, cluster``) is identical in every
+    engine. |v| is dropped (constant per row — argmax-invariant)."""
+    import numpy as np
+
+    cnorm = np.sqrt((centroids.astype(np.float64) ** 2).sum(axis=1))
+    scores = (q @ centroids.T).astype(np.float64) / np.maximum(cnorm, 1e-12)
+    return np.argmax(scores, axis=1)
+
+
 def kmeans_assign(df: DataFrame, vec_col: str, centroids) -> DataFrame:
-    """Add a ``cluster`` column: argmax cosine against the given centroid
-    matrix (numpy, shipped in the UDF closure — one Arrow-batched matmul
-    per batch; executors never see a collect)."""
+    """Add a ``cluster`` column: argmax cosine against the given INTEGER
+    centroid matrix (numpy, shipped in the UDF closure — one
+    Arrow-batched int64 matmul per batch; executors never see a
+    collect). Exact arithmetic end to end (see _int_argmax_cosine)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cents = np.asarray(centroids, dtype=np.int64)
 
     @pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int32")
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m @ cn.T, axis=1).astype("int32"))
+        q = _quantize20(np.stack([np.asarray(v, dtype=np.float64)
+                                  for v in vecs]))
+        return pd.Series(_int_argmax_cosine(q, cents).astype("int32"))
 
     return df.withColumn("cluster", assign(F.col(vec_col)))
 
 
 def train_kmeans_centroids(
     emb: DataFrame, vec_col: str = "embedding", k: int = 16, iters: int = 3,
-    dim: int = 64, seed: int = 11,
+    dim: int = 64,
 ):
     """Distributed Lloyd's iterations for the IVF coarse quantizer.
 
-    Init: the k vectors with the smallest seeded xxhash64 of their id —
-    deterministic, sample-free, one TakeOrdered. Each iteration is ONE
-    fused mapInArrow pass: every partition assigns its vectors (numpy
-    matmul) and emits k partial rows (cluster, count, sum[dim]) — the
-    classic map-side-combine k-means step, so only P×k×dim partials
-    cross the wire and only the k×dim centroid matrix reaches the
-    driver (the MLlib communication pattern). Replaces an earlier
+    Init: the k vectors with the smallest md5-48 of ``'km_' || vec_id``
+    — deterministic, sample-free, one TakeOrdered, and (r9) replayable
+    in SQL, unlike the seeded xxhash64 it replaced. Each iteration is
+    ONE fused mapInArrow pass: every partition assigns its vectors
+    (numpy matmul) and emits k partial rows (cluster, count, sum[dim])
+    — the classic map-side-combine k-means step, so only P×k×dim
+    partials cross the wire and only the k×dim centroid matrix reaches
+    the driver (the MLlib communication pattern). Replaces an earlier
     posexplode → groupBy(cluster, pos) mean, which shuffled N×dim
     exploded rows per iteration — at 100 TB that shuffle IS the
     training cost; partials make it O(P·k·dim), independent of N.
-    Returns a numpy (k, dim) matrix."""
+
+    INTEGER-EXACT since r9 (the pagerank fixed-point discipline applied
+    to Lloyd's): vectors are 2^20-quantized, assignment is the exact
+    integer argmax-cosine (_int_argmax_cosine), partial sums are int64
+    (associative — partition order cannot change them), and the update
+    is a FLOOR-DIVIDED integer mean, so the same centroids fall out of
+    Spark at any parallelism and of the unrolled SQL twin. Returns a
+    numpy (k, dim) INT64 matrix of quantized centroids; empty clusters
+    keep their previous centroid."""
     import numpy as np
     import pyarrow as pa
 
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("km_"), F.col("vec_id").cast("string"))
+                  .cast("binary")), 1, 12), 16, 10).cast("long")
     first = (
-        emb.select(vec_col, F.xxhash64(F.col("vec_id"), F.lit(seed)).alias("h"))
-        .orderBy("h")
+        emb.select(vec_col, h.alias("h"), "vec_id")
+        .orderBy("h", "vec_id")
         .limit(k)
         .collect()
     )
-    centroids = np.stack([np.asarray(r[0], dtype=np.float64) for r in first])
+    centroids = _quantize20(
+        np.stack([np.asarray(r[0], dtype=np.float64) for r in first])
+    )
     vecs = fan_out(emb.select(vec_col))
 
     def partials_for(cents):
-        cn = cents / np.maximum(
-            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
-        )
-
         def fn(batches):
-            sums = np.zeros((k, dim))
+            sums = np.zeros((k, dim), dtype=np.int64)
             cnts = np.zeros(k, dtype=np.int64)
             for batch in batches:
                 if batch.num_rows == 0:
@@ -766,37 +792,159 @@ def train_kmeans_centroids(
                         np.asarray(v, dtype=np.float64)
                         for v in col.to_pylist()
                     ])
-                mn = m / np.maximum(
-                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12
-                )
-                a = np.argmax(mn @ cn.T, axis=1)
-                np.add.at(sums, a, m)  # means are over RAW values
+                q = _quantize20(m)
+                a = _int_argmax_cosine(q, cents)
+                np.add.at(sums, a, q)  # means are over quantized values
                 cnts += np.bincount(a, minlength=k)
             yield pa.record_batch(
                 {
                     "cluster": pa.array(range(k), pa.int32()),
                     "cnt": pa.array(cnts, pa.int64()),
-                    "s": pa.array(list(sums), pa.list_(pa.float64())),
+                    "s": pa.array(list(sums), pa.list_(pa.int64())),
                 }
             )
 
-        return vecs.mapInArrow(fn, "cluster int, cnt long, s array<double>")
+        return vecs.mapInArrow(fn, "cluster int, cnt long, s array<long>")
 
     for _ in range(iters):
         rows = partials_for(centroids).collect()
-        sums = np.zeros((k, dim))
+        sums = np.zeros((k, dim), dtype=np.int64)
         cnts = np.zeros(k, dtype=np.int64)
         for r in rows:
-            sums[r.cluster] += np.asarray(r.s)
+            sums[r.cluster] += np.asarray(r.s, dtype=np.int64)
             cnts[r.cluster] += r.cnt
         nxt = centroids.copy()  # empty clusters keep their previous centroid
         nz = cnts > 0
-        nxt[nz] = sums[nz] / cnts[nz, None]
+        # FLOOR division (numpy // floors like SQL //; Spark DIV would
+        # truncate — this loop never goes through Spark DIV)
+        nxt[nz] = sums[nz] // cnts[nz, None]
         centroids = nxt
     return centroids
 
 
-@query("cosine_topk_ivf_kmeans", tags=("similarity", "ann", "ivf", "kmeans"))
+def _kmeans_oracle(k: int = 16, iters: int = 3, nprobe: int = 4) -> str:
+    """DuckDB twin of the integer Lloyd's pipeline, iterations unrolled
+    (the pagerank-oracle pattern applied to ML training): md5-48 init,
+    per-iteration exact integer argmax-cosine assignment + floor-div
+    centroid update (empty clusters COALESCE to the previous round),
+    then the nprobe probe and the quantized-cosine search."""
+    body = ["""
+WITH qv AS (
+  SELECT vec_id, t.d,
+         CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0, 64) t(d)
+),
+init AS (
+  SELECT vec_id, row_number() OVER (
+           ORDER BY CAST('0x' || substr(md5('km_'
+                    || CAST(vec_id AS VARCHAR)), 1, 12) AS BIGINT),
+                    vec_id) - 1 AS cluster
+  FROM embeddings QUALIFY cluster < """ + str(k) + """
+),
+c0 AS (
+  SELECT i.cluster, v.d, v.q AS c
+  FROM init i JOIN qv v ON v.vec_id = i.vec_id
+)"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        body.append(f""",
+s{it} AS (
+  SELECT v.vec_id, c.cluster, SUM(v.q * c.c) AS dt
+  FROM qv v JOIN {prev} c ON c.d = v.d
+  GROUP BY v.vec_id, c.cluster
+),
+n{it} AS (SELECT cluster, SUM(c * c) AS ss FROM {prev} GROUP BY cluster),
+a{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT s.vec_id, s.cluster,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY CAST(s.dt AS DOUBLE)
+                      / greatest(sqrt(CAST(n.ss AS DOUBLE)), 1e-12) DESC,
+                      s.cluster) AS rn
+    FROM s{it} s JOIN n{it} n ON n.cluster = s.cluster) x
+  WHERE rn = 1
+),
+u{it} AS (
+  SELECT a.cluster, v.d, SUM(v.q) // count(*) AS c
+  FROM a{it} a JOIN qv v ON v.vec_id = a.vec_id
+  GROUP BY a.cluster, v.d
+),
+c{it} AS (
+  SELECT p.cluster, p.d, COALESCE(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN u{it} u
+    ON u.cluster = p.cluster AND u.d = p.d
+)""")
+        prev = f"c{it}"
+    body.append(f""",
+afin AS (
+  SELECT vec_id, cluster FROM (
+    SELECT s.vec_id, s.cluster,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY CAST(s.dt AS DOUBLE)
+                      / greatest(sqrt(CAST(n.ss AS DOUBLE)), 1e-12) DESC,
+                      s.cluster) AS rn
+    FROM (SELECT v.vec_id, c.cluster, SUM(v.q * c.c) AS dt
+          FROM qv v JOIN {prev} c ON c.d = v.d
+          GROUP BY v.vec_id, c.cluster) s
+    JOIN (SELECT cluster, SUM(c * c) AS ss FROM {prev} GROUP BY cluster) n
+      ON n.cluster = s.cluster) x
+  WHERE rn = 1
+),
+probed AS (
+  SELECT vec_id AS qid, cluster FROM (
+    SELECT s.vec_id, s.cluster,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY CAST(s.dt AS DOUBLE)
+                      / greatest(sqrt(CAST(n.ss AS DOUBLE)), 1e-12) DESC,
+                      s.cluster) AS rn
+    FROM (SELECT v.vec_id, c.cluster, SUM(v.q * c.c) AS dt
+          FROM qv v JOIN {prev} c ON c.d = v.d
+          WHERE v.vec_id < 5
+          GROUP BY v.vec_id, c.cluster) s
+    JOIN (SELECT cluster, SUM(c * c) AS ss FROM {prev} GROUP BY cluster) n
+      ON n.cluster = s.cluster) x
+  WHERE rn <= {nprobe}
+),
+ssq AS (SELECT vec_id, SUM(q * q) AS ss FROM qv GROUP BY vec_id),
+pairs AS (
+  SELECT p.qid, a.vec_id AS nid
+  FROM probed p JOIN afin a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.qid
+),
+dots AS (
+  SELECT p.qid, p.nid, SUM(x.q * y.q) AS dq
+  FROM pairs p JOIN qv x ON x.vec_id = p.qid
+               JOIN qv y ON y.vec_id = p.nid AND y.d = x.d
+  GROUP BY p.qid, p.nid
+),
+ranked AS (
+  SELECT d.qid, d.nid,
+         round(CAST(d.dq AS DOUBLE)
+               / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE))),
+               4) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY d.qid
+           ORDER BY CAST(d.dq AS DOUBLE)
+                    / (sqrt(CAST(sa.ss AS DOUBLE))
+                       * sqrt(CAST(sb.ss AS DOUBLE))) DESC, d.nid) AS rnk
+  FROM dots d
+  JOIN ssq sa ON sa.vec_id = d.qid
+  JOIN ssq sb ON sb.vec_id = d.nid
+)
+SELECT qid, nid, cos_sim, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 5""")
+    return "".join(body)
+
+
+@query(
+    "cosine_topk_ivf_kmeans",
+    oracle=_kmeans_oracle(),
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
 def cosine_topk_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: k-means (k=16, 3 Lloyd
     iterations) builds the inverted lists instead of borrowing the
@@ -805,11 +953,16 @@ def cosine_topk_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     training cost is iters × (one corpus pass + a k×dim collect), search
     cost is corpus/k × nprobe per query, and every step is a DataFrame
     op (the iterative driver loop is the one place collect() is
-    legitimate — it moves k×dim floats, not data).
+    legitimate — it moves k×dim ints, not data).
 
-    Rows-only driver check (iterative + seeded init isn't
-    SQL-expressible); recall vs brute force is asserted in
-    tests/test_similarity.py."""
+    FULL value oracle since r9 — ITERATIVE ML TRAINING driver-checked
+    end to end: the integer Lloyd's recurrence (md5-48 init, exact
+    argmax-cosine assignment over 2^20-quantized vectors, floor-div
+    centroid update) is bit-stable across parallelism and engines, so
+    the DuckDB twin unrolls the 3 iterations as CTEs (the pagerank
+    pattern applied to model training) and replays init, every
+    assignment, every update, the probe, and the quantized-cosine
+    search. Recall vs brute force stays in tests/test_similarity.py."""
     emb = t(spark, sf, "embeddings")
     centroids = train_kmeans_centroids(emb, k=16, iters=3)
     assigned = kmeans_assign(
@@ -818,15 +971,17 @@ def cosine_topk_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
 
     import numpy as np
 
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     q_rows = assigned.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
     # per-query probe list: tiny (5 × k) — computed driver-side like the
-    # centroid collect; at scale this is a broadcast of q × nprobe ints
+    # centroid collect; at scale this is a broadcast of q × nprobe ints.
+    # Exact integer probe scores; np.argsort is stable, so ties fall to
+    # the lower cluster id — the SQL twin's (score DESC, cluster) order.
+    cnorm = np.sqrt((centroids.astype(np.float64) ** 2).sum(axis=1))
     probe = []
     for r in q_rows:
-        v = np.asarray(r.embedding, dtype=np.float64)
-        v = v / max(np.linalg.norm(v), 1e-12)
-        order = np.argsort(-(cn @ v))[:4]
+        qq = _quantize20(np.asarray(r.embedding, dtype=np.float64))
+        scores = (centroids @ qq).astype(np.float64) / np.maximum(cnorm, 1e-12)
+        order = np.argsort(-scores, kind="stable")[:4]
         probe += [(int(r.vec_id), r.embedding, int(c)) for c in order]
     probed = F.broadcast(
         spark.createDataFrame(probe, "qid int, qe array<float>, cluster int")
@@ -836,14 +991,15 @@ def cosine_topk_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"), "cluster"
     )
     pairs = probed.join(n, "cluster").filter(F.col("qid") != F.col("nid"))
-    cos = F.round(
-        _dot(F.col("qe"), F.col("ne")) / (_norm(F.col("qe")) * _norm(F.col("ne"))), 4
+    cos_exact = _dot_q(F.col("qe"), F.col("ne")) / (
+        _norm_q(F.col("qe")) * _norm_q(F.col("ne"))
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "nid")
     return (
-        pairs.select("qid", "nid", cos.alias("cos_sim"))
+        pairs.select("qid", "nid", cos_exact.alias("cos_raw"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
+        .select("qid", "nid", F.round("cos_raw", 4).alias("cos_sim"), "rank")
     )
 
 
