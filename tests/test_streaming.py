@@ -436,3 +436,32 @@ def test_outer_join_eviction_boundary_pinned(spark):
             assert v in emitted, f"margin {margin} ms should have flushed"
         else:
             assert v not in emitted, f"margin {margin} ms must stay in state"
+
+
+def test_vector_ingest_routing_is_true_nearest(spark, sf_dir):
+    """Metric-level pin for assign_clusters: the routed cluster must be
+    the TRUE Euclidean nearest centroid at the quantized scale. The
+    stream-equals-batch twin shares assign_clusters, so it cannot see a
+    broken metric — this pin exists because the r9 integer-centroid
+    change briefly mixed unit-scale floats with 2^20-scale centroids,
+    degenerating routing to argmin-by-centroid-magnitude, and the twin
+    test stayed green."""
+    import numpy as np
+
+    from xml_hive_spark.operators import t
+    from xml_hive_spark.operators.ann_index import ivf_pq_index
+    from xml_hive_spark.streaming.vectors import assign_clusters
+
+    idx = ivf_pq_index(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    got = {r.vec_id: r.cluster
+           for r in assign_clusters(emb, idx.centroids).collect()}
+    c = np.asarray(idx.centroids, dtype=np.float64)
+    for r in emb.select("vec_id", "embedding").limit(200).collect():
+        x = np.floor(np.asarray(r.embedding, dtype=np.float64) * 1048576.0)
+        true = int(np.argmin(((c - x) ** 2).sum(axis=1)))
+        assert got[r.vec_id] == true, r.vec_id
+    # and the spread is not degenerate
+    from collections import Counter
+    spread = Counter(got.values())
+    assert len(spread) >= len(c) // 2

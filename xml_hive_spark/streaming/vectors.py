@@ -40,17 +40,28 @@ def stage_embedding_chunks(
 
 def assign_clusters(df: DataFrame, centroids: np.ndarray) -> DataFrame:
     """Nearest-centroid assignment as an Arrow-batched pandas UDF over
-    the broadcast (k, dim) centroid matrix — one einsum per batch, the
-    same math the IVF build uses executor-side."""
+    the broadcast (k, dim) centroid matrix — one einsum per batch.
+
+    The index's centroids are 2^20-QUANTIZED INTEGERS since r9, so the
+    incoming vectors are quantized to the SAME scale before the
+    Euclidean argmin — mixing unit-scale floats with 2^20-scale
+    centroids would let the ||c||^2 term dominate and degenerate the
+    routing to argmin-by-centroid-magnitude (caught in the r9 review of
+    the integer-centroid change; the stream-equals-batch twin shares
+    this function, so only a metric-level check could see it). All
+    integer arithmetic -> assignment is exact and
+    parallelism-independent."""
     from pyspark.sql.functions import pandas_udf
 
-    c = centroids.astype(np.float64)
+    from xml_hive_spark.operators.similarity import _quantize20
+
+    c = np.asarray(centroids, dtype=np.int64)
     c_norm2 = (c * c).sum(axis=1)
 
     @pandas_udf("int")
     def nearest(col: pd.Series) -> pd.Series:
-        x = np.stack(col.to_numpy()).astype(np.float64)
-        d = c_norm2[None, :] - 2.0 * (x @ c.T)  # + ||x||² is rank-free
+        x = _quantize20(np.stack(col.to_numpy()).astype(np.float64))
+        d = c_norm2[None, :] - 2 * (x @ c.T)  # + ||x||² is rank-free
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
     return df.withColumn("cluster", nearest(F.col("embedding")))
