@@ -1,11 +1,13 @@
 """Deduplication operators over the ``documents`` table (BASELINE.md
 north_star: LLM-data-pipeline dedup).
 
-All pipelines are pure DataFrame compositions (JVM-side hashing via
-``xxhash64``; no Python in the hot path) and shuffle only on
-(doc/signature) keys, so they scale horizontally: the MinHash-LSH path is
-the standard shingle → k minhashes → band → bucket-join design whose join
-fan-out is bounded by bucket size, not corpus size.
+All pipelines are pure DataFrame compositions (JVM-side hashing — the
+portable 48-bit md5 slice for everything an oracle replays, ``xxhash64``
+where the hash never leaves Spark; no Python in the hot path) and
+shuffle only on (doc/signature) keys, so they scale horizontally: the
+MinHash-LSH path is the standard shingle → k minhashes → band →
+bucket-join design whose join fan-out is bounded by bucket size, not
+corpus size.
 """
 
 from __future__ import annotations
@@ -93,7 +95,11 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
 _MINHASH_P = 2147483647  # Mersenne prime 2^31 - 1: permutation modulus
 
 
-def _minhash_ab(num_perm: int = 32) -> list[tuple[int, int]]:
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _minhash_ab(num_perm: int = 32) -> tuple[tuple[int, int], ...]:
     """Deterministic (a, b) constants for the k universal-hash
     permutations h_i(x) = (a_i * x + b_i) mod P, derived from a fixed
     LCG walk so the SAME literals land in the Spark expressions and in
@@ -107,7 +113,7 @@ def _minhash_ab(num_perm: int = 32) -> list[tuple[int, int]]:
         x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
         b = x % _MINHASH_P
         pairs.append((a, b))
-    return pairs
+    return tuple(pairs)
 
 
 def _hash48(col) -> "F.Column":
