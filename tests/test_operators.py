@@ -160,3 +160,27 @@ def test_bm25_ranking_semantics(spark, sf_dir):
     scores = [r["bm25"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert scores[0] > 0
+
+
+def test_r10_window_plan_valid():
+    """The pre-enumerated next-round driver window (comment block in
+    operators/__init__.py) must stay applyable: exactly 50 unique,
+    registered query names. Guards against registry renames or plan
+    edits drifting between rounds — the rotation policy only works if
+    the plan is mechanically correct at the moment it's applied."""
+    import re
+    from pathlib import Path
+
+    import xml_hive_spark.operators as ops
+
+    src = Path(ops.__file__).read_text()
+    m = re.search(
+        r"# _R10_WINDOW_PLAN = \[\n((?:#     \"[a-z0-9_]+\",\n)+)# \]", src
+    )
+    assert m, "_R10_WINDOW_PLAN comment block missing"
+    plan = re.findall(r'"([a-z0-9_]+)"', m.group(1))
+    reg = all_queries()
+    assert len(plan) == 50, len(plan)
+    assert len(set(plan)) == 50, "duplicate names in the plan"
+    unknown = [n for n in plan if n not in reg]
+    assert not unknown, f"unregistered names: {unknown}"
