@@ -106,3 +106,41 @@ def test_documents_corpus_is_ascii(sf):
         f"{n} non-ASCII documents at {sf}: audit every oracle that "
         "lowercases text before trusting driver comparisons"
     )
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(min_value=-1e6, max_value=1e6, width=32,
+                 allow_nan=False, allow_infinity=False))
+def test_quantize20_duckdb_equals_numpy(v):
+    """floor(v · 2^20) — the quantization every r9 similarity oracle
+    rides — must be the same BIGINT in numpy and DuckDB for any float32
+    input (power-of-two scaling is an exact exponent shift; floor of an
+    exact double is engine-independent)."""
+    import numpy as np
+
+    con = duckdb.connect()
+    du = con.execute(
+        "SELECT CAST(floor(CAST(CAST(? AS REAL) AS DOUBLE) * 1048576.0)"
+        " AS BIGINT)", [float(v)]
+    ).fetchone()[0]
+    nu = int(np.floor(np.float64(np.float32(v)) * 1048576.0))
+    assert du == nu, (v, du, nu)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=600),
+       st.integers(min_value=1, max_value=600))
+def test_float32_cast_rounding_parity(a, b):
+    """CAST(x AS REAL): the feature-extract oracle divides two exact
+    integers in float64 and rounds to float32 — both engines must round
+    half-even identically for any count ratio in the histogram's
+    domain."""
+    import numpy as np
+
+    con = duckdb.connect()
+    du = con.execute(
+        "SELECT CAST(CAST(CAST(? AS DOUBLE) / sqrt(CAST(? AS DOUBLE))"
+        " AS REAL) AS DOUBLE)", [a, a * a + b]
+    ).fetchone()[0]
+    nu = float(np.float64(np.float32(np.float64(a) / np.sqrt(np.float64(a * a + b)))))
+    assert du == nu, (a, b, du, nu)
