@@ -162,7 +162,7 @@ def test_bm25_ranking_semantics(spark, sf_dir):
     assert scores[0] > 0
 
 
-def test_r10_window_plan_valid():
+def test_r11_window_plan_valid():
     """The pre-enumerated next-round driver window (comment block in
     operators/__init__.py) must stay applyable: exactly 50 unique,
     registered query names. Guards against registry renames or plan
@@ -175,9 +175,9 @@ def test_r10_window_plan_valid():
 
     src = Path(ops.__file__).read_text()
     m = re.search(
-        r"# _R10_WINDOW_PLAN = \[\n((?:#     \"[a-z0-9_]+\",\n)+)# \]", src
+        r"# _R11_WINDOW_PLAN = \[\n((?:#     \"[a-z0-9_]+\",\n)+)# \]", src
     )
-    assert m, "_R10_WINDOW_PLAN comment block missing"
+    assert m, "_R11_WINDOW_PLAN comment block missing"
     plan = re.findall(r'"([a-z0-9_]+)"', m.group(1))
     reg = all_queries()
     assert len(plan) == 50, len(plan)

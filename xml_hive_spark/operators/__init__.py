@@ -238,126 +238,128 @@ _LOADED = False
 # pagerank fixed-point discipline applied to ML training) enters;
 # source_stats evicted (profiling-aggregate siblings agg_stats +
 # corpus_provenance_report, the latter driver r8 green).
+# Round 10 application: _R10_WINDOW_PLAN (below, now retired into this
+# list) applied mechanically at round start — the five r4/r5-vintage
+# scalar-function shapes + the four r9 rule-4 evictions lead, then the
+# oldest-driver-evidence refresh cohort (r4 remainder, r5 block).
 _DRIVER_WINDOW = [
-    "window_percent_rank",
-    "join_null_safe_eq",
-    "lateral_topn_per_group",
-    "sql_registered_udf",
-    "parquet_codec_zstd",
-    "daily_new_and_cumulative_users",
-    "copurchase_lift",
-    "twap_time_weighted",
-    "anomaly_zscore_events",
-    "agg_approx_distinct",
-    "dedup_exact_by_hash",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "multimodal_decode_stub",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    "xml_scan_bench",
-    "xml_scan_books",
-    "xml_scan_inferred",
-    "xml_sql_ddl",
-    "streaming_window_counts",
-    "streaming_stream_join",
-    "streaming_stream_join_outer",
-    "streaming_dedup_minhash",
-    "logreg_train_distributed",
-    "agg_percentiles",
-    "array_higher_order",
-    "asof_join",
-    "cosine_topk_bruteforce",
-    "cosine_topk_ivf",
+    "conditional_functions",
+    "from_json_struct",
+    "map_functions",
+    "sort_within_partitions",
+    "string_predicates",
+    "sliding_window_agg",
+    "apply_in_pandas_centered",
+    "json_roundtrip",
+    "embedding_label_centroids",
+    "agg_approx_percentiles",
+    "agg_distinct_count",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_stats",
+    "hypertable_rollup",
+    "csv_roundtrip",
     "cosine_topk_ivf_kmeans",
-    "cosine_topk_lsh",
-    "ann_join_topk",
-    "dedup_embedding_cosine",
-    "doc_chunks_udtf",
-    "pack_sequences",
-    "quality_filter_verdicts",
-    "salted_join_agg",
-    "session_window_agg",
-    "sample_deterministic",
-    "streaming_sessionize",
-    "text_clean_normalize",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_stats",
-    "tumbling_window_agg",
-    "variant_json_access",
-    "vocab_topk",
+    "cosine_topk_ivf_pq",
+    "cosine_topk_ivf_pq_probed",
+    "scalar_subquery_ratio",
+    "date_arithmetic",
+    "explode_outer_empty_arrays",
+    "doc_chunk_pack_pipeline",
+    "join_anti",
+    "join_broadcast_dims",
+    "join_cross",
+    "join_left_outer_agg",
+    "join_nonequi_range",
+    "join_semi",
+    "json_construction",
+    "math_functions",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q14_promo_effect",
+    "q18_large_volume_customer",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "set_except_all",
+    "set_intersect_all",
+    "string_functions",
+    "topk_orders",
+    "window_moving_avg",
+    "window_rank_topn",
+    "window_running_sum",
+    "source_stats",
+    "xml_stream_scan",
+    "xml_write_roundtrip",
 ]
 
-# ROUND-10 WINDOW, PRE-ENUMERATED (apply mechanically at r10 start:
+# ROUND-11 WINDOW, PRE-ENUMERATED (apply mechanically at r11 start:
 # replace _DRIVER_WINDOW with this list, run tools/verify_local.py over
 # it, commit first; then rule-4 swap any query whose result semantics
-# change during r10, evicting from the refresh tail).
+# change during r11, evicting from the refresh tail).
 # Derivation (mechanical, this round): never-driver-checked after r9 =
-# ZERO. Leads: the five scalar-function shapes deferred from r9
-# (conditional_functions, from_json_struct, map_functions,
-# sort_within_partitions, string_predicates) + the four r9 rule-4
-# evictions (sliding_window_agg, apply_in_pandas_centered,
-# json_roundtrip, embedding_label_centroids — added when the late-r9
-# streaming_dedup_minhash conversion displaced it, so agg_grouping_id
-# drops to the r11 refresh tail). The rest is the oldest-driver-evidence refresh
-# cohort, (vintage, name)-sorted: the remaining r4 rows, then the r5
-# block (TPC-H queries, join/set/window families, the ANN ladder,
-# xml_stream_scan/write_roundtrip), cut at 50 with agg_cube and
-# agg_grouping_id as the first r6 entries.
-# _R10_WINDOW_PLAN = [
-#     "conditional_functions",
-#     "from_json_struct",
-#     "map_functions",
-#     "sort_within_partitions",
-#     "string_predicates",
-#     "sliding_window_agg",
-#     "apply_in_pandas_centered",
-#     "json_roundtrip",
-#     "embedding_label_centroids",
-#     "agg_approx_percentiles",
-#     "agg_distinct_count",
-#     "agg_grouping_sets",
-#     "agg_rollup",
-#     "agg_stats",
-#     "hypertable_rollup",
-#     "csv_roundtrip",
-#     "cosine_topk_ivf_kmeans",
-#     "cosine_topk_ivf_pq",
-#     "cosine_topk_ivf_pq_probed",
-#     "scalar_subquery_ratio",
-#     "date_arithmetic",
-#     "explode_outer_empty_arrays",
-#     "doc_chunk_pack_pipeline",
-#     "join_anti",
-#     "join_broadcast_dims",
-#     "join_cross",
-#     "join_left_outer_agg",
-#     "join_nonequi_range",
-#     "join_semi",
-#     "json_construction",
-#     "math_functions",
-#     "q10_returned_items",
-#     "q12_priority_lines",
-#     "q14_promo_effect",
-#     "q18_large_volume_customer",
-#     "q1_pricing_summary",
-#     "q3_shipping_priority",
-#     "q4_priority_exists",
-#     "q5_local_supplier_volume",
-#     "q6_revenue_forecast",
-#     "set_except_all",
-#     "set_intersect_all",
-#     "string_functions",
-#     "topk_orders",
-#     "window_moving_avg",
-#     "window_rank_topn",
-#     "window_running_sum",
-#     "source_stats",
-#     "xml_stream_scan",
-#     "xml_write_roundtrip",
+# ZERO and r10 added no registry entries ahead of the window. No rule-4
+# evictions so far in r10 (amend this block if a swap happens). The
+# whole window is therefore the oldest-driver-evidence refresh cohort,
+# (vintage, name)-sorted: the complete r6-vintage block outside the r10
+# window (46 rows — TPC-H q2/q7-q9/q11/q13/q15-q17/q19-q22, the
+# set/window/agg families, scan_project_filter, scd2_merge, the
+# r2-converted dedup siblings) cut at 50 with the first four r7 rows
+# (agg_argmax_argmin, audio_resample_decimate, avro_roundtrip,
+# bpe_learn_merges) name-sorted.
+# _R11_WINDOW_PLAN = [
+#     "agg_cube",
+#     "agg_grouping_id",
+#     "agg_percentiles_array",
+#     "array_functions",
+#     "binary_column_stats",
+#     "date_functions",
+#     "dedup_cluster_components",
+#     "dedup_exact",
+#     "dedup_exact_by_lang",
+#     "dedup_ngram_jaccard",
+#     "embedding_pca_project",
+#     "explode_positional",
+#     "grouped_agg_pandas_udf",
+#     "interval_overlap_join",
+#     "json_functions",
+#     "multimodal_chunk_arrow",
+#     "pandas_udf_scalar",
+#     "partitioned_write_roundtrip",
+#     "pivot_status_counts",
+#     "q11_important_stock",
+#     "q13_customer_distribution",
+#     "q15_top_supplier",
+#     "q16_supplier_variety",
+#     "q17_small_quantity_revenue",
+#     "q19_discounted_revenue",
+#     "q20_heavy_supplier_chain",
+#     "q21_waiting_suppliers",
+#     "q22_global_sales_opportunity",
+#     "q2_min_cost_supplier",
+#     "q7_volume_shipping",
+#     "q8_market_share",
+#     "q9_product_type_profit",
+#     "sample_hash_bucket",
+#     "scan_project_filter",
+#     "scd2_merge",
+#     "set_except",
+#     "set_intersect",
+#     "set_union_all",
+#     "sketch_count_min",
+#     "struct_nested_access",
+#     "udf_python_scalar",
+#     "unpivot_part_metrics",
+#     "window_lag_lead",
+#     "window_ntile",
+#     "window_range_frame",
+#     "window_value_functions",
+#     "agg_argmax_argmin",
+#     "audio_resample_decimate",
+#     "avro_roundtrip",
+#     "bpe_learn_merges",
 # ]
 
 
