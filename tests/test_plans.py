@@ -536,3 +536,36 @@ def test_fan_out_guard(spark, sf_dir):
         assert fan_out(wide) is wide  # untouched, no extra exchange
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_fan_out_statsless_noop(spark, sf_dir):
+    """When the plan-stats probe itself fails (py4j bridge error — the
+    only way to reach the fallback, since Catalyst reports UNKNOWN size
+    as Long.MAX which the guard already treats as large), fan_out must
+    NO-OP rather than blind-shuffle: at real scale the input it cannot
+    size may be the 100 TB corpus, and an unconditional repartition of
+    it is the one unrecoverable default (r9 verdict item #6)."""
+    from xml_hive_spark.operators import fan_out, t
+
+    real = t(spark, sf_dir, "documents").select("doc_id")
+
+    class StatsLess:
+        """DataFrame stand-in whose JVM handle is unreachable."""
+
+        sparkSession = spark
+
+        @property
+        def _jdf(self):
+            raise RuntimeError("simulated py4j bridge failure")
+
+        def repartition(self, n):  # pragma: no cover - must not run
+            raise AssertionError("fan_out shuffled a stats-less input")
+
+    proxy = StatsLess()
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert fan_out(proxy) is proxy
+    # and the real, sized path is unaffected by the fallback change
+    assert fan_out(real).rdd.getNumPartitions() == spark.sparkContext.defaultParallelism

@@ -115,10 +115,26 @@ def fan_out(df: DataFrame) -> DataFrame:
         max_pb = sc._jvm.org.apache.spark.util.Utils.byteStringAsBytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
-        if size >= target * max_pb:
-            return df
-    except Exception:
-        pass  # stats unavailable: fall through to the tiny-SF default
+    except Exception as exc:  # py4j bridge / stats machinery failure
+        # Catalyst reports UNKNOWN size as defaultSizeInBytes (Long.MAX),
+        # which the guard treats as large → no-op; so reaching here means
+        # the bridge itself failed, not that the input is small. The safe
+        # default at real scale is NO-OP (the input already spans many
+        # splits); blindly shuffling a possibly-huge table is the one
+        # unrecoverable mistake. Warn once so the tiny-SF perf loss is
+        # diagnosable.
+        global _FANOUT_STATS_WARNED
+        if not _FANOUT_STATS_WARNED:
+            _FANOUT_STATS_WARNED = True
+            import warnings
+
+            warnings.warn(
+                f"fan_out: plan-stats probe failed ({exc!r}); skipping "
+                "repartition (scale-safe no-op)"
+            )
+        return df
+    if size >= target * max_pb:
+        return df
     return df.repartition(target)
 
 
@@ -151,6 +167,7 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 
 _LOADED = False
+_FANOUT_STATS_WARNED = False
 
 # Driver-window rotation (round 8). The verify driver snapshots correctness
 # for only the FIRST 50 registry entries (dict order).
