@@ -4,8 +4,10 @@ Runs the headline queries from the registry at ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
 
     {"metric": "headline_total_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1,
-     "calib_sec": C, "calib_ref_sec": R, "value_calibrated": N*R/C}
+     "queries": {name: sec, ...}, "bands": {name: {"min": m, "med": d}},
+     "sf": 0.1, "calib_sec": C, "calib_ref_sec": R,
+     "calib_py_sec": P, "calib_py_ref_sec": PR,
+     "value_calibrated": N*R/C}
 
 Each query is fully executed (count() on the result — forces every
 exchange/agg; results are small so no collect overhead distortion).
@@ -21,6 +23,24 @@ episodes: every query drifting 1.2-1.5x in lockstep with unchanged
 plans). ``calib_ref_sec`` is the idle-box reference recorded in
 SCALE.md §"Bench calibration"; cross-round comparisons should use
 ``value_calibrated``, single-round absolute numbers remain ``value``.
+
+Round 10 (r9 verdict item #1 — make the artifact self-defending):
+the JVM-only probe demonstrably under-corrects contention on
+Python-worker-heavy queries (r9: pure-JVM q18 moved 1.03x in the hot
+driver session while pandas-UDF queries moved 1.7-2.2x, yet calib_sec
+moved only +7.6%). Two additions:
+
+* ``calib_py_sec`` — a second pinned workload through the
+  Python/Arrow worker path (mapInPandas numpy fold over spark.range,
+  16 concurrent workers; no repo code). Its idle reference
+  ``calib_py_ref_sec`` is derived in SCALE.md §"Bench calibration".
+  A round whose calib_py_sec/calib_py_ref_sec ratio far exceeds
+  calib_sec/calib_ref_sec is a box with Python-worker contention the
+  JVM probe cannot see — exactly the r9 signature.
+* ``bands`` — per-query {min, med} of the 3 timed samples. A hot box
+  shows med >> min on unchanged-code queries; a real regression moves
+  min itself. This makes a load episode explainable from the committed
+  artifact alone.
 """
 
 from __future__ import annotations
@@ -88,6 +108,14 @@ CALIB_REF_SEC = 0.38  # idle-box COLD-SESSION value (bench's context):
 #   repeats on a quiet box (2026-08-14 round 8); fully C2-warmed
 #   steady state reaches 0.277. See SCALE.md §"Bench calibration".
 
+# Idle reference for the Python-worker probe (derived round 10, same
+# protocol: cold-session first-call value on the quietest observed box
+# state; see SCALE.md §"Bench calibration" for the measurement table).
+# NOTE: derived on a box whose JVM probe read 1.21x its own idle ref,
+# so this is an UPPER bound on the true idle value — revise downward
+# if a quieter session measures lower (re-derivation note required).
+CALIB_PY_REF_SEC = 0.41
+
 
 def calibrate(spark) -> float:
     """Min-of-5 timing of a fixed JVM-only workload: fold xxhash64 over
@@ -109,6 +137,38 @@ def calibrate(spark) -> float:
     return round(best, 4)
 
 
+def calibrate_py(spark) -> float:
+    """Min-of-5 timing of a fixed PYTHON-WORKER workload: mapInPandas
+    numpy fold over spark.range — Arrow serde + pandas batch iteration +
+    numpy arithmetic across 16 concurrent Python workers, no repo code,
+    no disk. Mirrors the cost structure of the headline's Pandas-UDF
+    stages (codec, einsum verify, signature build) so Python-side box
+    contention — invisible to the JVM-only probe — shows up here."""
+    import time as _t
+
+    import numpy as np
+    import pandas as pd
+
+    def fold(batches):
+        acc = 0.0
+        for pdf in batches:
+            v = pdf["id"].to_numpy(dtype=np.float64)
+            acc += float(np.sqrt(v + 1.0).sum())
+        yield pd.DataFrame({"s": [acc]})
+
+    q = lambda: spark.range(1 << 23, numPartitions=16).mapInPandas(  # noqa: E731
+        fold, "s double"
+    ).agg({"s": "sum"}).collect()
+    for _ in range(3):  # warm: worker pool spin-up + Arrow codepath JIT
+        q()
+    best = float("inf")
+    for _ in range(5):
+        t0 = _t.perf_counter()
+        q()
+        best = min(best, _t.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -121,7 +181,12 @@ def main() -> None:
     registry = all_queries()
 
     calib = calibrate(spark)
-    print(f"# calibration: {calib:.4f}s (ref {CALIB_REF_SEC})", file=sys.stderr)
+    calib_py = calibrate_py(spark)
+    print(
+        f"# calibration: jvm {calib:.4f}s (ref {CALIB_REF_SEC}), "
+        f"py-worker {calib_py:.4f}s (ref {CALIB_PY_REF_SEC})",
+        file=sys.stderr,
+    )
 
     # untimed warm run immediately before each timed run: JIT/codegen
     # compilation, parquet footer cache, Arrow/Python worker startup —
@@ -136,16 +201,25 @@ def main() -> None:
     # an isolated A/B of autoBroadcastJoinThreshold 10 MB vs 64 MB moved
     # q1/q3 by <4 %). Min-of-3 reports steady-state engine throughput.
     timings: dict[str, float] = {}
+    bands: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         qd = registry[name]
         qd.fn(spark, sf_dir).count()  # warm
-        best, n = float("inf"), 0
+        samples, n = [], 0
         for _ in range(3):
             t0 = time.perf_counter()
             n = qd.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        bands[name] = {
+            "min": round(min(samples), 3),
+            "med": round(sorted(samples)[1], 3),
+        }
+        print(
+            f"# {name}: {timings[name]:.3f}s med {bands[name]['med']:.3f}s"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -153,9 +227,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "bands": bands,
         "sf": sf,
         "calib_sec": calib,
         "calib_ref_sec": CALIB_REF_SEC,
+        "calib_py_sec": calib_py,
+        "calib_py_ref_sec": CALIB_PY_REF_SEC,
     }
     if CALIB_REF_SEC:
         out["value_calibrated"] = round(total * CALIB_REF_SEC / calib, 3)
