@@ -91,7 +91,6 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
         F.col(id_col).alias("id"), F.explode(mk_shingles(text_col)).alias("sh")
     )
 
-
 _MINHASH_P = 2147483647  # Mersenne prime 2^31 - 1: permutation modulus
 
 
