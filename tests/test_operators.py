@@ -41,12 +41,13 @@ def test_registry_complete():
     oracled = [n for n, q in reg.items() if q.oracle is not None]
     assert len(oracled) >= 65
     # rows-only entries are the genuinely non-SQL-expressible ones.
-    # Re-audited round 9 (six entries converted to full oracles that
-    # round: sample_deterministic, streaming_sessionize,
-    # streaming_stream_join_outer, multimodal_feature_extract,
-    # dedup_simhash, dedup_minhash_lsh); every remaining entry's blocker
-    # is named inline and none is a portable-hash or flushed-prefix
-    # case — those patterns are exhausted.
+    # Re-audited round 10 (the two PQ entries converted to full oracles:
+    # the r9 "16x the kmeans oracle" size estimate was wrong — all 16
+    # subspaces ride the SAME unrolled CTEs via an ``m`` grouping
+    # column, so integer-exact PQ training replays in SQL no bigger
+    # than one k-means); every remaining entry's blocker is named
+    # inline and none is a portable-hash, flushed-prefix, or
+    # grouped-unroll case — those patterns are exhausted.
     rows_only = sorted(n for n, q in reg.items() if q.oracle is None)
     assert rows_only == [
         "agg_approx_distinct",  # Spark-internal HLL++ registers;
@@ -54,10 +55,6 @@ def test_registry_complete():
         "agg_approx_percentiles",  # sketch internals; error bound pinned below
         "bpe_learn_merges",  # iterative argmax loop — pure-Python BPE
         # parity pinned in test_lm
-        "cosine_topk_ivf_pq",  # sampled PQ training: per-subspace
-        # k-means x16 — an unrolled twin would be ~16x the kmeans
-        # oracle (r9 re-audit); recall pinned in test_similarity
-        "cosine_topk_ivf_pq_probed",  # k-means + PQ composition
         "embedding_pca_project",  # eigendecomposition — not SQL-expressible;
         # numpy parity pinned in test_embeddings
         "logreg_train_distributed",  # iterated sigmoid GD — exp() is

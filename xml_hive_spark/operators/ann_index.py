@@ -41,7 +41,9 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_INDEX_FORMAT = 2  # bump on any layout change; mismatch → rebuild
+_INDEX_FORMAT = 3  # bump on any layout change; mismatch → rebuild
+# v3 (r10): integer-exact PQ — int64 codebooks (md5-48 sample,
+# floor-div Lloyd), lists carry the exact reconstructed-norm nsq
 # (2: r9 — integer-quantized k-means centroids + md5-48 init)
 
 
@@ -115,7 +117,7 @@ def _build(spark: SparkSession, sf_dir: str, k: int, iters: int,
             "embedding",
             books,
         )
-    ).select("vec_id", "hx", "cluster")
+    ).select("vec_id", "hx", "nsq", "cluster")
 
     # atomic publish: write under a pid-suffixed tmp dir, then one rename.
     # A concurrent builder that wins the race just leaves ours unused.

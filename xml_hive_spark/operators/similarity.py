@@ -822,12 +822,14 @@ def train_kmeans_centroids(
     return centroids
 
 
-def _kmeans_oracle(k: int = 16, iters: int = 3, nprobe: int = 4) -> str:
-    """DuckDB twin of the integer Lloyd's pipeline, iterations unrolled
-    (the pagerank-oracle pattern applied to ML training): md5-48 init,
-    per-iteration exact integer argmax-cosine assignment + floor-div
-    centroid update (empty clusters COALESCE to the previous round),
-    then the nprobe probe and the quantized-cosine search."""
+def _coarse_ctes(k: int = 16, iters: int = 3, nprobe: int = 4) -> str:
+    """Shared CTE prefix replaying the coarse quantizer in SQL: md5-48
+    init, unrolled integer Lloyd's (exact argmax-cosine assignment +
+    floor-div centroid update, empty clusters COALESCE to the previous
+    round), final corpus assignment (``afin``) and per-query probe
+    lists (``probed``). Emitted verbatim into both the ivf_kmeans
+    oracle and the r10 PQ oracles so the coarse replay stays ONE
+    implementation."""
     body = ["""
 WITH qv AS (
   SELECT vec_id, t.d,
@@ -908,7 +910,16 @@ probed AS (
     JOIN (SELECT cluster, SUM(c * c) AS ss FROM {prev} GROUP BY cluster) n
       ON n.cluster = s.cluster) x
   WHERE rn <= {nprobe}
-),
+)""")
+    return "".join(body)
+
+
+def _kmeans_oracle(k: int = 16, iters: int = 3, nprobe: int = 4) -> str:
+    """DuckDB twin of the integer Lloyd's pipeline, iterations unrolled
+    (the pagerank-oracle pattern applied to ML training): the shared
+    coarse replay (:func:`_coarse_ctes`) plus the quantized-cosine
+    search over the probed lists."""
+    return _coarse_ctes(k, iters, nprobe) + """,
 ssq AS (SELECT vec_id, SUM(q * q) AS ss FROM qv GROUP BY vec_id),
 pairs AS (
   SELECT p.qid, a.vec_id AS nid
@@ -936,7 +947,152 @@ ranked AS (
   JOIN ssq sb ON sb.vec_id = d.nid
 )
 SELECT qid, nid, cos_sim, CAST(rnk AS INT) AS rank
-FROM ranked WHERE rnk <= 5""")
+FROM ranked WHERE rnk <= 5"""
+
+
+def _pq_oracle(probed: bool) -> str:
+    """DuckDB twin of the integer PQ pipeline (r10): replays codebook
+    TRAINING (md5-48 sample, ``_PQ_ITERS`` Lloyd rounds per subspace —
+    all ``_PQ_M`` subspaces ride the SAME unrolled CTEs via the ``m``
+    grouping column, so the SQL does not grow with M), corpus ENCODING
+    (argmin squared distance, ties → lowest code), the exact-int ADC
+    over each query's lookup table, the shortlist cut by
+    adc/sqrt(reconstructed-norm²) — one IEEE division of exact integers,
+    bit-identical to Spark's — and the float-cosine re-rank in index
+    order (the proven bruteforce-oracle formulation). ``probed=True``
+    prepends the shared coarse k-means replay (:func:`_coarse_ctes`)
+    and restricts candidates to each query's nprobe lists;
+    ``probed=False`` is the exhaustive-ADC twin."""
+    sub = 64 // _PQ_M
+    if probed:
+        prefix = _coarse_ctes()
+        cand = """
+  SELECT p.qid, a.vec_id AS nid
+  FROM probed p JOIN afin a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.qid"""
+    else:
+        prefix = """
+WITH qv AS (
+  SELECT vec_id, t.d,
+         CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0, 64) t(d)
+)"""
+        cand = """
+  SELECT q.vec_id AS qid, n.vec_id AS nid
+  FROM embeddings q CROSS JOIN embeddings n
+  WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id"""
+    body = [prefix, f""",
+smp AS (
+  SELECT vec_id, row_number() OVER (
+           ORDER BY CAST('0x' || substr(md5('pq_'
+                    || CAST(vec_id AS VARCHAR)), 1, 12) AS BIGINT),
+                    vec_id) AS rn
+  FROM embeddings QUALIFY rn <= {_PQ_SAMPLE}
+),
+sx AS (
+  SELECT s.rn, v.vec_id, v.d // {sub} AS m, v.d % {sub} AS j, v.q
+  FROM smp s JOIN qv v ON v.vec_id = s.vec_id
+),
+pb0 AS (
+  SELECT m, rn - 1 AS code, j, q AS c FROM sx WHERE rn <= {_PQ_K}
+)"""]
+    prev = "pb0"
+    for it in range(1, _PQ_ITERS + 1):
+        body.append(f""",
+pd{it} AS (
+  SELECT x.vec_id, x.m, b.code, SUM((x.q - b.c) * (x.q - b.c)) AS ds
+  FROM sx x JOIN {prev} b ON b.m = x.m AND b.j = x.j
+  GROUP BY x.vec_id, x.m, b.code
+),
+pa{it} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY ds, code) AS rnk
+    FROM pd{it}) z
+  WHERE rnk = 1
+),
+pu{it} AS (
+  SELECT a.m, a.code, x.j, SUM(x.q) // count(*) AS c
+  FROM pa{it} a JOIN sx x ON x.vec_id = a.vec_id AND x.m = a.m
+  GROUP BY a.m, a.code, x.j
+),
+pb{it} AS (
+  SELECT p.m, p.code, p.j, COALESCE(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN pu{it} u
+    ON u.m = p.m AND u.code = p.code AND u.j = p.j
+)""")
+        prev = f"pb{it}"
+    body.append(f""",
+fsv AS (SELECT vec_id, d // {sub} AS m, d % {sub} AS j, q FROM qv),
+ed AS (
+  SELECT x.vec_id, x.m, b.code, SUM((x.q - b.c) * (x.q - b.c)) AS ds
+  FROM fsv x JOIN {prev} b ON b.m = x.m AND b.j = x.j
+  GROUP BY x.vec_id, x.m, b.code
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY ds, code) AS rnk
+    FROM ed) z
+  WHERE rnk = 1
+),
+cbss AS (SELECT m, code, SUM(c * c) AS ss FROM {prev} GROUP BY m, code),
+rnsq AS (
+  SELECT c.vec_id, SUM(s.ss) AS nsq
+  FROM codes c JOIN cbss s ON s.m = c.m AND s.code = c.code
+  GROUP BY c.vec_id
+),
+tbl AS (
+  SELECT q.qid, b.m, b.code, SUM(q.q * b.c) AS dp
+  FROM (SELECT vec_id AS qid, d // {sub} AS m, d % {sub} AS j, q
+        FROM qv WHERE vec_id < 5) q
+  JOIN {prev} b ON b.m = q.m AND b.j = q.j
+  GROUP BY q.qid, b.m, b.code
+),
+cand AS ({cand}
+),
+adcs AS (
+  SELECT c.qid, c.nid, SUM(t.dp) AS adc
+  FROM cand c
+  JOIN codes k2 ON k2.vec_id = c.nid
+  JOIN tbl t ON t.qid = c.qid AND t.m = k2.m AND t.code = k2.code
+  GROUP BY c.qid, c.nid
+),
+short AS (
+  SELECT qid, nid FROM (
+    SELECT a.qid, a.nid,
+           row_number() OVER (
+             PARTITION BY a.qid
+             ORDER BY CAST(a.adc AS DOUBLE)
+                      / greatest(sqrt(CAST(n.nsq AS DOUBLE)), 1e-12) DESC,
+                      a.nid) AS rs
+    FROM adcs a JOIN rnsq n ON n.vec_id = a.nid) z
+  WHERE rs <= {_PQ_SHORTLIST}
+),
+rr AS (
+  SELECT s.qid, s.nid,
+         round(
+           (SELECT sum(CAST(qe.embedding[i + 1] AS DOUBLE)
+                       * CAST(ne.embedding[i + 1] AS DOUBLE))
+            FROM range(64) r(i))
+           / (sqrt(list_sum(list_transform(qe.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(ne.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS cos_sim
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.qid
+  JOIN embeddings ne ON ne.vec_id = s.nid
+)
+SELECT qid, nid, cos_sim, rank FROM (
+  SELECT qid, nid, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, nid) AS rank
+  FROM rr) x
+WHERE rank <= 5""")
     return "".join(body)
 
 
@@ -1008,76 +1164,110 @@ def cosine_topk_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
 _PQ_M = 16         # subspaces (64-dim → 16 × 4-dim subvectors)
 _PQ_K = 16         # codewords per subspace → 4 bits/code, 16 codes/vector
 _PQ_SAMPLE = 2048  # training sample size (driver-side, bounded)
+_PQ_ITERS = 5      # Lloyd iterations per subspace (unrolled in the twin)
 _PQ_SHORTLIST = 50  # ADC candidates per query fed to exact re-rank
 
 
-def train_pq_codebooks(
-    emb: DataFrame, vec_col: str = "embedding", dim: int = 64, seed: int = 23
-):
-    """Train per-subspace codebooks on a bounded, deterministic sample
-    (smallest seeded xxhash64 of vec_id — the standard
-    train-on-a-sample regime: PQ codebooks need thousands of vectors,
-    not the corpus, so only sample × dim floats reach the driver).
-    Vectors are L2-normalized first so ADC inner products approximate
-    cosine. Returns numpy (M, K, dim/M)."""
+def train_pq_codebooks(emb: DataFrame, vec_col: str = "embedding",
+                       dim: int = 64):
+    """Train per-subspace codebooks on a bounded, deterministic sample —
+    the standard train-on-a-sample regime: PQ codebooks need thousands
+    of vectors, not the corpus, so only sample × dim values reach the
+    driver.
+
+    INTEGER-EXACT since r10 (the r9 ivf_kmeans discipline applied to
+    PQ): the sample is the ``_PQ_SAMPLE`` smallest md5-48 of
+    ``'pq_' || vec_id`` (portable, replayable — replaces seeded
+    xxhash64), training runs on 2^20-QUANTIZED int64 subvectors
+    (embeddings are unit-norm, so skipping the float normalization the
+    old path did is value-neutral), assignment is exact integer argmin
+    of squared euclidean distance (ties → lowest code, numpy argmin's
+    first-occurrence rule = SQL ``ORDER BY ds, code``), and the update
+    is a FLOOR-DIVIDED integer mean (empty codes keep their previous
+    centroid) — so the identical int64 codebooks fall out of numpy here
+    and of the unrolled SQL twin, at any parallelism. All intermediates
+    fit int64: |q| ≤ 2^22 ⇒ squared-diff sums ≤ 2^46·4, sample sums
+    ≤ 2^22·2048. Returns numpy (M, K, dim/M) INT64."""
     import numpy as np
 
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pq_"), F.col("vec_id").cast("string"))
+                  .cast("binary")), 1, 12), 16, 10).cast("long")
     rows = (
-        emb.select(vec_col, F.xxhash64(F.col("vec_id"), F.lit(seed)).alias("h"))
-        .orderBy("h")
+        emb.select(vec_col, h.alias("h"), "vec_id")
+        .orderBy("h", "vec_id")
         .limit(_PQ_SAMPLE)
         .collect()
     )
-    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    x = _quantize20(np.stack([np.asarray(r[0], dtype=np.float64)
+                              for r in rows]))
     sub = dim // _PQ_M
-    books = np.empty((_PQ_M, _PQ_K, sub))
+    books = np.empty((_PQ_M, _PQ_K, sub), dtype=np.int64)
     for m in range(_PQ_M):
         xs = x[:, m * sub : (m + 1) * sub]
         cb = xs[:_PQ_K].copy()  # deterministic init: first K sample rows
-        for _ in range(5):  # Lloyd on the sample, numpy-local
+        for _ in range(_PQ_ITERS):
             d = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
             a = d.argmin(axis=1)
+            nxt = cb.copy()  # empty codes keep their previous centroid
             for k in range(_PQ_K):
                 pts = xs[a == k]
                 if len(pts):
-                    cb[k] = pts.mean(axis=0)
+                    # FLOOR division: numpy // floors like SQL //
+                    nxt[k] = pts.sum(axis=0) // len(pts)
+            cb = nxt
         books[m] = cb
     return books
 
 
 def pq_encode(df: DataFrame, vec_col: str, books) -> DataFrame:
-    """Add ``codes`` (BINARY, M/2 = 8 bytes): nearest codeword per
-    subspace of the L2-normalized vector, two 4-bit codes nibble-packed
-    per byte (code m is hex digit m of ``hex(codes)`` — high nibble
-    first, so the ADC fold unpacks with one substring per code, all
-    JVM-side). 8 bytes replace 256 bytes of floats — 32x, the
-    compression that lets a 100 TB corpus's index live in memory; vs the
-    earlier ``array<int>`` encoding (16 ints + array header ≈ 80+ B
-    serialized) the packed binary also cuts index shuffle bytes ~8x."""
+    """Add ``codes`` (BINARY, M/2 = 8 bytes) and ``nsq`` (BIGINT):
+    nearest codeword per subspace of the 2^20-QUANTIZED vector, two
+    4-bit codes nibble-packed per byte (code m is hex digit m of
+    ``hex(codes)`` — high nibble first, so the ADC fold unpacks with one
+    substring per code, all JVM-side), plus the exact squared norm of
+    the RECONSTRUCTED vector (sum over m of ||books[m][code_m]||², int64
+    — computed once at encode time so ADC scoring never re-derives it
+    per candidate pair). 8 bytes + 1 long replace 256 bytes of floats —
+    the compression that lets a 100 TB corpus's index live in memory.
+
+    INTEGER-EXACT since r10: the argmin runs on int64 squared euclidean
+    distances against the integer codebooks in the direct form
+    ``((xs - cb)²).sum`` (exact; the old expanded-form float matmul
+    could flip argmin ties in the last ulp), ties → lowest code — the
+    identical codes fall out of the SQL twin's
+    ``ORDER BY ds, code LIMIT 1``."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     sub = books.shape[2]
+    cb_ssq = (books.astype(np.int64) ** 2).sum(axis=2)  # (M, K) exact
 
-    @pandas_udf("binary")
-    def enc(vecs: pd.Series) -> pd.Series:
+    @pandas_udf("codes binary, nsq long")
+    def enc(vecs: pd.Series) -> pd.DataFrame:
         if len(vecs) == 0:
-            return pd.Series([], dtype="object")
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            return pd.DataFrame({"codes": pd.Series([], dtype="object"),
+                                 "nsq": pd.Series([], dtype="int64")})
+        x = _quantize20(np.stack([np.asarray(v, dtype=np.float64)
+                                  for v in vecs]))
         out = np.empty((len(x), _PQ_M), dtype=np.uint8)
+        nsq = np.zeros(len(x), dtype=np.int64)
         for m in range(_PQ_M):
             xs = x[:, m * sub : (m + 1) * sub]
-            # ||xs - cb||² argmin via the expanded form: one matmul
-            d = (xs**2).sum(1)[:, None] - 2 * xs @ books[m].T + (
-                books[m] ** 2
-            ).sum(1)[None, :]
-            out[:, m] = d.argmin(axis=1)
+            d = ((xs[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            out[:, m] = a
+            nsq += cb_ssq[m][a]
         packed = (out[:, 0::2] << 4) | out[:, 1::2]  # (n, M/2) bytes
-        return pd.Series([row.tobytes() for row in packed])
+        return pd.DataFrame({
+            "codes": [row.tobytes() for row in packed],
+            "nsq": nsq,
+        })
 
-    return df.withColumn("codes", enc(F.col(vec_col)))
+    return df.withColumn("_enc", enc(F.col(vec_col))).select(
+        "*", F.col("_enc.codes").alias("codes"), F.col("_enc.nsq").alias("nsq")
+    ).drop("_enc")
 
 
 def _topk_accumulate(acc: dict, qid, nid, adc, k: int) -> None:
@@ -1227,7 +1417,8 @@ def partial_topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     return sel.mapInArrow(fn, out_schema)
 
 
-@query("cosine_topk_ivf_pq", tags=("similarity", "ann", "pq"))
+@query("cosine_topk_ivf_pq", oracle=_pq_oracle(probed=False),
+       tags=("similarity", "ann", "pq"))
 def cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     """PQ-compressed ANN with asymmetric distance + exact re-rank: the
     corpus is product-quantized to M=16 4-bit codes; each query
@@ -1248,8 +1439,13 @@ def cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     so the recall test isolates PQ error. Codes come from the PERSISTED
     index artifact (``ann_index.ivf_pq_index`` — build once per corpus,
     amortized across queries); the exhaustive scan reads every list.
-    Rows-only driver check (sampled k-means training isn't
-    SQL-expressible); recall vs brute force in tests/test_similarity.py."""
+
+    FULL value oracle since r10 — PQ TRAINING driver-checked end to
+    end: the integer codebook recurrence (md5-48 sample, exact-int
+    assignment, floor-div update) is bit-stable across engines, so the
+    DuckDB twin (:func:`_pq_oracle`) replays training, encoding, the
+    exact-int ADC, the shortlist cut, and the re-rank. Recall vs brute
+    force stays in tests/test_similarity.py."""
     from xml_hive_spark.operators.ann_index import ivf_pq_index
 
     emb = t(spark, sf, "embeddings")
@@ -1258,9 +1454,11 @@ def cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     probed, _ = _adc_tables(spark, emb, idx.books)
 
     cand = probed.drop("qe").crossJoin(
-        coded.select(F.col("vec_id").alias("nid"), "hx")
+        coded.select(F.col("vec_id").alias("nid"), "hx", "nsq")
     ).filter(F.col("qid") != F.col("nid"))
-    scored = cand.select("qid", "nid", _adc_fold().alias("adc"))
+    scored = cand.select(
+        "qid", "nid", _adc_fold().alias("adc_i"), "nsq"
+    ).select("qid", "nid", _adc_score().alias("adc"))
     return _shortlist_rerank(scored, probed, emb)
 
 
@@ -1269,38 +1467,56 @@ def _adc_tables(spark: SparkSession, emb: DataFrame, books):
     T[m][k] = <q_sub_m, codebook[m][k]>, flattened M*K. Returns
     (broadcast DataFrame, collected query rows) so callers that also
     need the raw query vectors (probe-list derivation) reuse the ONE
-    collect instead of re-implementing it."""
+    collect instead of re-implementing it.
+
+    INTEGER-EXACT since r10: entries are int64 dot products of the
+    2^20-quantized query subvectors with the integer codebooks
+    (|q·c| ≤ 2^42·4 per entry, fold sum ≤ 2^48 — exact BIGINT), so the
+    ADC fold total is the same integer in Spark's fold and the SQL
+    twin's SUM, in any order."""
     import numpy as np
 
     q_rows = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
     sub = books.shape[2]
     probe = []
     for r in q_rows:
-        v = np.asarray(r.embedding, dtype=np.float64)
-        v = v / max(np.linalg.norm(v), 1e-12)
+        q = _quantize20(np.asarray(r.embedding, dtype=np.float64))
         tbl = [
-            float(np.dot(v[m * sub : (m + 1) * sub], books[m][k]))
+            int(np.dot(q[m * sub : (m + 1) * sub], books[m][k]))
             for m in range(_PQ_M)
             for k in range(_PQ_K)
         ]
         probe.append((int(r.vec_id), r.embedding, tbl))
     df = F.broadcast(
-        spark.createDataFrame(probe, "qid int, qe array<float>, tbl array<double>")
+        spark.createDataFrame(probe, "qid int, qe array<float>, tbl array<long>")
     )
     return df, q_rows
 
 
 def _adc_fold():
-    """Fold over the M nibble-packed codes: acc + tbl[m*K + code_m].
-    ``hex(codes)`` renders the 8-byte binary as 16 hex digits with
-    code m at digit m (pq_encode packs high-nibble-first to guarantee
-    this), so unpacking is substring + conv — JVM built-ins inside
-    whole-stage codegen, no Python and no binary-indexing UDF. Built
-    lazily — F.expr needs an active session."""
+    """Fold over the M nibble-packed codes: acc + tbl[m*K + code_m],
+    all-int64 (exact, associative). ``hex(codes)`` renders the 8-byte
+    binary as 16 hex digits with code m at digit m (pq_encode packs
+    high-nibble-first to guarantee this), so unpacking is substring +
+    conv — JVM built-ins inside whole-stage codegen, no Python and no
+    binary-indexing UDF. Built lazily — F.expr needs an active
+    session."""
     return F.expr(
-        f"aggregate(sequence(0, {_PQ_M - 1}), 0D,"
+        f"aggregate(sequence(0, {_PQ_M - 1}), CAST(0 AS BIGINT),"
         f" (acc, m) -> acc + element_at(tbl, m * {_PQ_K}"
         f" + CAST(conv(substring(hx, m + 1, 1), 16, 10) AS INT) + 1))"
+    )
+
+
+def _adc_score():
+    """Shortlist ranking score: exact-int ADC over the reconstructed
+    norm — CAST(adc AS DOUBLE) / sqrt(CAST(nsq AS DOUBLE)), one IEEE
+    division of exact integers ⇒ bit-identical doubles in Spark and the
+    SQL twin, so the top-``_PQ_SHORTLIST`` CUT (ties → nid) is the same
+    set in both engines. The query's own norm is a per-qid constant —
+    rank-invariant, dropped."""
+    return F.col("adc_i").cast("double") / F.greatest(
+        F.sqrt(F.col("nsq").cast("double")), F.lit(1e-12)
     )
 
 
@@ -1338,7 +1554,8 @@ def _shortlist_rerank(scored: DataFrame, probed: DataFrame,
     )
 
 
-@query("cosine_topk_ivf_pq_probed", tags=("similarity", "ann", "ivf", "pq"))
+@query("cosine_topk_ivf_pq_probed", oracle=_pq_oracle(probed=True),
+       tags=("similarity", "ann", "ivf", "pq"))
 def cosine_topk_ivf_pq_probed(spark: SparkSession, sf: str) -> DataFrame:
     """IVF × PQ composed — the full production ANN shape: a trained
     k-means coarse quantizer assigns every vector to an inverted list;
@@ -1357,8 +1574,13 @@ def cosine_topk_ivf_pq_probed(spark: SparkSession, sf: str) -> DataFrame:
     (``cluster IN (...)`` → PartitionFilters, the columnar equivalent of
     an inverted-list seek; pinned in tests/test_ann_index.py).
     Candidate-count reduction is asserted in tests/test_similarity.py.
-    Rows-only driver check (k-means + sampled PQ training aren't
-    SQL-expressible)."""
+
+    FULL value oracle since r10 — the LAST bench headline to get one:
+    the DuckDB twin (:func:`_pq_oracle(probed=True)`) prepends the
+    shared coarse k-means replay (:func:`_coarse_ctes`) to the
+    integer-PQ training/encoding/ADC replay, so probe selection, the
+    ADC lookup, the shortlist cut, and the re-rank are all
+    hash-checked at sf0.001/0.01/0.1."""
     from xml_hive_spark.operators.ann_index import ivf_pq_index, probe_clusters
 
     emb = t(spark, sf, "embeddings")
@@ -1381,7 +1603,7 @@ def cosine_topk_ivf_pq_probed(spark: SparkSession, sf: str) -> DataFrame:
     coded = (
         idx.lists(spark)
         .filter(F.col("cluster").isin(wanted))
-        .select(F.col("vec_id").alias("nid"), "cluster", "hx")
+        .select(F.col("vec_id").alias("nid"), "cluster", "hx", "nsq")
     )
 
     cand = (
@@ -1390,7 +1612,9 @@ def cosine_topk_ivf_pq_probed(spark: SparkSession, sf: str) -> DataFrame:
         .join(coded, "cluster")  # broadcast side is tiny → only probed lists scanned
         .filter(F.col("qid") != F.col("nid"))
     )
-    scored = cand.select("qid", "nid", _adc_fold().alias("adc"))
+    scored = cand.select(
+        "qid", "nid", _adc_fold().alias("adc_i"), "nsq"
+    ).select("qid", "nid", _adc_score().alias("adc"))
     return _shortlist_rerank(scored, probed, emb)
 
 
