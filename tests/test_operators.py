@@ -41,11 +41,12 @@ def test_registry_complete():
     oracled = [n for n, q in reg.items() if q.oracle is not None]
     assert len(oracled) >= 65
     # rows-only entries are the genuinely non-SQL-expressible ones.
-    # Re-audited round 10 (the two PQ entries converted to full oracles:
-    # the r9 "16x the kmeans oracle" size estimate was wrong — all 16
+    # Re-audited round 10 (three conversions: the two PQ entries — the
+    # r9 "16x the kmeans oracle" size estimate was wrong, all 16
     # subspaces ride the SAME unrolled CTEs via an ``m`` grouping
-    # column, so integer-exact PQ training replays in SQL no bigger
-    # than one k-means); every remaining entry's blocker is named
+    # column — and streaming_vector_ingest, whose "seeded k-means"
+    # blocker went stale when the coarse trainer became md5-48 +
+    # integer-exact in r9); every remaining entry's blocker is named
     # inline and none is a portable-hash, flushed-prefix, or
     # grouped-unroll case — those patterns are exhausted.
     rows_only = sorted(n for n, q in reg.items() if q.oracle is None)
@@ -60,8 +61,6 @@ def test_registry_complete():
         "logreg_train_distributed",  # iterated sigmoid GD — exp() is
         # not cross-libm bit-reproducible, so no exact twin exists
         # (r9 re-audit); numpy parity in test_embeddings
-        "streaming_vector_ingest",  # seeded-k-means centroids — not
-        # SQL-expressible; stream-equals-batch pinned in test_streaming
     ]
 
 

@@ -318,15 +318,19 @@ _DRIVER_WINDOW = [
 # change during r11, evicting from the refresh tail).
 # Derivation (mechanical, this round): never-driver-checked after r9 =
 # ZERO and r10 added no registry entries ahead of the window. No rule-4
-# evictions so far in r10 (amend this block if a swap happens). The
-# whole window is therefore the oldest-driver-evidence refresh cohort,
-# (vintage, name)-sorted: the complete r6-vintage block outside the r10
-# window (46 rows — TPC-H q2/q7-q9/q11/q13/q15-q17/q19-q22, the
-# set/window/agg families, scan_project_filter, scd2_merge, the
-# r2-converted dedup siblings) cut at 50 with the first four r7 rows
-# (agg_argmax_argmin, audio_resample_decimate, avro_roundtrip,
-# bpe_learn_merges) name-sorted.
+# evictions in r10 (the three result-semantics/oracle changes that had
+# to be in-window — cosine_topk_ivf_pq, cosine_topk_ivf_pq_probed —
+# already were). One oracle-only upgrade outside the window
+# (streaming_vector_ingest, rows-only → full coarse-replay twin) leads
+# per the r8 convention; then the oldest-driver-evidence refresh
+# cohort, (vintage, name)-sorted: the complete r6-vintage block outside
+# the r10 window (46 rows — TPC-H q2/q7-q9/q11/q13/q15-q17/q19-q22,
+# the set/window/agg families, scan_project_filter, scd2_merge, the
+# r2-converted dedup siblings) cut at 50 with the first three r7 rows
+# (agg_argmax_argmin, audio_resample_decimate, avro_roundtrip)
+# name-sorted; bpe_learn_merges drops to the r12 tail.
 # _R11_WINDOW_PLAN = [
+#     "streaming_vector_ingest",
 #     "agg_cube",
 #     "agg_grouping_id",
 #     "agg_percentiles_array",
@@ -376,7 +380,6 @@ _DRIVER_WINDOW = [
 #     "agg_argmax_argmin",
 #     "audio_resample_decimate",
 #     "avro_roundtrip",
-#     "bpe_learn_merges",
 # ]
 
 

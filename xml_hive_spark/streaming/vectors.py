@@ -6,9 +6,11 @@ batch; new vectors are routed to the EXISTING coarse structure and the
 per-list counts (the index's fill-factor telemetry) update as a
 bounded complete-mode aggregate (k rows forever).
 
-Rows-only by design: the centroids come from seeded k-means (not
-SQL-expressible — the ``cosine_topk_ivf_kmeans`` adjudication);
-stream-equals-batch assignment is pinned exactly in
+FULL value oracle since r10: the r9 "seeded k-means isn't
+SQL-expressible" blocker went stale the moment the coarse trainer
+became md5-48-initialized and integer-exact — the DuckDB twin replays
+the centroids via the shared coarse CTEs and the stream's euclidean
+routing rule. Stream-equals-batch assignment stays pinned exactly in
 tests/test_streaming.py.
 """
 
@@ -103,10 +105,46 @@ def run_streaming_vector_ingest(
     return spark.table(name)
 
 
+def _vector_ingest_oracle() -> str:
+    """DuckDB twin (r10 — the stale 'seeded k-means isn't
+    SQL-expressible' blocker fell when the coarse trainer went md5-48 +
+    integer-exact in r9): replay the coarse centroids via the SHARED
+    :func:`_coarse_ctes` prefix, then the stream's EUCLIDEAN routing
+    rule — argmin(||c||² − 2·q·c), the ||q||²-free form
+    ``assign_clusters`` uses, ties → lowest cluster — and the
+    complete-mode per-list telemetry aggregate. The stream drains with
+    availableNow, so its final complete-mode table equals this batch
+    replay exactly (stream-equals-batch stays pinned in
+    tests/test_streaming.py)."""
+    from xml_hive_spark.operators.similarity import _coarse_ctes
+
+    return _coarse_ctes() + """,
+ea AS (
+  SELECT vec_id, cluster FROM (
+    SELECT s.vec_id, s.cluster,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY n.ss - 2 * s.dt, s.cluster) AS rn
+    FROM (SELECT v.vec_id, c.cluster, SUM(v.q * c.c) AS dt
+          FROM qv v JOIN c3 c ON c.d = v.d
+          GROUP BY v.vec_id, c.cluster) s
+    JOIN (SELECT cluster, SUM(c * c) AS ss FROM c3 GROUP BY cluster) n
+      ON n.cluster = s.cluster) x
+  WHERE rn = 1
+)
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id
+FROM ea GROUP BY cluster"""
+
+
 @query("streaming_vector_ingest",
+       oracle=_vector_ingest_oracle(),
        tags=("streaming", "ann", "ivf", "ingest"))
 def streaming_vector_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """Registry entry: streaming nearest-centroid routing into the
     persisted IVF structure with bounded complete-mode state (k rows);
-    see module docstring. Stream-equals-batch pinned in tests."""
+    see module docstring. FULL value oracle since r10
+    (:func:`_vector_ingest_oracle`); stream-equals-batch stays pinned
+    in tests."""
     return run_streaming_vector_ingest(spark, sf)
