@@ -144,3 +144,70 @@ def test_float32_cast_rounding_parity(a, b):
     ).fetchone()[0]
     nu = float(np.float64(np.float32(np.float64(a) / np.sqrt(np.float64(a * a + b)))))
     assert du == nu, (a, b, du, nu)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31), st.integers(min_value=17, max_value=48))
+def test_pq_training_duckdb_equals_numpy(seed, n):
+    """Integer PQ codebook training (r10): the full recurrence — md5-48
+    sample ordering, first-K init, _PQ_ITERS rounds of exact
+    squared-distance argmin (ties → lowest code) + floor-div means with
+    empty-code carry — must produce the IDENTICAL int64 codebooks from
+    numpy (:func:`_pq_lloyd`, what Spark ships) and from the oracle's
+    training CTEs (:func:`_pq_training_ctes`, what the driver replays)
+    on arbitrary float32 corpora, not just the driver tables. Inputs
+    deliberately include duplicate rows (n mod 7 == 0 duplicates row 0)
+    to force distance ties and empty codes."""
+    import numpy as np
+
+    from xml_hive_spark.operators.similarity import (
+        _PQ_ITERS,
+        _pq_lloyd,
+        _pq_training_ctes,
+        _quantize20,
+    )
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, 64)).astype(np.float32)
+    if n % 7 == 0:
+        vecs[n // 2] = vecs[0]  # exact duplicate → guaranteed ties
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id INTEGER, embedding REAL[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)",
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+    )
+    sql = (
+        """
+WITH qv AS (
+  SELECT vec_id, t.d,
+         CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0, 64) t(d)
+)"""
+        + _pq_training_ctes()
+        + f"\nSELECT m, code, j, CAST(c AS BIGINT) AS c FROM pb{_PQ_ITERS}"
+        "\nORDER BY m, code, j"
+    )
+    rows = con.execute(sql).fetchall()
+    con.close()
+
+    # numpy side: replicate the sample ordering with hashlib (md5 == md5;
+    # hash48 parity is fuzz-pinned above), then run the shared core
+    import hashlib
+
+    order = sorted(
+        range(n),
+        key=lambda i: (int(hashlib.md5(f"pq_{i}".encode()).hexdigest()[:12], 16), i),
+    )
+    x = _quantize20(vecs[order].astype(np.float64))
+    books = _pq_lloyd(x)
+
+    got = {(m, code, j): c for m, code, j, c in rows}
+    sub = 64 // books.shape[0]
+    for m in range(books.shape[0]):
+        for code in range(books.shape[1]):
+            for j in range(sub):
+                assert got[(m, code, j)] == int(books[m, code, j]), (
+                    seed, n, m, code, j, got[(m, code, j)], int(books[m, code, j])
+                )

@@ -310,3 +310,42 @@ class TestAnnJoin:
         # rare by design for low-cosine neighbors; the join must still
         # find a solid share of the exact top-5
         assert recall >= 0.3, f"ann_join recall {recall:.3f}"
+
+
+def test_coarse_centroids_bitexact_vs_duckdb(spark, sf_dir):
+    """The trained coarse centroids themselves — not just the search
+    output — must be bit-identical between numpy training and the SQL
+    twin's unrolled replay. Until r10 the oracles used DuckDB's ``//``,
+    which TRUNCATES toward zero on integers while numpy ``//`` floors:
+    499 of 1024 centroid entries (every negative non-exact mean)
+    differed by one, and six oracles were green only because argmin/
+    argmax never happened to sit within one unit of a tie on the test
+    corpora (found by the r10 PQ training fuzz, pinned here so the
+    landmine stays dead). The fix spells exact floor division via pmod
+    in the SQL; Spark/numpy sides are unchanged."""
+    import duckdb
+
+    from xml_hive_spark.operators import t
+    from xml_hive_spark.operators.similarity import (
+        _coarse_ctes,
+        train_kmeans_centroids,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    sql = (_coarse_ctes()
+           + "\nSELECT cluster, d, CAST(c AS BIGINT) AS c FROM c3")
+    duck = {(cl, d): c for cl, d, c in con.execute(sql).fetchall()}
+    con.close()
+    cents = train_kmeans_centroids(
+        t(spark, sf_dir, "embeddings"), k=16, iters=3
+    )
+    bad = [
+        (cl, d, duck[(cl, d)], int(cents[cl, d]))
+        for cl in range(16) for d in range(64)
+        if duck[(cl, d)] != int(cents[cl, d])
+    ]
+    assert not bad, f"{len(bad)} centroid entries diverge: {bad[:5]}"

@@ -532,7 +532,9 @@ WITH qv AS (
   FROM embeddings e CROSS JOIN range(0, 64) t(d)
 ),
 cent AS (
-  SELECT label, d, SUM(q) // count(*) AS c
+  SELECT label, d,
+         (SUM(q) - ((SUM(q) % count(*)) + count(*)) % count(*))
+           // count(*) AS c
   FROM qv GROUP BY label, d
 ),
 css AS (SELECT label, SUM(c * c) AS ss FROM cent GROUP BY label),
@@ -605,10 +607,14 @@ def cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     scale-invariant, so an integer centroid ranks lists identically to
     a float one up to the 2^-20 grain — and exactly reproducibly), and
     both the probe similarity and the final cosine are ratios of exact
-    int64 aggregates, bit-identical in any engine. Spark's ``DIV``
-    truncates while SQL ``//`` floors, so the Spark side floors
-    explicitly via pmod. Recall vs brute force stays asserted in
-    tests/test_similarity.py."""
+    int64 aggregates, bit-identical in any engine. Division-semantics
+    trap (r10 fuzz finding): Spark ``DIV`` AND DuckDB's integer ``//``
+    both TRUNCATE toward zero while numpy/Python ``//`` floors — so the
+    Spark side floors explicitly via pmod and the SQL twin spells exact
+    floor division the same way (the r9 oracle's bare ``//`` silently
+    truncated negative means; see
+    test_coarse_centroids_bitexact_vs_duckdb). Recall vs brute force
+    stays asserted in tests/test_similarity.py."""
     emb = t(spark, sf, "embeddings")
 
     # per-label integer centroid: floor(sum(q20) / n) per dimension
@@ -815,8 +821,8 @@ def train_kmeans_centroids(
             cnts[r.cluster] += r.cnt
         nxt = centroids.copy()  # empty clusters keep their previous centroid
         nz = cnts > 0
-        # FLOOR division (numpy // floors like SQL //; Spark DIV would
-        # truncate — this loop never goes through Spark DIV)
+        # FLOOR division (numpy // floors; DuckDB's integer // TRUNCATES
+        # — the SQL twin spells exact floor via pmod, r10 fuzz finding)
         nxt[nz] = sums[nz] // cnts[nz, None]
         centroids = nxt
     return centroids
@@ -869,7 +875,9 @@ a{it} AS (
   WHERE rn = 1
 ),
 u{it} AS (
-  SELECT a.cluster, v.d, SUM(v.q) // count(*) AS c
+  SELECT a.cluster, v.d,
+         (SUM(v.q) - ((SUM(v.q) % count(*)) + count(*)) % count(*))
+           // count(*) AS c
   FROM a{it} a JOIN qv v ON v.vec_id = a.vec_id
   GROUP BY a.cluster, v.d
 ),
@@ -950,39 +958,24 @@ SELECT qid, nid, cos_sim, CAST(rnk AS INT) AS rank
 FROM ranked WHERE rnk <= 5"""
 
 
-def _pq_oracle(probed: bool) -> str:
-    """DuckDB twin of the integer PQ pipeline (r10): replays codebook
-    TRAINING (md5-48 sample, ``_PQ_ITERS`` Lloyd rounds per subspace —
-    all ``_PQ_M`` subspaces ride the SAME unrolled CTEs via the ``m``
-    grouping column, so the SQL does not grow with M), corpus ENCODING
-    (argmin squared distance, ties → lowest code), the exact-int ADC
-    over each query's lookup table, the shortlist cut by
-    adc/sqrt(reconstructed-norm²) — one IEEE division of exact integers,
-    bit-identical to Spark's — and the float-cosine re-rank in index
-    order (the proven bruteforce-oracle formulation). ``probed=True``
-    prepends the shared coarse k-means replay (:func:`_coarse_ctes`)
-    and restricts candidates to each query's nprobe lists;
-    ``probed=False`` is the exhaustive-ADC twin."""
-    sub = 64 // _PQ_M
-    if probed:
-        prefix = _coarse_ctes()
-        cand = """
-  SELECT p.qid, a.vec_id AS nid
-  FROM probed p JOIN afin a ON a.cluster = p.cluster
-  WHERE a.vec_id <> p.qid"""
-    else:
-        prefix = """
+_PQ_QV_PREFIX = """
 WITH qv AS (
   SELECT vec_id, t.d,
          CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1048576.0)
               AS BIGINT) AS q
   FROM embeddings CROSS JOIN range(0, 64) t(d)
 )"""
-        cand = """
-  SELECT q.vec_id AS qid, n.vec_id AS nid
-  FROM embeddings q CROSS JOIN embeddings n
-  WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id"""
-    body = [prefix, f""",
+
+
+def _pq_training_ctes() -> str:
+    """The codebook-training CTE chain (md5-48 sample → pb0 init →
+    ``_PQ_ITERS`` unrolled Lloyd rounds; final codebook CTE is
+    ``pb{_PQ_ITERS}``), assuming a ``qv`` CTE is already in scope.
+    Factored out of :func:`_pq_oracle` so the cross-engine fuzz harness
+    can SELECT the trained codebook directly and pit it against
+    :func:`_pq_lloyd` on arbitrary inputs."""
+    sub = 64 // _PQ_M
+    body = [f""",
 smp AS (
   SELECT vec_id, row_number() OVER (
            ORDER BY CAST('0x' || substr(md5('pq_'
@@ -1014,7 +1007,9 @@ pa{it} AS (
   WHERE rnk = 1
 ),
 pu{it} AS (
-  SELECT a.m, a.code, x.j, SUM(x.q) // count(*) AS c
+  SELECT a.m, a.code, x.j,
+         (SUM(x.q) - ((SUM(x.q) % count(*)) + count(*)) % count(*))
+           // count(*) AS c
   FROM pa{it} a JOIN sx x ON x.vec_id = a.vec_id AND x.m = a.m
   GROUP BY a.m, a.code, x.j
 ),
@@ -1024,7 +1019,37 @@ pb{it} AS (
     ON u.m = p.m AND u.code = p.code AND u.j = p.j
 )""")
         prev = f"pb{it}"
-    body.append(f""",
+    return "".join(body)
+
+
+def _pq_oracle(probed: bool) -> str:
+    """DuckDB twin of the integer PQ pipeline (r10): replays codebook
+    TRAINING (md5-48 sample, ``_PQ_ITERS`` Lloyd rounds per subspace —
+    all ``_PQ_M`` subspaces ride the SAME unrolled CTEs via the ``m``
+    grouping column, so the SQL does not grow with M), corpus ENCODING
+    (argmin squared distance, ties → lowest code), the exact-int ADC
+    over each query's lookup table, the shortlist cut by
+    adc/sqrt(reconstructed-norm²) — one IEEE division of exact integers,
+    bit-identical to Spark's — and the float-cosine re-rank in index
+    order (the proven bruteforce-oracle formulation). ``probed=True``
+    prepends the shared coarse k-means replay (:func:`_coarse_ctes`)
+    and restricts candidates to each query's nprobe lists;
+    ``probed=False`` is the exhaustive-ADC twin."""
+    if probed:
+        prefix = _coarse_ctes()
+        cand = """
+  SELECT p.qid, a.vec_id AS nid
+  FROM probed p JOIN afin a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.qid"""
+    else:
+        prefix = _PQ_QV_PREFIX
+        cand = """
+  SELECT q.vec_id AS qid, n.vec_id AS nid
+  FROM embeddings q CROSS JOIN embeddings n
+  WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id"""
+    sub = 64 // _PQ_M
+    prev = f"pb{_PQ_ITERS}"
+    body = [prefix, _pq_training_ctes(), f""",
 fsv AS (SELECT vec_id, d // {sub} AS m, d % {sub} AS j, q FROM qv),
 ed AS (
   SELECT x.vec_id, x.m, b.code, SUM((x.q - b.c) * (x.q - b.c)) AS ds
@@ -1092,7 +1117,7 @@ SELECT qid, nid, cos_sim, rank FROM (
          row_number() OVER (PARTITION BY qid
                             ORDER BY cos_sim DESC, nid) AS rank
   FROM rr) x
-WHERE rank <= 5""")
+WHERE rank <= 5"""]
     return "".join(body)
 
 
@@ -1202,6 +1227,17 @@ def train_pq_codebooks(emb: DataFrame, vec_col: str = "embedding",
     )
     x = _quantize20(np.stack([np.asarray(r[0], dtype=np.float64)
                               for r in rows]))
+    return _pq_lloyd(x, dim)
+
+
+def _pq_lloyd(x, dim: int = 64):
+    """Pure integer Lloyd core over the ORDERED quantized sample matrix
+    (n, dim) int64 — factored out of :func:`train_pq_codebooks` so the
+    cross-engine fuzz harness (tests/test_portable_hash.py) can pit it
+    against the SQL twin's training CTEs on arbitrary inputs without a
+    SparkSession."""
+    import numpy as np
+
     sub = dim // _PQ_M
     books = np.empty((_PQ_M, _PQ_K, sub), dtype=np.int64)
     for m in range(_PQ_M):
@@ -1214,7 +1250,8 @@ def train_pq_codebooks(emb: DataFrame, vec_col: str = "embedding",
             for k in range(_PQ_K):
                 pts = xs[a == k]
                 if len(pts):
-                    # FLOOR division: numpy // floors like SQL //
+                    # FLOOR division (numpy); the SQL twin spells exact
+                    # floor via pmod — DuckDB's bare // truncates
                     nxt[k] = pts.sum(axis=0) // len(pts)
             cb = nxt
         books[m] = cb
