@@ -89,3 +89,32 @@ def test_bpe_merge_fold_handles_overlaps(spark):
         ["b", "aa"],
         [],
     ]
+
+
+def test_bpe_oracle_matches_python_reference():
+    """The unrolled DuckDB twin of bpe_learn (lm.py:_bpe_merge_ctes)
+    must reproduce the pure-Python greedy reference exactly — pinned on
+    adversarial corpora exercising the gaps-and-islands closed form:
+    same-symbol runs of every parity (where naive string replace()
+    diverges from greedy LTR), alternating pairs, and overlap chains.
+    No Spark needed: this pins the ORACLE side; the Spark side is
+    pinned against the same reference above."""
+    import duckdb
+
+    from xml_hive_spark.operators.lm import _bpe_oracle
+
+    cases = [
+        ["aaa aaaa aaaaa aaaaaa", "ab ab abab", "aaa"],
+        ["xyxyxy yxyxyx", "zzzz zzz zz z"],
+        ["the cat sat on the mat", "the bat and the cat"],
+        ["aa aa aa bb", "aabb aabb", "abab baba ab"],
+    ]
+    for texts in cases:
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(text VARCHAR)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?)", [(t,) for t in texts]
+        )
+        got = [tuple(r) for r in con.execute(_bpe_oracle(6)).fetchall()]
+        exp = _python_bpe(texts, 6)
+        assert got == [tuple(e) for e in exp], (texts, got, exp)

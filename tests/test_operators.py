@@ -41,22 +41,26 @@ def test_registry_complete():
     oracled = [n for n, q in reg.items() if q.oracle is not None]
     assert len(oracled) >= 65
     # rows-only entries are the genuinely non-SQL-expressible ones.
-    # Re-audited round 10 (three conversions: the two PQ entries — the
+    # Re-audited round 10 (four conversions: the two PQ entries — the
     # r9 "16x the kmeans oracle" size estimate was wrong, all 16
     # subspaces ride the SAME unrolled CTEs via an ``m`` grouping
-    # column — and streaming_vector_ingest, whose "seeded k-means"
-    # blocker went stale when the coarse trainer became md5-48 +
-    # integer-exact in r9); every remaining entry's blocker is named
-    # inline and none is a portable-hash, flushed-prefix, or
-    # grouped-unroll case — those patterns are exhausted.
+    # column — streaming_vector_ingest, whose "seeded k-means" blocker
+    # went stale when the coarse trainer became md5-48 + integer-exact
+    # in r9, and bpe_learn_merges, whose "iterative argmax" blocker
+    # fell to the k-means-style unroll once the greedy merge-apply
+    # step got a gaps-and-islands closed form, lm.py:_bpe_merge_ctes);
+    # every remaining entry's blocker is named inline.
     rows_only = sorted(n for n, q in reg.items() if q.oracle is None)
     assert rows_only == [
         "agg_approx_distinct",  # Spark-internal HLL++ registers;
         # error bound pinned below
         "agg_approx_percentiles",  # sketch internals; error bound pinned below
-        "bpe_learn_merges",  # iterative argmax loop — pure-Python BPE
-        # parity pinned in test_lm
-        "embedding_pca_project",  # eigendecomposition — not SQL-expressible;
+        "embedding_pca_project",  # eigendecomposition — not
+        # SQL-expressible (no closed form past the 4x4 characteristic
+        # quartic, and the r10 power-iteration audit found the corpus
+        # spectrum near-flat: lambda2/lambda1 = 0.93-0.99, so an
+        # unrolled iterative twin would NOT be PCA — the honest oracle
+        # is the 2x2 closed-form witness pca_explained_variance_2d);
         # numpy parity pinned in test_embeddings
         "logreg_train_distributed",  # iterated sigmoid GD — exp() is
         # not cross-libm bit-reproducible, so no exact twin exists

@@ -320,17 +320,20 @@ _DRIVER_WINDOW = [
 # ZERO and r10 added no registry entries ahead of the window. No rule-4
 # evictions in r10 (the three result-semantics/oracle changes that had
 # to be in-window — cosine_topk_ivf_pq, cosine_topk_ivf_pq_probed —
-# already were). One oracle-only upgrade outside the window
-# (streaming_vector_ingest, rows-only → full coarse-replay twin) leads
-# per the r8 convention; then the oldest-driver-evidence refresh
-# cohort, (vintage, name)-sorted: the complete r6-vintage block outside
+# already were). Two oracle-only upgrades outside the window
+# (streaming_vector_ingest, rows-only → full coarse-replay twin;
+# bpe_learn_merges, rows-only → full unrolled-argmax twin with the
+# gaps-and-islands merge apply, lm.py:_bpe_merge_ctes) lead per the r8
+# convention; then the oldest-driver-evidence refresh cohort,
+# (vintage, name)-sorted: the complete r6-vintage block outside
 # the r10 window (46 rows — TPC-H q2/q7-q9/q11/q13/q15-q17/q19-q22,
 # the set/window/agg families, scan_project_filter, scd2_merge, the
-# r2-converted dedup siblings) cut at 50 with the first three r7 rows
-# (agg_argmax_argmin, audio_resample_decimate, avro_roundtrip)
-# name-sorted; bpe_learn_merges drops to the r12 tail.
+# r2-converted dedup siblings) cut at 50 with the first two r7 rows
+# (agg_argmax_argmin, audio_resample_decimate) name-sorted;
+# avro_roundtrip drops to the r12 tail.
 # _R11_WINDOW_PLAN = [
 #     "streaming_vector_ingest",
+#     "bpe_learn_merges",
 #     "agg_cube",
 #     "agg_grouping_id",
 #     "agg_percentiles_array",
@@ -379,7 +382,6 @@ _DRIVER_WINDOW = [
 #     "window_value_functions",
 #     "agg_argmax_argmin",
 #     "audio_resample_decimate",
-#     "avro_roundtrip",
 # ]
 
 

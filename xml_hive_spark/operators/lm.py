@@ -302,12 +302,102 @@ def bpe_learn(spark: SparkSession, sf: str, n_merges: int = 6) -> DataFrame:
     )
 
 
-@query("bpe_learn_merges", tags=("text", "bpe", "tokenizer", "iterative"))
+def _bpe_merge_ctes(r: int) -> str:
+    """One unrolled BPE training iteration for the DuckDB twin: pair
+    counts over ``v{r-1}``, argmax ``m{r}`` ((count desc, pair asc) —
+    binary collation in both engines), then the greedy left-to-right
+    non-overlapping apply producing ``v{r}``.
+
+    The apply step is the part long believed non-SQL-expressible; it has
+    a closed form. A position ``i`` "hits" when (syms[i], syms[i+1]) =
+    (a, b). Two hits can only be adjacent when a = b (a hit at i-1 and
+    at i forces syms[i] = b and syms[i] = a), so greedy LTR application
+    reduces to gaps-and-islands parity: within each maximal run of
+    consecutive hit positions, merges start at odd ranks (an isolated
+    hit is rank 1 → always starts). A position is consumed iff its
+    predecessor started a merge. Verified against the pure-Python
+    greedy reference on run-heavy adversarial corpora in
+    tests/test_lm.py::test_bpe_oracle_matches_python_reference."""
+    return f"""
+p{r} AS (
+  SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+    SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b, n
+    FROM v{r - 1}, unnest(generate_series(1, len(syms) - 1)) t(i)
+    WHERE len(syms) >= 2
+  ) GROUP BY a, b
+),
+m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+e{r} AS (
+  SELECT v.w, v.n, CAST(t.i AS INT) AS pos, v.syms[CAST(t.i AS INT)] AS s,
+         v.syms[CAST(t.i AS INT) + 1] AS ns,
+         CASE WHEN CAST(t.i AS INT) < len(v.syms)
+                   AND v.syms[CAST(t.i AS INT)] = m.a
+                   AND v.syms[CAST(t.i AS INT) + 1] = m.b
+              THEN 1 ELSE 0 END AS hit
+  FROM v{r - 1} v CROSS JOIN m{r} m,
+       unnest(generate_series(1, len(v.syms))) t(i)
+),
+y{r} AS (
+  SELECT *, pos - row_number() OVER (PARTITION BY w, hit ORDER BY pos) AS isl
+  FROM e{r}
+),
+z{r} AS (
+  SELECT *,
+         CASE WHEN hit = 1
+              AND row_number() OVER (PARTITION BY w, hit, isl ORDER BY pos)
+                  % 2 = 1
+              THEN 1 ELSE 0 END AS st
+  FROM y{r}
+),
+c{r} AS (
+  SELECT *, coalesce(lag(st) OVER (PARTITION BY w ORDER BY pos), 0) AS consumed
+  FROM z{r}
+),
+v{r} AS (
+  SELECT w, n,
+         list(CASE WHEN st = 1 THEN s || ns ELSE s END ORDER BY pos) AS syms
+  FROM c{r} WHERE consumed = 0
+  GROUP BY w, n
+)"""
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
+    """Full DuckDB twin of :func:`bpe_learn`: the word-frequency table
+    seeded from the shared tokenization convention, ``n_merges``
+    iterations unrolled via :func:`_bpe_merge_ctes`, and the merge table
+    assembled from the per-iteration argmax CTEs. Assumes the corpus
+    yields at least ``n_merges`` distinct pairs (true at every driver
+    SF; the Spark side breaks early on exhaustion, the oracle would
+    instead propagate an empty CTE)."""
+    parts = [f"""
+WITH v0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n,
+         list_transform(generate_series(1, length(w)),
+                        i -> substr(w, CAST(i AS INT), 1)) AS syms
+  FROM (SELECT unnest({_DUCK_TOKENS}) AS w FROM documents)
+  GROUP BY w
+)"""]
+    for r in range(1, n_merges + 1):
+        parts.append("," + _bpe_merge_ctes(r))
+    sel = "\nUNION ALL\n".join(
+        f'SELECT CAST({r} AS INT) AS "rank", a AS "left", b AS "right",'
+        f" a || b AS merged, cnt AS n FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append(f'\nSELECT * FROM ({sel}) ORDER BY "rank"')
+    return "".join(parts)
+
+
+@query("bpe_learn_merges", oracle=_bpe_oracle(6),
+       tags=("text", "bpe", "tokenizer", "iterative"))
 def bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
     """First 6 learned BPE merges (rank, pair, merged symbol, count).
 
-    Rows-only driver check BY DESIGN: the merge loop is iterative
-    argmax (not SQL-expressible in one statement); exact parity against
-    a pure-Python BPE reference on the same corpus is asserted in
-    tests/test_lm.py."""
+    FULL value oracle since r10 (was rows-only: "iterative argmax is
+    not SQL-expressible" — the argmax unrolls like the k-means oracle,
+    and the greedy merge apply turned out to have a gaps-and-islands
+    closed form, see :func:`_bpe_merge_ctes`). Exact parity against a
+    pure-Python BPE reference on the same corpus is asserted in
+    tests/test_lm.py for the Spark loop AND for the oracle SQL on
+    adversarial run-heavy corpora."""
     return bpe_learn(spark, sf, 6)
