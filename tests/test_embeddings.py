@@ -93,12 +93,45 @@ class TestProjectionQuery:
             assert np.allclose(got, expected[r.vec_id], atol=2e-6)
 
 
+def _py_quantized_logreg(x, y01, iters):
+    """Single-process exact-int reference of the r10 portable trainer
+    (embeddings.logreg_fit): same quantization, same fixed-order
+    fast-sigmoid IEEE tree, same truncating-division update."""
+    import math
+
+    import numpy as np
+
+    from xml_hive_spark.operators.embeddings import _Q20I, _tdiv
+
+    xq = [
+        [int(v) for v in np.floor(xi * 1048576.0).astype(np.int64)] + [_Q20I]
+        for xi in np.asarray(x, dtype=np.float64)
+    ]
+    yq = [int(v) * _Q20I for v in y01]
+    n = len(xq)
+    w = [0] * 65
+    for _ in range(iters):
+        g = [0] * 65
+        for row, yv in zip(xq, yq):
+            dot = sum(wj * xj for wj, xj in zip(w, row))
+            z = dot / float(1 << 40)
+            p = 0.5 + (0.5 * z) / (1.0 + abs(z))
+            r = math.floor(p * 1048576.0) - yv
+            for j in range(65):
+                g[j] += r * row[j]
+        w = [wj - _tdiv(gj, n * _Q20I) for wj, gj in zip(w, g)]
+    return w, xq
+
+
 class TestLogregDistributed:
-    def test_matches_numpy_full_batch(self, spark, sf_dir):
-        """The distributed partial-gradient loop must match a
-        single-process numpy implementation of the identical
-        full-batch GD (same init, lr, iterations) to float tolerance,
-        and beat the majority-class baseline."""
+    def test_exact_integer_replay(self, spark, sf_dir):
+        """The distributed trainer must match the single-process
+        exact-int reference BIT FOR BIT (integer equality, not
+        allclose) — the portability property the r10 rewrite exists
+        for: same weights regardless of partitioning or engine. Also:
+        the query's confusion summary must beat the majority class and
+        its decisions must substantially agree with the float
+        exp-sigmoid reference trained the same way."""
         import numpy as np
         import pyspark.sql.functions as F
 
@@ -106,18 +139,14 @@ class TestLogregDistributed:
         from xml_hive_spark.operators.embeddings import logreg_fit
 
         emb = t(spark, sf_dir, "embeddings").select(
-            "embedding", (F.col("label") % 2).cast("double").alias("y")
+            "embedding", (F.col("label") % 2).cast("long").alias("y")
         )
         w = logreg_fit(emb)
         rows = emb.collect()
         x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
-        y = np.array([r.y for r in rows])
-        xb = np.hstack([x, np.ones((len(y), 1))])
-        wn = np.zeros(65)
-        for _ in range(20):
-            p = 1.0 / (1.0 + np.exp(-(xb @ wn)))
-            wn = wn - 1.0 * (xb.T @ (p - y)) / len(y)
-        assert np.allclose(w, wn, rtol=1e-8, atol=1e-10)
+        y = np.array([r.y for r in rows], dtype=np.float64)
+        wn, xq = _py_quantized_logreg(x, y.astype(int), 20)
+        assert w == wn  # exact integers — the whole point
 
         out = all_queries()["logreg_train_distributed"].fn(spark, sf_dir)
         res = out.collect()
@@ -125,9 +154,28 @@ class TestLogregDistributed:
         correct = sum(r.n for r in res if r.true_class == r.predicted_class)
         majority = max(y.mean(), 1 - y.mean())
         assert correct / total > majority
+        assert all(r.w_l1q == sum(abs(v) for v in w) for r in res)
 
-    def test_loss_descends(self, spark, sf_dir):
-        """More iterations must not increase the full-batch loss."""
+        # decision agreement with the classic exp-sigmoid trainer: the
+        # fast-sigmoid surrogate must learn essentially the same
+        # boundary (measured 0.88-0.89 across SFs)
+        xb = np.hstack([x, np.ones((len(y), 1))])
+        wf = np.zeros(65)
+        for _ in range(20):
+            p = 1.0 / (1.0 + np.exp(-(xb @ wf)))
+            wf = wf - (xb.T @ (p - y)) / len(y)
+        pred_exp = (xb @ wf) > 0
+        pred_q = np.array(
+            [sum(wj * xj for wj, xj in zip(w, row)) > 0 for row in xq]
+        )
+        assert (pred_q == pred_exp).mean() > 0.8
+
+    def test_surrogate_loss_descends(self, spark, sf_dir):
+        """More iterations must not increase the surrogate loss the
+        fast-sigmoid gradient descends: L(w) = mean(F(z) − y·z) with
+        F' = p, F(z) = 0.5·z + 0.5·sign(z)·(|z| − log1p(|z|)) — convex
+        because p is increasing (quantization adds ≤2^-20 noise per
+        step, hence the tolerance)."""
         import numpy as np
         import pyspark.sql.functions as F
 
@@ -135,18 +183,19 @@ class TestLogregDistributed:
         from xml_hive_spark.operators.embeddings import logreg_fit
 
         emb = t(spark, sf_dir, "embeddings").select(
-            "embedding", (F.col("label") % 2).cast("double").alias("y")
+            "embedding", (F.col("label") % 2).cast("long").alias("y")
         )
         rows = emb.collect()
         x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
-        y = np.array([r.y for r in rows])
+        y = np.array([r.y for r in rows], dtype=np.float64)
         xb = np.hstack([x, np.ones((len(y), 1))])
 
-        def loss(w):
+        def loss(wq):
+            w = np.array(wq, dtype=np.float64) / 1048576.0
             z = xb @ w
-            return float(np.mean(np.log1p(np.exp(-np.abs(z)))
-                                 + np.maximum(z, 0) - z * y))
+            fz = 0.5 * z + 0.5 * np.sign(z) * (np.abs(z) - np.log1p(np.abs(z)))
+            return float(np.mean(fz - y * z))
 
         w5 = logreg_fit(emb, iters=5)
         w20 = logreg_fit(emb, iters=20)
-        assert loss(w20) <= loss(w5) + 1e-12
+        assert loss(w20) <= loss(w5) + 1e-6

@@ -41,14 +41,18 @@ def test_registry_complete():
     oracled = [n for n, q in reg.items() if q.oracle is not None]
     assert len(oracled) >= 65
     # rows-only entries are the genuinely non-SQL-expressible ones.
-    # Re-audited round 10 (four conversions: the two PQ entries — the
+    # Re-audited round 10 (five conversions: the two PQ entries — the
     # r9 "16x the kmeans oracle" size estimate was wrong, all 16
     # subspaces ride the SAME unrolled CTEs via an ``m`` grouping
     # column — streaming_vector_ingest, whose "seeded k-means" blocker
     # went stale when the coarse trainer became md5-48 + integer-exact
-    # in r9, and bpe_learn_merges, whose "iterative argmax" blocker
-    # fell to the k-means-style unroll once the greedy merge-apply
-    # step got a gaps-and-islands closed form, lm.py:_bpe_merge_ctes);
+    # in r9; bpe_learn_merges, whose "iterative argmax" blocker fell
+    # to the k-means-style unroll once the greedy merge-apply step got
+    # a gaps-and-islands closed form (lm.py:_bpe_merge_ctes); and
+    # logreg_train_distributed, whose "exp() is not cross-libm
+    # bit-reproducible" blocker was removed at the SOURCE — the r10
+    # trainer uses a rational fast sigmoid + integer-exact reductions,
+    # so training itself became engine- and partitioning-independent);
     # every remaining entry's blocker is named inline.
     rows_only = sorted(n for n, q in reg.items() if q.oracle is None)
     assert rows_only == [
@@ -59,12 +63,10 @@ def test_registry_complete():
         # SQL-expressible (no closed form past the 4x4 characteristic
         # quartic, and the r10 power-iteration audit found the corpus
         # spectrum near-flat: lambda2/lambda1 = 0.93-0.99, so an
-        # unrolled iterative twin would NOT be PCA — the honest oracle
-        # is the 2x2 closed-form witness pca_explained_variance_2d);
-        # numpy parity pinned in test_embeddings
-        "logreg_train_distributed",  # iterated sigmoid GD — exp() is
-        # not cross-libm bit-reproducible, so no exact twin exists
-        # (r9 re-audit); numpy parity in test_embeddings
+        # unrolled iterative twin would NOT converge to PCA — the
+        # honest oracle is the 2x2 closed-form witness
+        # pca_explained_variance_2d); numpy parity pinned in
+        # test_embeddings
     ]
 
 

@@ -259,6 +259,10 @@ _FANOUT_STATS_WARNED = False
 # list) applied mechanically at round start — the five r4/r5-vintage
 # scalar-function shapes + the four r9 rule-4 evictions lead, then the
 # oldest-driver-evidence refresh cohort (r4 remainder, r5 block).
+# Late-r10 rule-4 swap: logreg_train_distributed's result semantics
+# changed (portable quantized fast-sigmoid trainer + w_l1q witness,
+# rows-only → full oracle) so it enters; xml_write_roundtrip (r8
+# driver evidence, refresh-tail) evicted to the r11 plan.
 _DRIVER_WINDOW = [
     "conditional_functions",
     "from_json_struct",
@@ -309,7 +313,7 @@ _DRIVER_WINDOW = [
     "window_running_sum",
     "source_stats",
     "xml_stream_scan",
-    "xml_write_roundtrip",
+    "logreg_train_distributed",
 ]
 
 # ROUND-11 WINDOW, PRE-ENUMERATED (apply mechanically at r11 start:
@@ -324,16 +328,18 @@ _DRIVER_WINDOW = [
 # (streaming_vector_ingest, rows-only → full coarse-replay twin;
 # bpe_learn_merges, rows-only → full unrolled-argmax twin with the
 # gaps-and-islands merge apply, lm.py:_bpe_merge_ctes) lead per the r8
-# convention; then the oldest-driver-evidence refresh cohort,
-# (vintage, name)-sorted: the complete r6-vintage block outside
-# the r10 window (46 rows — TPC-H q2/q7-q9/q11/q13/q15-q17/q19-q22,
-# the set/window/agg families, scan_project_filter, scd2_merge, the
-# r2-converted dedup siblings) cut at 50 with the first two r7 rows
-# (agg_argmax_argmin, audio_resample_decimate) name-sorted;
-# avro_roundtrip drops to the r12 tail.
+# convention, then xml_write_roundtrip (the late-r10 rule-4 eviction
+# that made room for logreg_train_distributed); then the
+# oldest-driver-evidence refresh cohort, (vintage, name)-sorted: the
+# complete r6-vintage block outside the r10 window (46 rows — TPC-H
+# q2/q7-q9/q11/q13/q15-q17/q19-q22, the set/window/agg families,
+# scan_project_filter, scd2_merge, the r2-converted dedup siblings)
+# cut at 50 with the first r7 row (agg_argmax_argmin);
+# audio_resample_decimate and avro_roundtrip drop to the r12 tail.
 # _R11_WINDOW_PLAN = [
 #     "streaming_vector_ingest",
 #     "bpe_learn_merges",
+#     "xml_write_roundtrip",
 #     "agg_cube",
 #     "agg_grouping_id",
 #     "agg_percentiles_array",
@@ -381,7 +387,6 @@ _DRIVER_WINDOW = [
 #     "window_range_frame",
 #     "window_value_functions",
 #     "agg_argmax_argmin",
-#     "audio_resample_decimate",
 # ]
 
 

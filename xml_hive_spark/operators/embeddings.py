@@ -312,84 +312,223 @@ def embedding_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_Q20I = 1 << 20  # integer twin of similarity._Q20
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) for positive ``b`` —
+    the convention Spark's ``div`` and DuckDB's ``//`` share (Python's
+    ``//`` floors, so the driver-side twin needs this helper)."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
 def logreg_fit(
     emb: DataFrame,
     vec_col: str = "embedding",
     label_col: str = "y",
     dim: int = 64,
     iters: int = 20,
-    lr: float = 1.0,
-):
-    """Distributed full-batch logistic regression: per iteration ONE
-    mapInArrow pass emits each partition's gradient partial
-    (Σ (σ(Xw) − y)·x and the loss partial); the driver sums P partials
-    and takes the step — it holds ONLY the (dim+1) weight vector, never
-    a data row (the PCA/k-means partial-sums pattern applied to
-    supervised training). Deterministic: full-batch (no sampling, no
-    row-order dependence — partial sums are float adds over disjoint
-    partitions combined in sorted partition order), fixed iterations,
-    zero-initialized weights."""
+) -> list[int]:
+    """Distributed full-batch logistic-regression training, PORTABLE
+    AND BIT-REPRODUCIBLE (r10 rewrite): returns the ``dim + 1``
+    quantized integer weights (scale 2^20, bias last).
+
+    The r9 blocker on oracling this operator was that libm ``exp()`` is
+    not bit-reproducible across engines. The r10 trainer removes exp()
+    from the loop entirely: the link is the rational fast sigmoid
+    p = 0.5 + (0.5·z)/(1 + |z|) — an increasing link whose integral is
+    convex, so full-batch GD on the induced surrogate loss still
+    descends (pinned in tests) — evaluated in a FIXED-ORDER IEEE double
+    expression; everything else is exact integer arithmetic:
+
+    - features xq = floor(x·2^20) (the ``q20`` convention), bias 2^20;
+    - per-row score dotq = Σ wq·xq — exact int64 (|dotq| ≤ 2^48), a
+      literal-weights codegen expression, no UDF, no join;
+    - z = dotq/2^40 (one exact-operand IEEE division), pq = floor(p·2^20);
+    - gradient gq_j = Σ (pq − yq)·xq_j — INTEGER sums (decimal(38,0)
+      accumulators for overflow headroom at real scale), so partial
+      aggregation is ORDER-FREE: any partitioning, any executor count,
+      any add order produces the same bits;
+    - update wq −= tdiv(gq, n·2^20) in exact driver-side Python ints.
+
+    That makes training results independent of cluster size AND
+    engine — the property a 1000-executor retraining job needs for
+    reproducibility audits — and SQL-replayable (the driver oracle
+    unrolls the loop as materialized CTEs). Per iteration: ONE
+    mapInArrow pass over the persisted quantized corpus emitting each
+    partition's int64 gradient partial (numpy integer matmul — exact,
+    so the combine is order-free), summed on the driver in arbitrary-
+    precision Python ints; driver state is 65 ints. (A 65-column
+    SQL-aggregate formulation was tried first and spent 1.5 s/step on
+    plan compilation alone — the arrow pass has a constant-size plan;
+    numbers in SCALE.md.)"""
     import numpy as np
     import pyarrow as pa
 
-    data = emb.select(vec_col, label_col)
-    w = np.zeros(dim + 1)
+    qdf = emb.select(
+        (F.col(label_col).cast("long") * F.lit(_Q20I)).alias("yq"),
+        F.concat(
+            F.expr(
+                f"transform({vec_col}, v -> CAST(floor(CAST(v AS DOUBLE)"
+                " * 1048576.0) AS BIGINT))"
+            ),
+            F.array(F.lit(_Q20I).cast("long")),
+        ).alias("xs"),
+    ).persist()
+    try:
+        n = qdf.count()
+        if n == 0:
+            raise ValueError("logreg_fit: empty corpus")
+        w = [0] * (dim + 1)
+        for _ in range(iters):
+            wb = np.asarray(w, dtype=np.int64)  # |w| << 2^63
 
-    for _ in range(iters):
-        wb = w.copy()
+            def grad_partials(batches):
+                g = np.zeros(dim + 1, dtype=np.int64)
+                for b in batches:
+                    if b.num_rows == 0:
+                        continue
+                    yq = b.column("yq").to_numpy(zero_copy_only=False)
+                    m = np.asarray(
+                        b.column("xs").to_pylist(), dtype=np.int64
+                    )
+                    dot = m @ wb  # exact: |dot| <= 2^48
+                    z = dot.astype(np.float64) / float(1 << 40)
+                    p = 0.5 + (0.5 * z) / (1.0 + np.abs(z))
+                    pq = np.floor(p * 1048576.0).astype(np.int64)
+                    # per-partition partial is exact int64 (|rq·xq| <=
+                    # 2^40 per row -> ~2^13 rows of headroom per Arrow
+                    # batch is ample; bigger batches would chunk here)
+                    g += m.T @ (pq - yq)
+                yield pa.record_batch(
+                    {"g": pa.array([g.tolist()], pa.list_(pa.int64()))}
+                )
 
-        def grad_partials(batches):
-            g = np.zeros(dim + 1)
-            n = 0
-            for b in batches:
-                x = np.stack(b.column(0).to_pylist()).astype(np.float64)
-                y = np.asarray(b.column(1).to_pylist(), dtype=np.float64)
-                xb = np.hstack([x, np.ones((len(y), 1))])
-                p = 1.0 / (1.0 + np.exp(-(xb @ wb)))
-                g += xb.T @ (p - y)
-                n += len(y)
-            yield pa.RecordBatch.from_pydict(
-                {"pid": [0], "g": [g.tolist()], "n": [n]}
-            )
-
-        parts = data.mapInArrow(
-            grad_partials, schema="pid long, g array<double>, n long"
-        ).collect()
-        total_n = sum(r.n for r in parts)
-        g = np.zeros(dim + 1)
-        for r in sorted(parts, key=lambda r: tuple(r.g)):
-            g += np.asarray(r.g)
-        w = w - lr * g / max(total_n, 1)
-    return w
+            parts = qdf.mapInArrow(grad_partials, "g array<long>").collect()
+            gt = [sum(int(r.g[j]) for r in parts) for j in range(dim + 1)]
+            w = [w[j] - _tdiv(gt[j], n * _Q20I) for j in range(dim + 1)]
+        return w
+    finally:
+        qdf.unpersist()
 
 
-@query("logreg_train_distributed",
+def _logreg_iteration_ctes(r: int) -> str:
+    """One unrolled GD step for the DuckDB twin of :func:`logreg_fit`:
+    per-row integer score vs ``w{r-1}``, the fixed-order fast-sigmoid
+    expression (the identical IEEE tree the Spark side evaluates),
+    integer gradient sums, truncating-division weight update.
+    MATERIALIZED is load-bearing twice over: each ``w{r}`` is referenced
+    by both ``d{r+1}`` and ``w{r+1}``, so inlined CTEs would expand
+    2^iters; and inlined scans would reopen the parquet file per
+    reference (fd exhaustion at 20 iterations)."""
+    return f""",
+d{r} AS MATERIALIZED (
+  SELECT f.vec_id,
+         CAST(CAST(sum(f.xq * w.wq) AS BIGINT) AS DOUBLE)
+             / 1099511627776.0 AS z
+  FROM feat f JOIN w{r - 1} w ON f.j = w.j GROUP BY f.vec_id
+),
+r{r} AS MATERIALIZED (
+  SELECT d.vec_id,
+         CAST(floor((0.5 + (0.5 * d.z) / (1.0 + abs(d.z)))
+                    * 1048576.0) AS BIGINT) - l.yq AS rq
+  FROM d{r} d JOIN lab l ON d.vec_id = l.vec_id
+),
+g{r} AS MATERIALIZED (
+  SELECT f.j, CAST(sum(r.rq * f.xq) AS BIGINT) AS gq
+  FROM feat f JOIN r{r} r ON f.vec_id = r.vec_id GROUP BY f.j
+),
+w{r} AS MATERIALIZED (
+  SELECT w.j, w.wq - g.gq // (1048576 * (SELECT n FROM nn)) AS wq
+  FROM w{r - 1} w JOIN g{r} g ON w.j = g.j
+)"""
+
+
+def _logreg_oracle(iters: int = 20) -> str:
+    """Full DuckDB twin of the r10 portable trainer: quantized feature
+    table (bias as feature 64), ``iters`` unrolled GD steps, then the
+    confusion summary + Σ|wq| witness from the final weights."""
+    parts = ["""
+WITH feat AS MATERIALIZED (
+  SELECT vec_id, t.j AS j,
+         CASE WHEN t.j = 64 THEN CAST(1048576 AS BIGINT)
+              ELSE CAST(floor(CAST(embedding[t.j + 1] AS DOUBLE)
+                              * 1048576.0) AS BIGINT) END AS xq
+  FROM embeddings CROSS JOIN range(0, 65) t(j)
+),
+lab AS MATERIALIZED (
+  SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+         CAST(label % 2 AS BIGINT) * 1048576 AS yq
+  FROM embeddings
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+w0 AS MATERIALIZED (
+  SELECT CAST(t.j AS BIGINT) AS j, CAST(0 AS BIGINT) AS wq
+  FROM range(0, 65) t(j))"""]
+    for r in range(1, iters + 1):
+        parts.append(_logreg_iteration_ctes(r))
+    parts.append(f""",
+fin AS MATERIALIZED (
+  SELECT f.vec_id, CAST(sum(f.xq * w.wq) AS BIGINT) AS dotq
+  FROM feat f JOIN w{iters} w ON f.j = w.j GROUP BY f.vec_id
+),
+l1 AS (SELECT CAST(sum(abs(wq)) AS BIGINT) AS w_l1q FROM w{iters})
+SELECT l.y AS true_class,
+       CASE WHEN fin.dotq > 0 THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS predicted_class,
+       CAST(count(*) AS BIGINT) AS n,
+       (SELECT w_l1q FROM l1) AS w_l1q
+FROM fin JOIN lab l ON fin.vec_id = l.vec_id
+GROUP BY 1, 2, 4
+ORDER BY true_class, predicted_class""")
+    return "".join(parts)
+
+
+@query("logreg_train_distributed", oracle=_logreg_oracle(20),
        tags=("embeddings", "ml", "iterative", "logistic-regression"))
 def logreg_train_distributed(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed LOGISTIC-REGRESSION training over the embedding
     corpus (binary target: odd label) — the supervised member of the
     iterative family (k-means, PCA, PageRank, BPE): 20 full-batch
-    gradient steps, each ONE mapInArrow partial-gradient pass; the
-    driver state is a 65-float weight vector. Rows-only by design
-    (an iterated sigmoid/exp chain is not SQL-expressible and not
-    bit-stable cross-engine); numpy full-batch parity, loss descent,
-    and accuracy-above-majority are pinned in tests/test_embeddings.py.
-    Output: per true class, prediction counts from the trained model —
-    a bounded confusion summary."""
+    gradient steps, each ONE codegen scan + global aggregate over the
+    persisted quantized corpus; the driver state is 65 integer weights.
+
+    FULL value oracle since r10 (was rows-only: "iterated sigmoid GD —
+    exp() is not cross-libm bit-reproducible"): the r10 trainer
+    (:func:`logreg_fit`) replaced exp() with the rational fast sigmoid
+    and made every cross-row reduction an exact integer sum, so the
+    whole training run is bit-reproducible across engines, partition
+    layouts, and cluster sizes — the DuckDB twin unrolls the identical
+    20 steps as materialized CTEs. Exact integer-weight replay parity,
+    surrogate-loss descent, accuracy-above-majority, and decision
+    agreement with the exp-sigmoid float reference are pinned in
+    tests/test_embeddings.py.
+
+    Output: per true class, prediction counts from the trained model
+    (bounded confusion summary) + the Σ|wq| weight witness — the
+    constant column makes the driver hash cover the weights themselves,
+    not just the decisions they induce."""
     emb = t(spark, sf, "embeddings").select(
-        "embedding", (F.col("label") % 2).cast("double").alias("y")
+        "embedding", (F.col("label") % 2).cast("long").alias("y")
     )
     w = logreg_fit(emb)
-    wl = [float(v) for v in w]
+    w_l1q = sum(abs(v) for v in w)
     dot = sum(
-        F.col("embedding")[i].cast("double") * F.lit(wl[i]) for i in range(64)
-    ) + F.lit(wl[64])
+        (F.lit(w[i]) * F.floor(
+            F.col("embedding")[i].cast("double") * F.lit(1048576.0)
+        ).cast("long") for i in range(1, 64)),
+        start=F.lit(w[0]) * F.floor(
+            F.col("embedding")[0].cast("double") * F.lit(1048576.0)
+        ).cast("long"),
+    ) + F.lit(w[64] * _Q20I)
     return (
         emb.select(
-            F.col("y").cast("long").alias("true_class"),
+            F.col("y").alias("true_class"),
             (dot > 0).cast("long").alias("predicted_class"),
         )
         .groupBy("true_class", "predicted_class")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("w_l1q", F.lit(w_l1q).cast("long"))
         .orderBy("true_class", "predicted_class")
     )
