@@ -211,3 +211,74 @@ WITH qv AS (
                 assert got[(m, code, j)] == int(books[m, code, j]), (
                     seed, n, m, code, j, got[(m, code, j)], int(books[m, code, j])
                 )
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31),
+       st.integers(min_value=5, max_value=40))
+def test_logreg_training_duckdb_equals_python(seed, n):
+    """The r10 portable logreg trainer (embeddings.logreg_fit): the
+    full recurrence — q20 feature quantization, fixed-order
+    fast-sigmoid IEEE tree, integer gradient sums, truncating-division
+    updates — must produce IDENTICAL int64 weights from the
+    single-process Python reference (what the Spark mapInArrow pass
+    computes, pinned equal in test_embeddings) and from the oracle's
+    training CTEs (what the driver replays), on arbitrary float32
+    corpora — including planted duplicate rows, an all-zero vector,
+    and single-class labels."""
+    import numpy as np
+
+    from tests.test_embeddings import _py_quantized_logreg
+    from xml_hive_spark.operators.embeddings import _logreg_training_ctes
+
+    rng = np.random.default_rng(seed)
+    vecs = (rng.uniform(-1.0, 1.0, (n, 64))).astype(np.float32)
+    y01 = rng.integers(0, 2, n)
+    if n % 5 == 0:
+        vecs[n // 2] = vecs[0]  # duplicate rows
+    if n % 3 == 0:
+        vecs[n - 1] = 0.0  # zero vector: dot = bias only
+    if n % 11 == 0:
+        y01[:] = 1  # single-class corpus
+    iters = 6
+    w_py, _ = _py_quantized_logreg(vecs.astype(np.float64), y01, iters)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings (vec_id INTEGER, embedding REAL[],"
+        " label INTEGER)"
+    )
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?, ?)",
+        [(i, [float(x) for x in vecs[i]], int(y01[i])) for i in range(n)],
+    )
+    w_duck = [
+        int(r[1]) for r in con.execute(
+            _logreg_training_ctes(iters)
+            + f"\nSELECT j, wq FROM w{iters} ORDER BY j"
+        ).fetchall()
+    ]
+    con.close()
+    assert w_py == w_duck
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=12,
+))
+def test_bpe_oracle_fuzz_equals_python(words):
+    """The unrolled BPE training oracle (lm._bpe_merge_ctes) on random
+    two-symbol corpora — maximal pressure on the gaps-and-islands
+    greedy-apply closed form (same-symbol runs of every length and
+    parity) and on the (count desc, pair asc) argmax tie-break."""
+    from tests.test_lm import _python_bpe
+    from xml_hive_spark.operators.lm import _bpe_oracle
+
+    texts = [" ".join(words[i::3]) for i in range(3) if words[i::3]]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in texts])
+    got = [tuple(r) for r in con.execute(_bpe_oracle(4)).fetchall()]
+    con.close()
+    exp = [tuple(e) for e in _python_bpe(texts, 4)]
+    assert got == exp, (texts, got, exp)

@@ -445,10 +445,12 @@ w{r} AS MATERIALIZED (
 )"""
 
 
-def _logreg_oracle(iters: int = 20) -> str:
-    """Full DuckDB twin of the r10 portable trainer: quantized feature
-    table (bias as feature 64), ``iters`` unrolled GD steps, then the
-    confusion summary + Σ|wq| witness from the final weights."""
+def _logreg_training_ctes(iters: int = 20) -> str:
+    """The WITH-prefix replaying the full training loop: quantized
+    feature table (bias as feature 64), binary labels, then ``iters``
+    unrolled GD steps ending at ``w{iters}``. Shared by the registry
+    oracle and the cross-engine training fuzz
+    (tests/test_portable_hash.py)."""
     parts = ["""
 WITH feat AS MATERIALIZED (
   SELECT vec_id, t.j AS j,
@@ -468,6 +470,14 @@ w0 AS MATERIALIZED (
   FROM range(0, 65) t(j))"""]
     for r in range(1, iters + 1):
         parts.append(_logreg_iteration_ctes(r))
+    return "".join(parts)
+
+
+def _logreg_oracle(iters: int = 20) -> str:
+    """Full DuckDB twin of the r10 portable trainer: the training
+    replay plus the confusion summary + Σ|wq| witness from the final
+    weights."""
+    parts = [_logreg_training_ctes(iters)]
     parts.append(f""",
 fin AS MATERIALIZED (
   SELECT f.vec_id, CAST(sum(f.xq * w.wq) AS BIGINT) AS dotq
