@@ -101,15 +101,22 @@ def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     the (64×8) component matrix shipped in the UDF closure — the same
     broadcast-the-model shape as ``kmeans_assign``.
 
-    Correctness disposition (final): this stays ROWS-ONLY at the
-    driver. The 64-d per-component explained variances are eigenvalues
-    of a 64×64 covariance — there is no closed form past 4×4
-    (Abel–Ruffini) and DuckDB has no iterative eigensolver, so a full
-    value oracle is NOT expressible. The machinery is value-checked
-    two ways instead: ``pca_explained_variance_2d`` runs the SAME
-    moment pipeline where the 2×2 eigenvalues DO have a closed form
-    (full DuckDB hash oracle), and tests/test_embeddings.py pins numpy
-    parity, orthonormality, variance ordering, and fit-vs-closed-form
+    Correctness disposition (final, re-audited r10): this stays
+    ROWS-ONLY at the driver. The 64-d per-component explained variances
+    are eigenvalues of a 64×64 covariance — there is no closed form
+    past 4×4 (Abel–Ruffini) and DuckDB has no iterative eigensolver.
+    An UNROLLED iterative twin was fully designed in r10 (integer
+    power iteration: exact scaled-integer covariance, L∞
+    renormalization, truncating division — all portable) and then
+    REJECTED by measurement: the corpus eigen-spectrum is near-flat
+    (λ₂/λ₁ = 0.93–0.99 at every SF), so a bounded-iteration power
+    method converges to nothing PCA-like and the oracle would
+    hash-check a deterministic non-PCA (SCALE.md, round-10 late). The
+    machinery is value-checked two ways instead:
+    ``pca_explained_variance_2d`` runs the SAME moment pipeline where
+    the 2×2 eigenvalues DO have a closed form (full DuckDB hash
+    oracle), and tests/test_embeddings.py pins numpy parity,
+    orthonormality, variance ordering, and fit-vs-closed-form
     eigenvalue agreement."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
