@@ -114,7 +114,11 @@ def _py_quantized_logreg(x, y01, iters):
         g = [0] * 65
         for row, yv in zip(xq, yq):
             dot = sum(wj * xj for wj, xj in zip(w, row))
-            z = dot / float(1 << 40)
+            # float(dot) FIRST: cast-then-divide, the exact two-step
+            # both engines execute (numpy astype / DuckDB CAST) — a
+            # one-step int/float true division is correctly rounded
+            # and could differ beyond 2^53
+            z = float(dot) / float(1 << 40)
             p = 0.5 + (0.5 * z) / (1.0 + abs(z))
             r = math.floor(p * 1048576.0) - yv
             for j in range(65):
@@ -199,3 +203,19 @@ class TestLogregDistributed:
         w5 = logreg_fit(emb, iters=5)
         w20 = logreg_fit(emb, iters=20)
         assert loss(w20) <= loss(w5) + 1e-6
+
+
+def test_logreg_overflow_guard_fails_loudly(spark):
+    """Adversarial-magnitude features must raise, not wrap silently in
+    the int64 matmuls (which would diverge from the arbitrary-precision
+    references instead of erroring)."""
+    import pytest
+
+    from xml_hive_spark.operators.embeddings import logreg_fit
+
+    big = 1.0e13  # xq ~ 2^63.1 -> n * 2^20 * mx blows the bound
+    df = spark.createDataFrame(
+        [([big] * 64, 1), ([-big] * 64, 0)], "embedding array<double>, y long"
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        logreg_fit(df, iters=1)

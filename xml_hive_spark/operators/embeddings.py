@@ -370,8 +370,35 @@ def logreg_fit(
     SQL-aggregate formulation was tried first and spent 1.5 s/step on
     plan compilation alone — the arrow pass has a constant-size plan;
     numbers in SCALE.md.)"""
+    import math
+
     import numpy as np
     import pyarrow as pa
+
+    # fail-loud overflow contract (the ASCII-guard philosophy): the
+    # int64 quantization and matmuls below would WRAP SILENTLY on
+    # adversarial-magnitude features, diverging from the arbitrary-
+    # precision references instead of erroring — so the magnitude is
+    # checked on the RAW doubles, before any long cast exists. Normal
+    # embedding-like data (|x| ≲ 1 → mx ≈ 2^20) sits ~2^14 under the
+    # bound.
+    n = emb.count()
+    if n == 0:
+        raise ValueError("logreg_fit: empty corpus")
+    mxd = emb.agg(
+        F.max(
+            F.expr(
+                f"aggregate({vec_col}, CAST(0.0 AS DOUBLE),"
+                " (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+            )
+        )
+    ).collect()[0][0]
+    mx = int(math.floor(float(mxd or 0.0) * _Q20I)) + _Q20I  # + bias/floor margin
+    if n * _Q20I * mx > (1 << 62):
+        raise ValueError(
+            f"logreg_fit: gradient sums may overflow int64 "
+            f"(n={n}, max|xq|={mx}) — rescale features or shard the corpus"
+        )
 
     qdf = emb.select(
         (F.col(label_col).cast("long") * F.lit(_Q20I)).alias("yq"),
@@ -384,11 +411,14 @@ def logreg_fit(
         ).alias("xs"),
     ).persist()
     try:
-        n = qdf.count()
-        if n == 0:
-            raise ValueError("logreg_fit: empty corpus")
         w = [0] * (dim + 1)
         for _ in range(iters):
+            wmax = max(abs(v) for v in w)
+            if (dim + 1) * wmax * mx > (1 << 62):
+                raise ValueError(
+                    "logreg_fit: per-row scores may overflow int64 "
+                    f"(max|wq|={wmax}, max|xq|={mx}) — rescale features"
+                )
             wb = np.asarray(w, dtype=np.int64)  # |w| << 2^63
 
             def grad_partials(batches):
