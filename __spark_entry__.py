@@ -35,11 +35,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; the 22
-    omitted keys (engine-specific sketches, seeded-hash LSH/ANN,
-    iterative float ML, watermark-horizon streaming) get the driver's
-    rows-only check, with their own assertions in tests/ — the exact
-    list is pinned in tests/test_operators.py::test_registry_complete."""
+    """DuckDB-equivalent SQL for every SQL-expressible query; the 3
+    omitted keys (Spark-internal HLL++/percentile sketches and the
+    64-d eigendecomposition) get the driver's rows-only check, with
+    their own assertions in tests/ — the exact list is pinned in
+    tests/test_operators.py::test_registry_complete."""
     from xml_hive_spark.operators import all_queries
 
     return {
