@@ -322,6 +322,30 @@ def embedding_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
 _Q20I = 1 << 20  # integer twin of similarity._Q20
 
 
+def _int_matrix(col, dim: int):
+    """(n, dim) INT64 matrix from an Arrow list<int64> column, or None
+    on nulls/ragged rows — the integer twin of
+    :func:`similarity.fixed_dim_matrix` (float64 would lose exactness
+    past 2^53 in the gradient partials; int64 keeps the whole reduction
+    exact). Row lengths verified via the offsets buffer, same as the
+    sibling."""
+    import numpy as np
+
+    if col.null_count != 0:
+        return None
+    try:
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+    except AttributeError:
+        return None
+    lens = np.diff(offs)
+    if len(lens) != len(col) or not (lens == dim).all():
+        return None
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(flat.reshape(-1, dim)).astype(
+        np.int64, copy=False
+    )
+
+
 def _tdiv(a: int, b: int) -> int:
     """Truncating integer division (toward zero) for positive ``b`` —
     the convention Spark's ``div`` and DuckDB's ``//`` share (Python's
@@ -427,9 +451,11 @@ def logreg_fit(
                     if b.num_rows == 0:
                         continue
                     yq = b.column("yq").to_numpy(zero_copy_only=False)
-                    m = np.asarray(
-                        b.column("xs").to_pylist(), dtype=np.int64
-                    )
+                    m = _int_matrix(b.column("xs"), dim + 1)
+                    if m is None:  # ragged/null rows: exact slow path
+                        m = np.asarray(
+                            b.column("xs").to_pylist(), dtype=np.int64
+                        )
                     dot = m @ wb  # exact: |dot| <= 2^48
                     z = dot.astype(np.float64) / float(1 << 40)
                     p = 0.5 + (0.5 * z) / (1.0 + np.abs(z))
