@@ -219,3 +219,29 @@ def test_logreg_overflow_guard_fails_loudly(spark):
     )
     with pytest.raises(ValueError, match="overflow"):
         logreg_fit(df, iters=1)
+
+
+def test_pca_project_2d_matches_numpy(spark, sf_dir):
+    """The closed-form 2-d projection query must agree (up to
+    eigenvector sign) with numpy: eigh over the first two coordinates,
+    project onto the top component."""
+    rows = (
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    )
+    x = np.stack(
+        [np.asarray(r.embedding[:2], dtype=np.float64) for r in rows]
+    )
+    ids = [int(r.vec_id) for r in rows]
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    v = evecs[:, np.argmax(evals)]
+    expected = dict(zip(ids, (x - x.mean(axis=0)) @ v))
+    out = all_queries()["pca_project_2d"].fn(spark, sf_dir).collect()
+    assert len(out) == len(ids)
+    sign = None
+    for r in out:
+        e = expected[r.vec_id]
+        if sign is None and abs(e) > 1e-6:
+            sign = 1.0 if abs(r.pc1 - e) < abs(r.pc1 + e) else -1.0
+        if sign is not None:
+            assert abs(r.pc1 - sign * e) < 1e-5, (r.vec_id, r.pc1, e)

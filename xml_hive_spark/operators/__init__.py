@@ -324,19 +324,21 @@ _DRIVER_WINDOW = [
 # ZERO and r10 added no registry entries ahead of the window. No rule-4
 # evictions in r10 (the three result-semantics/oracle changes that had
 # to be in-window — cosine_topk_ivf_pq, cosine_topk_ivf_pq_probed —
-# already were). Two oracle-only upgrades outside the window
-# (streaming_vector_ingest, rows-only → full coarse-replay twin;
-# bpe_learn_merges, rows-only → full unrolled-argmax twin with the
-# gaps-and-islands merge apply, lm.py:_bpe_merge_ctes) lead per the r8
-# convention, then xml_write_roundtrip (the late-r10 rule-4 eviction
-# that made room for logreg_train_distributed); then the
+# already were). Rule-1 lead: pca_project_2d (late-r10 addition, the
+# only never-driver-checked entry). Two oracle-only upgrades outside
+# the window (streaming_vector_ingest, rows-only → full coarse-replay
+# twin; bpe_learn_merges, rows-only → full unrolled-argmax twin with
+# the gaps-and-islands merge apply, lm.py:_bpe_merge_ctes) follow per
+# the r8 convention, then xml_write_roundtrip (the late-r10 rule-4
+# eviction that made room for logreg_train_distributed); then the
 # oldest-driver-evidence refresh cohort, (vintage, name)-sorted: the
 # complete r6-vintage block outside the r10 window (46 rows — TPC-H
 # q2/q7-q9/q11/q13/q15-q17/q19-q22, the set/window/agg families,
 # scan_project_filter, scd2_merge, the r2-converted dedup siblings)
-# cut at 50 with the first r7 row (agg_argmax_argmin);
-# audio_resample_decimate and avro_roundtrip drop to the r12 tail.
+# cut at 50; agg_argmax_argmin, audio_resample_decimate and
+# avro_roundtrip drop to the r12 tail.
 # _R11_WINDOW_PLAN = [
+#     "pca_project_2d",
 #     "streaming_vector_ingest",
 #     "bpe_learn_merges",
 #     "xml_write_roundtrip",
@@ -386,7 +388,6 @@ _DRIVER_WINDOW = [
 #     "window_ntile",
 #     "window_range_frame",
 #     "window_value_functions",
-#     "agg_argmax_argmin",
 # ]
 
 

@@ -242,6 +242,122 @@ def pca_explained_variance_2d(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "pca_project_2d",
+    oracle="""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(CAST(embedding[1] AS DOUBLE)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS sa,
+         CAST(sum(CAST(CAST(embedding[2] AS DOUBLE)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS sb,
+         CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS saa,
+         CAST(sum(CAST(CAST(embedding[2] AS DOUBLE) * CAST(embedding[2] AS DOUBLE)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS sbb,
+         CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) * CAST(embedding[2] AS DOUBLE)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS sab
+  FROM embeddings
+),
+cov AS (
+  SELECT sa / n AS m0, sb / n AS m1,
+         saa / n - (sa / n) * (sa / n) AS va,
+         sbb / n - (sb / n) * (sb / n) AS vb,
+         sab / n - (sa / n) * (sb / n) AS cab
+  FROM m
+),
+eig AS (
+  SELECT m0, m1, va, cab,
+         (va + vb) / 2.0e0 AS h,
+         sqrt(((va - vb) / 2.0e0) * ((va - vb) / 2.0e0) + cab * cab) AS d
+  FROM cov
+),
+vv AS (
+  SELECT m0, m1, cab AS v0, (h + d) - va AS v1 FROM eig
+),
+nrm AS (
+  SELECT m0, m1, v0, v1, sqrt(v0 * v0 + v1 * v1) AS nm FROM vv
+)
+SELECT e.vec_id AS vec_id,
+       round(((CAST(e.embedding[1] AS DOUBLE) - m0) * v0
+              + (CAST(e.embedding[2] AS DOUBLE) - m1) * v1) / nm, 6) AS pc1
+FROM embeddings e, nrm
+WHERE nm > 0
+""",
+    tags=("embeddings", "pca", "projection"),
+)
+def pca_project_2d(spark: SparkSession, sf: str) -> DataFrame:
+    """PCA PROJECTION with a FULL value oracle — closes the witness
+    chain the 64-d operator can't: ``pca_explained_variance_2d``
+    hash-checks the fit's EIGENVALUES; this query hash-checks an actual
+    per-row PROJECTION, because in 2-d the top eigenVECTOR also has a
+    closed form: v = (cab, λ₁ − va) (direct from (C − λ₁I)v = 0),
+    needing only sqrt and division — every op IEEE-deterministic, so
+    both engines compute the identical double before the shared
+    round(6).
+
+    Fit and projection are ONE Catalyst plan, no driver model state at
+    all: the moments aggregate to a single row (decimal-exact ``dsum``
+    sums — order-independent), the eigenvector arithmetic is a 1-row
+    projection, and the model row is broadcast back onto the corpus via
+    crossJoin — the broadcast-the-model join shape at any scale. The
+    degenerate diagonal-covariance case (‖v‖ = 0) filters identically
+    in both engines rather than hashing NaNs. numpy-parity (up to
+    eigenvector sign) pinned in tests/test_embeddings.py."""
+    emb = t(spark, sf, "embeddings")
+    a = F.col("embedding")[0].cast("double")
+    b = F.col("embedding")[1].cast("double")
+    m = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a.cast("decimal(30,6)")).cast("double").alias("sa"),
+        F.sum(b.cast("decimal(30,6)")).cast("double").alias("sb"),
+        F.sum((a * a).cast("decimal(30,6)")).cast("double").alias("saa"),
+        F.sum((b * b).cast("decimal(30,6)")).cast("double").alias("sbb"),
+        F.sum((a * b).cast("decimal(30,6)")).cast("double").alias("sab"),
+    )
+    cov = m.select(
+        (F.col("sa") / F.col("n")).alias("m0"),
+        (F.col("sb") / F.col("n")).alias("m1"),
+        (F.col("saa") / F.col("n")
+         - (F.col("sa") / F.col("n")) * (F.col("sa") / F.col("n"))).alias("va"),
+        (F.col("sbb") / F.col("n")
+         - (F.col("sb") / F.col("n")) * (F.col("sb") / F.col("n"))).alias("vb"),
+        (F.col("sab") / F.col("n")
+         - (F.col("sa") / F.col("n")) * (F.col("sb") / F.col("n"))).alias("cab"),
+    )
+    eig = cov.select(
+        "m0", "m1", "va", "cab",
+        ((F.col("va") + F.col("vb")) / F.lit(2.0)).alias("h"),
+        F.sqrt(
+            ((F.col("va") - F.col("vb")) / F.lit(2.0))
+            * ((F.col("va") - F.col("vb")) / F.lit(2.0))
+            + F.col("cab") * F.col("cab")
+        ).alias("d"),
+    )
+    vv = eig.select(
+        "m0", "m1",
+        F.col("cab").alias("v0"),
+        ((F.col("h") + F.col("d")) - F.col("va")).alias("v1"),
+    )
+    nrm = vv.select(
+        "m0", "m1", "v0", "v1",
+        F.sqrt(F.col("v0") * F.col("v0") + F.col("v1") * F.col("v1"))
+        .alias("nm"),
+    )
+    return (
+        emb.crossJoin(F.broadcast(nrm))
+        .where(F.col("nm") > 0)
+        .select(
+            "vec_id",
+            F.round(
+                ((a - F.col("m0")) * F.col("v0")
+                 + (b - F.col("m1")) * F.col("v1")) / F.col("nm"),
+                6,
+            ).alias("pc1"),
+        )
+    )
+
+
+@query(
     "embedding_drift_monitor",
     oracle="""
 WITH halves AS (
