@@ -493,10 +493,11 @@ def logreg_fit(
     - per-row score dotq = Σ wq·xq — exact int64 (|dotq| ≤ 2^48), a
       literal-weights codegen expression, no UDF, no join;
     - z = dotq/2^40 (one exact-operand IEEE division), pq = floor(p·2^20);
-    - gradient gq_j = Σ (pq − yq)·xq_j — INTEGER sums (decimal(38,0)
-      accumulators for overflow headroom at real scale), so partial
-      aggregation is ORDER-FREE: any partitioning, any executor count,
-      any add order produces the same bits;
+    - gradient gq_j = Σ (pq − yq)·xq_j — INTEGER sums (int64 only
+      within one guarded Arrow batch; cross-batch and driver combines
+      are arbitrary-precision Python ints), so partial aggregation is
+      ORDER-FREE: any partitioning, any executor count, any add order
+      produces the same bits at ANY corpus size;
     - update wq −= tdiv(gq, n·2^20) in exact driver-side Python ints.
 
     That makes training results independent of cluster size AND
@@ -534,10 +535,26 @@ def logreg_fit(
         )
     ).collect()[0][0]
     mx = int(math.floor(float(mxd or 0.0) * _Q20I)) + _Q20I  # + bias/floor margin
-    if n * _Q20I * mx > (1 << 62):
+    # the cross-batch accumulator is arbitrary-precision Python ints,
+    # so the only int64 surface in the gradient is the PER-ARROW-BATCH
+    # matmul — bounded by maxRecordsPerBatch, independent of corpus
+    # size (n never appears in an overflow bound: the fit is valid at
+    # any scale for sane feature magnitudes)
+    try:
+        batch_cap = int(
+            emb.sparkSession.conf.get(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+            )
+        )
+    except Exception:
+        batch_cap = 10000
+    if batch_cap <= 0:
+        batch_cap = n  # unlimited batches: a partition is one batch
+    if batch_cap * _Q20I * mx > (1 << 62):
         raise ValueError(
-            f"logreg_fit: gradient sums may overflow int64 "
-            f"(n={n}, max|xq|={mx}) — rescale features or shard the corpus"
+            f"logreg_fit: per-batch gradient partials may overflow int64 "
+            f"(maxRecordsPerBatch={batch_cap}, max|xq|={mx}) — rescale "
+            "features or lower spark.sql.execution.arrow.maxRecordsPerBatch"
         )
 
     qdf = emb.select(
@@ -562,7 +579,12 @@ def logreg_fit(
             wb = np.asarray(w, dtype=np.int64)  # |w| << 2^63
 
             def grad_partials(batches):
-                g = np.zeros(dim + 1, dtype=np.int64)
+                # exact arbitrary-precision cross-batch accumulator —
+                # the int64 surface is only the per-batch matmul below,
+                # whose bound (batch_cap·2^20·mx ≤ 2^62) was checked at
+                # fit start; partials ship as decimal strings because a
+                # partition's exact sum can exceed int64 at real scale
+                g = [0] * (dim + 1)
                 for b in batches:
                     if b.num_rows == 0:
                         continue
@@ -572,19 +594,19 @@ def logreg_fit(
                         m = np.asarray(
                             b.column("xs").to_pylist(), dtype=np.int64
                         )
-                    dot = m @ wb  # exact: |dot| <= 2^48
+                    dot = m @ wb  # exact: 65·wmax·mx guarded above
                     z = dot.astype(np.float64) / float(1 << 40)
                     p = 0.5 + (0.5 * z) / (1.0 + np.abs(z))
                     pq = np.floor(p * 1048576.0).astype(np.int64)
-                    # per-partition partial is exact int64 (|rq·xq| <=
-                    # 2^40 per row -> ~2^13 rows of headroom per Arrow
-                    # batch is ample; bigger batches would chunk here)
-                    g += m.T @ (pq - yq)
+                    gb = m.T @ (pq - yq)  # exact per batch (guarded)
+                    for j in range(dim + 1):
+                        g[j] += int(gb[j])
                 yield pa.record_batch(
-                    {"g": pa.array([g.tolist()], pa.list_(pa.int64()))}
+                    {"g": pa.array([[str(v) for v in g]],
+                                   pa.list_(pa.string()))}
                 )
 
-            parts = qdf.mapInArrow(grad_partials, "g array<long>").collect()
+            parts = qdf.mapInArrow(grad_partials, "g array<string>").collect()
             gt = [sum(int(r.g[j]) for r in parts) for j in range(dim + 1)]
             w = [w[j] - _tdiv(gt[j], n * _Q20I) for j in range(dim + 1)]
         return w
