@@ -245,3 +245,28 @@ def test_pca_project_2d_matches_numpy(spark, sf_dir):
             sign = 1.0 if abs(r.pc1 - e) < abs(r.pc1 + e) else -1.0
         if sign is not None:
             assert abs(r.pc1 - sign * e) < 1e-5, (r.vec_id, r.pc1, e)
+
+
+def test_logreg_invariant_to_partitioning_and_batch_split(spark, sf_dir):
+    """THE portability claim, tested directly: the trained weights must
+    be bit-identical under different partition layouts AND different
+    Arrow batch boundaries (the cross-batch accumulator is exact Python
+    ints, so where Spark cuts batches cannot matter)."""
+    import pyspark.sql.functions as F
+
+    from xml_hive_spark.operators import t
+    from xml_hive_spark.operators.embeddings import logreg_fit
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "embedding", (F.col("label") % 2).cast("long").alias("y")
+    )
+    w_a = logreg_fit(emb.repartition(7), iters=5)
+    w_b = logreg_fit(emb.coalesce(1), iters=5)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, "10000")
+    try:
+        spark.conf.set(key, "7")  # force many tiny, oddly-cut batches
+        w_c = logreg_fit(emb.repartition(3), iters=5)
+    finally:
+        spark.conf.set(key, old)
+    assert w_a == w_b == w_c
