@@ -4,10 +4,18 @@ Runs the headline queries from the registry at ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
 
     {"metric": "headline_total_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "bands": {name: {"min": m, "med": d}},
+     "queries": {name: sec, ...}, "med": {name: sec, ...},
      "sf": 0.1, "calib_sec": C, "calib_ref_sec": R,
      "calib_py_sec": P, "calib_py_ref_sec": PR,
      "value_calibrated": N*R/C}
+
+The per-query band is (min, med) of the 3 timed samples: ``queries``
+IS the min (it always was), ``med`` carries the median. r10's verbose
+``bands`` {name: {min, med}} duplicated the min and pushed the JSON
+line past the driver's 2000-char stdout tail capture — BENCH_r10's
+artifact lost its head and failed to parse (VERDICT r10 item 5). The
+line is now compact-separated and length-asserted < 1900 chars so the
+committed artifact always parses from the tail alone.
 
 Each query is fully executed (count() on the result — forces every
 exchange/agg; results are small so no collect overhead distortion).
@@ -37,10 +45,10 @@ moved only +7.6%). Two additions:
   A round whose calib_py_sec/calib_py_ref_sec ratio far exceeds
   calib_sec/calib_ref_sec is a box with Python-worker contention the
   JVM probe cannot see — exactly the r9 signature.
-* ``bands`` — per-query {min, med} of the 3 timed samples. A hot box
-  shows med >> min on unchanged-code queries; a real regression moves
-  min itself. This makes a load episode explainable from the committed
-  artifact alone.
+* per-query bands — min (= ``queries``) and median (``med``) of the 3
+  timed samples. A hot box shows med >> min on unchanged-code queries;
+  a real regression moves min itself. This makes a load episode
+  explainable from the committed artifact alone.
 """
 
 from __future__ import annotations
@@ -201,7 +209,7 @@ def main() -> None:
     # an isolated A/B of autoBroadcastJoinThreshold 10 MB vs 64 MB moved
     # q1/q3 by <4 %). Min-of-3 reports steady-state engine throughput.
     timings: dict[str, float] = {}
-    bands: dict[str, dict[str, float]] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         qd = registry[name]
         qd.fn(spark, sf_dir).count()  # warm
@@ -211,12 +219,9 @@ def main() -> None:
             n = qd.fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 3)
-        bands[name] = {
-            "min": round(min(samples), 3),
-            "med": round(sorted(samples)[1], 3),
-        }
+        medians[name] = round(sorted(samples)[1], 3)
         print(
-            f"# {name}: {timings[name]:.3f}s med {bands[name]['med']:.3f}s"
+            f"# {name}: {timings[name]:.3f}s med {medians[name]:.3f}s"
             f" ({n} rows)",
             file=sys.stderr,
         )
@@ -227,7 +232,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "bands": bands,
+        "med": medians,
         "sf": sf,
         "calib_sec": calib,
         "calib_ref_sec": CALIB_REF_SEC,
@@ -236,7 +241,11 @@ def main() -> None:
     }
     if CALIB_REF_SEC:
         out["value_calibrated"] = round(total * CALIB_REF_SEC / calib, 3)
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    # the driver keeps only the last 2000 chars of stdout; the artifact
+    # must parse from that tail alone (BENCH_r10 lost its head)
+    assert len(line) < 1900, f"bench JSON line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 

@@ -164,25 +164,31 @@ def test_bm25_ranking_semantics(spark, sf_dir):
     assert scores[0] > 0
 
 
-def test_r11_window_plan_valid():
+def test_next_window_plan_valid():
     """The pre-enumerated next-round driver window (comment block in
-    operators/__init__.py) must stay applyable: exactly 50 unique,
-    registered query names. Guards against registry renames or plan
-    edits drifting between rounds — the rotation policy only works if
-    the plan is mechanically correct at the moment it's applied."""
+    operators/__init__.py, marker `_R<N>_WINDOW_PLAN`) must stay
+    applyable: exactly 50 unique, registered query names, none of them
+    rows-only-by-design (VERDICT r10 item 4: window slots must buy hash
+    evidence). Guards against registry renames or plan edits drifting
+    between rounds — the rotation policy only works if the plan is
+    mechanically correct at the moment it's applied."""
     import re
     from pathlib import Path
 
+    import __spark_entry__ as entry
     import xml_hive_spark.operators as ops
 
     src = Path(ops.__file__).read_text()
     m = re.search(
-        r"# _R11_WINDOW_PLAN = \[\n((?:#     \"[a-z0-9_]+\",\n)+)# \]", src
+        r"# _R\d+_WINDOW_PLAN = \[\n((?:#     \"[a-z0-9_]+\",\n)+)# \]", src
     )
-    assert m, "_R11_WINDOW_PLAN comment block missing"
+    assert m, "_R<N>_WINDOW_PLAN comment block missing"
     plan = re.findall(r'"([a-z0-9_]+)"', m.group(1))
     reg = all_queries()
     assert len(plan) == 50, len(plan)
     assert len(set(plan)) == 50, "duplicate names in the plan"
     unknown = [n for n in plan if n not in reg]
     assert not unknown, f"unregistered names: {unknown}"
+    oracles = entry.oracle_sql()
+    rows_only = [n for n in plan if n not in oracles]
+    assert not rows_only, f"rows-only entries waste window slots: {rows_only}"

@@ -263,131 +263,145 @@ _FANOUT_STATS_WARNED = False
 # changed (portable quantized fast-sigmoid trainer + w_l1q witness,
 # rows-only → full oracle) so it enters; xml_write_roundtrip (r8
 # driver evidence, refresh-tail) evicted to the r11 plan.
+# Round 11 application: _R11_WINDOW_PLAN (pre-enumerated in r10,
+# now the live list below) applied mechanically at round start.
+# Derivation (recorded in r10): rule-1 lead pca_project_2d (late-r10
+# addition, only never-driver-checked entry); then the two late-r10
+# oracle-only upgrades (streaming_vector_ingest coarse-replay twin,
+# bpe_learn_merges gaps-and-islands twin) per the r8 convention; then
+# xml_write_roundtrip (the late-r10 rule-4 eviction); then the
+# oldest-driver-evidence refresh cohort, (vintage, name)-sorted: the
+# complete r6-vintage block outside the r10 window (TPC-H q2/q7-q9/
+# q11/q13/q15-q17/q19-q22, the set/window/agg families,
+# scan_project_filter, scd2_merge, the r2-converted dedup siblings)
+# cut at 50; audio_resample_decimate and avro_roundtrip dropped to
+# the r12 tail. One amendment vs the pre-enumerated plan, per VERDICT
+# r10 item 4 (window slots spent on rows-only entries buy no hash
+# evidence): embedding_pca_project (rows-only by design — 64-d
+# eigendecomposition, blocker re-audited in tests/test_operators.py)
+# is excluded and its slot goes to agg_argmax_argmin, the next
+# refresh candidate by (vintage, name) sort (r7 evidence). Zero
+# rows-only-by-design entries remain in this window.
 _DRIVER_WINDOW = [
-    "conditional_functions",
-    "from_json_struct",
-    "map_functions",
-    "sort_within_partitions",
-    "string_predicates",
-    "sliding_window_agg",
-    "apply_in_pandas_centered",
-    "json_roundtrip",
-    "embedding_label_centroids",
-    "agg_approx_percentiles",
-    "agg_distinct_count",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "agg_stats",
-    "hypertable_rollup",
-    "csv_roundtrip",
-    "cosine_topk_ivf_kmeans",
-    "cosine_topk_ivf_pq",
-    "cosine_topk_ivf_pq_probed",
-    "scalar_subquery_ratio",
-    "date_arithmetic",
-    "explode_outer_empty_arrays",
-    "doc_chunk_pack_pipeline",
-    "join_anti",
-    "join_broadcast_dims",
-    "join_cross",
-    "join_left_outer_agg",
-    "join_nonequi_range",
-    "join_semi",
-    "json_construction",
-    "math_functions",
-    "q10_returned_items",
-    "q12_priority_lines",
-    "q14_promo_effect",
-    "q18_large_volume_customer",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "set_except_all",
-    "set_intersect_all",
-    "string_functions",
-    "topk_orders",
-    "window_moving_avg",
-    "window_rank_topn",
-    "window_running_sum",
-    "source_stats",
-    "xml_stream_scan",
-    "logreg_train_distributed",
+    "pca_project_2d",
+    "streaming_vector_ingest",
+    "bpe_learn_merges",
+    "xml_write_roundtrip",
+    "agg_cube",
+    "agg_grouping_id",
+    "agg_percentiles_array",
+    "array_functions",
+    "binary_column_stats",
+    "date_functions",
+    "dedup_cluster_components",
+    "dedup_exact",
+    "dedup_exact_by_lang",
+    "dedup_ngram_jaccard",
+    "agg_argmax_argmin",
+    "explode_positional",
+    "grouped_agg_pandas_udf",
+    "interval_overlap_join",
+    "json_functions",
+    "multimodal_chunk_arrow",
+    "pandas_udf_scalar",
+    "partitioned_write_roundtrip",
+    "pivot_status_counts",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_heavy_supplier_chain",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "sample_hash_bucket",
+    "scan_project_filter",
+    "scd2_merge",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "sketch_count_min",
+    "struct_nested_access",
+    "udf_python_scalar",
+    "unpivot_part_metrics",
+    "window_lag_lead",
+    "window_ntile",
+    "window_range_frame",
+    "window_value_functions",
 ]
 
-# ROUND-11 WINDOW, PRE-ENUMERATED (apply mechanically at r11 start:
+# ROUND-12 WINDOW, PRE-ENUMERATED (apply mechanically at r12 start:
 # replace _DRIVER_WINDOW with this list, run tools/verify_local.py over
 # it, commit first; then rule-4 swap any query whose result semantics
-# change during r11, evicting from the refresh tail).
-# Derivation (mechanical, this round): never-driver-checked after r9 =
-# ZERO and r10 added no registry entries ahead of the window. No rule-4
-# evictions in r10 (the three result-semantics/oracle changes that had
-# to be in-window — cosine_topk_ivf_pq, cosine_topk_ivf_pq_probed —
-# already were). Rule-1 lead: pca_project_2d (late-r10 addition, the
-# only never-driver-checked entry). Two oracle-only upgrades outside
-# the window (streaming_vector_ingest, rows-only → full coarse-replay
-# twin; bpe_learn_merges, rows-only → full unrolled-argmax twin with
-# the gaps-and-islands merge apply, lm.py:_bpe_merge_ctes) follow per
-# the r8 convention, then xml_write_roundtrip (the late-r10 rule-4
-# eviction that made room for logreg_train_distributed); then the
-# oldest-driver-evidence refresh cohort, (vintage, name)-sorted: the
-# complete r6-vintage block outside the r10 window (46 rows — TPC-H
-# q2/q7-q9/q11/q13/q15-q17/q19-q22, the set/window/agg families,
-# scan_project_filter, scd2_merge, the r2-converted dedup siblings)
-# cut at 50; agg_argmax_argmin, audio_resample_decimate and
-# avro_roundtrip drop to the r12 tail.
-# _R11_WINDOW_PLAN = [
-#     "pca_project_2d",
-#     "streaming_vector_ingest",
-#     "bpe_learn_merges",
-#     "xml_write_roundtrip",
-#     "agg_cube",
-#     "agg_grouping_id",
-#     "agg_percentiles_array",
-#     "array_functions",
-#     "binary_column_stats",
-#     "date_functions",
-#     "dedup_cluster_components",
-#     "dedup_exact",
-#     "dedup_exact_by_lang",
-#     "dedup_ngram_jaccard",
-#     "embedding_pca_project",
-#     "explode_positional",
-#     "grouped_agg_pandas_udf",
-#     "interval_overlap_join",
-#     "json_functions",
-#     "multimodal_chunk_arrow",
-#     "pandas_udf_scalar",
-#     "partitioned_write_roundtrip",
-#     "pivot_status_counts",
-#     "q11_important_stock",
-#     "q13_customer_distribution",
-#     "q15_top_supplier",
-#     "q16_supplier_variety",
-#     "q17_small_quantity_revenue",
-#     "q19_discounted_revenue",
-#     "q20_heavy_supplier_chain",
-#     "q21_waiting_suppliers",
-#     "q22_global_sales_opportunity",
-#     "q2_min_cost_supplier",
-#     "q7_volume_shipping",
-#     "q8_market_share",
-#     "q9_product_type_profit",
-#     "sample_hash_bucket",
-#     "scan_project_filter",
-#     "scd2_merge",
-#     "set_except",
-#     "set_intersect",
-#     "set_union_all",
-#     "sketch_count_min",
-#     "struct_nested_access",
-#     "udf_python_scalar",
-#     "unpivot_part_metrics",
-#     "window_lag_lead",
-#     "window_ntile",
-#     "window_range_frame",
-#     "window_value_functions",
+# change during r12, evicting from the refresh tail).
+# Derivation (mechanical, at r11 start): never-driver-checked = ZERO;
+# no rule-4 evictions pending (the r10 eviction xml_write_roundtrip is
+# in the r11 window). Cohort = the oldest-driver-evidence refresh
+# block outside the r11 window, (vintage, name)-sorted: the complete
+# remaining r7-vintage block (46 rows — the multimodal codecs, the
+# portable HLL family, graph, streaming r7 cohort, text scoring,
+# lakehouse lifecycle, XML advanced/ETL/xpath), then the earliest
+# r8-vintage names (anomaly_mad_robust, attribution_last_touch,
+# bucketed_join_colocated, chi_square_independence) cut at 50. The
+# three rows-only-by-design entries (agg_approx_distinct,
+# agg_approx_percentiles, embedding_pca_project) are excluded per
+# VERDICT r10 item 4 — window slots go to hash-evidence refreshes.
+# _R12_WINDOW_PLAN = [
+#     "audio_resample_decimate",
+#     "avro_roundtrip",
+#     "bpe_pair_counts",
+#     "cdc_apply_changes",
+#     "cohort_retention",
+#     "compact_small_files",
+#     "copurchase_pairs",
+#     "decontaminate_eval_ngrams",
+#     "dq_expectations",
+#     "event_transition_matrix",
+#     "funnel_conversion",
+#     "fuzzy_join_levenshtein",
+#     "graph_bfs_hops",
+#     "graph_triangles",
+#     "histogram_doc_length",
+#     "image_phash_dedup",
+#     "incremental_agg_merge",
+#     "join_bloom_pruned",
+#     "multimodal_gif_codec",
+#     "multimodal_jpeg_codec",
+#     "multimodal_png_codec",
+#     "multimodal_wav_codec",
+#     "orc_roundtrip",
+#     "sample_weighted_poisson",
+#     "scd2_point_in_time_join",
+#     "schema_evolution_read",
+#     "setsim_join_prefix",
+#     "sketch_hll_grouped",
+#     "sketch_hll_portable",
+#     "sketch_hll_union",
+#     "split_leakage_safe",
+#     "streaming_cdc_upsert",
+#     "streaming_dropdup_exactly_once",
+#     "streaming_hll_distinct",
+#     "streaming_static_join",
+#     "table_profile",
+#     "text_bm25_topk",
+#     "text_ngram_novelty",
+#     "text_repetition_score",
+#     "tfidf_top_terms",
+#     "time_travel_read",
+#     "window_rolling_1h",
+#     "xml_scan_advanced_xsd",
+#     "xml_to_parquet_etl",
+#     "xml_xpath_functions",
+#     "zorder_write_skipping",
+#     "anomaly_mad_robust",
+#     "attribution_last_touch",
+#     "bucketed_join_colocated",
+#     "chi_square_independence",
 # ]
 
 
