@@ -164,6 +164,91 @@ def test_bm25_ranking_semantics(spark, sf_dir):
     assert scores[0] > 0
 
 
+# Audited bare-`//` budget per oracle (VERDICT r10 item 3 — make the
+# truncate-vs-floor bug class unrecreatable). DuckDB's integer `//`
+# TRUNCATES toward zero (like Spark's `div` and this repo's _tdiv);
+# Python's and numpy's `//` FLOOR. A bare `//` in oracle SQL is only
+# correct when the dividend is provably non-negative OR the Spark-side
+# twin truncates too; otherwise the exact-floor-by-pmod spelling
+# `(x - ((x % d) + d) % d) // d` is required (commit b855cf4 fixed six
+# oracles that were green only by coincidence). Each entry freezes the
+# count of audited bare occurrences; adding one more anywhere fails the
+# lint until the author re-audits and bumps the budget here.
+_BARE_FLOORDIV_BUDGET = {
+    # Spark side truncates too (_tdiv / Spark `div`):
+    "logreg_train_distributed": 20,  # weight update, _tdiv both sides
+    # dividend non-negative by construction:
+    "graph_pagerank": 12,            # rank mass / teleport, >= 0
+    "regression_slope_closed_form": 1,   # Spark side uses DIV
+    # (truncates like DuckDB //) on the same integer expression
+    "pareto_skyline_2d": 1,          # price cents >= 0
+    "chi_square_independence": 1,    # squared numerator >= 0
+    "split_leakage_safe": 1,         # n_chars >= 0 bucket
+    "dedup_cluster_components": 1,   # doc ids >= 0
+    "multimodal_gif_codec": 1,       # pixel bytes 0..255
+    "multimodal_jpeg_codec": 8,      # pixel bytes / DCT indices >= 0
+    "multimodal_frame_sample": 1,    # frame index >= 0
+    "multimodal_feature_extract": 2,  # pixel sums >= 0
+    "multimodal_resize_stub": 5,     # pixel coords >= 0
+    "multimodal_image_augment": 2,   # pixel bytes >= 0
+    "multimodal_tile_composite": 5,  # pixel coords >= 0
+    "image_phash_dedup": 3,          # luma sums >= 0
+    "audio_resample_decimate": 3,    # sample INDEX math, >= 0 (the
+    # one negative-capable sample-value mean is pmod-spelled)
+    "sketch_kmv_distinct": 1,        # md5-derived uint hash >= 0
+    "sketch_quantile_histogram": 1,  # non-negative rank/width
+    "dedup_embedding_cosine": 2,     # squared norms >= 0
+    "cosine_topk_ivf_pq": 3,         # norms / subspace index >= 0
+    "cosine_topk_ivf_pq_probed": 3,  # same shapes as _pq
+    "ann_join_topk": 2,              # band index / norms >= 0
+    "maxsim_late_interaction": 1,    # squared norm >= 0
+    "hybrid_rank_fusion_rrf": 2,     # rank >= 1
+    "recursive_cte_hierarchy": 1,    # id arithmetic >= 0
+    "streaming_quantile_histogram": 1,  # non-negative width
+    "streaming_stream_join_outer": 4,   # epoch-ms buckets >= 0
+    "streaming_sessionize": 2,       # epoch-ms buckets >= 0
+}
+
+
+def _bare_floordiv_count(sql: str) -> int:
+    """Count `//` occurrences NOT using the exact-floor pmod spelling
+    (heuristic: the pmod form has two `%` within the preceding 100
+    chars — `((x % d) + d) % d`)."""
+    import re
+
+    return sum(
+        1
+        for m in re.finditer(r"//", sql)
+        if sql[max(0, m.start() - 100):m.start()].count("%") < 2
+    )
+
+
+def test_oracle_floordiv_lint():
+    """No oracle may gain a bare integer `//` beyond its audited budget
+    (see _BARE_FLOORDIV_BUDGET). Red on a seeded violation, green on
+    the registry."""
+    # seeded violation: the detector must flag a bare // and must NOT
+    # flag the exact-floor pmod spelling
+    assert _bare_floordiv_count("SELECT a // b FROM t") == 1
+    assert _bare_floordiv_count(
+        "SELECT (a - ((a % b) + b) % b) // b FROM t"
+    ) == 0
+
+    over = {}
+    for name, qd in all_queries().items():
+        if qd.oracle is None:
+            continue
+        n = _bare_floordiv_count(qd.oracle)
+        budget = _BARE_FLOORDIV_BUDGET.get(name, 0)
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, (
+        f"bare `//` beyond audited budget (DuckDB truncates, numpy "
+        f"floors — use the pmod spelling or re-audit and bump "
+        f"_BARE_FLOORDIV_BUDGET): {over}"
+    )
+
+
 def test_next_window_plan_valid():
     """The pre-enumerated next-round driver window (comment block in
     operators/__init__.py, marker `_R<N>_WINDOW_PLAN`) must stay

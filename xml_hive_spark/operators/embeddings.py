@@ -637,7 +637,13 @@ r{r} AS MATERIALIZED (
   FROM d{r} d JOIN lab l ON d.vec_id = l.vec_id
 ),
 g{r} AS MATERIALIZED (
-  SELECT f.j, CAST(sum(r.rq * f.xq) AS BIGINT) AS gq
+  -- no BIGINT cast: this is the ONE corpus-size-dependent sum in the
+  -- replay (n terms of |rq*xq| <= 2^41), and the Spark trainer's
+  -- cross-batch accumulator is arbitrary-precision Python int, so the
+  -- twin must ride DuckDB's HUGEINT through the gradient too or it
+  -- would overflow at n >~ 2^22 where the fit succeeds. The per-vec
+  -- sums (d{{r}}/fin: 65 terms, |xq|<=2^20, |wq|<~2^26) stay BIGINT.
+  SELECT f.j, sum(r.rq * f.xq) AS gq
   FROM feat f JOIN r{r} r ON f.vec_id = r.vec_id GROUP BY f.j
 ),
 w{r} AS MATERIALIZED (

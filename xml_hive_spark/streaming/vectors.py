@@ -118,7 +118,11 @@ def _vector_ingest_oracle() -> str:
     tests/test_streaming.py)."""
     from xml_hive_spark.operators.similarity import _coarse_ctes
 
-    return _coarse_ctes() + """,
+    # the final-centroid CTE is named c{iters} by _coarse_ctes; derive
+    # it from the SAME parameter so a default change cannot silently
+    # leave this oracle joining a stale iteration (ADVICE r10)
+    iters = 3
+    return _coarse_ctes(iters=iters) + f""",
 ea AS (
   SELECT vec_id, cluster FROM (
     SELECT s.vec_id, s.cluster,
@@ -126,9 +130,10 @@ ea AS (
              PARTITION BY s.vec_id
              ORDER BY n.ss - 2 * s.dt, s.cluster) AS rn
     FROM (SELECT v.vec_id, c.cluster, SUM(v.q * c.c) AS dt
-          FROM qv v JOIN c3 c ON c.d = v.d
+          FROM qv v JOIN c{iters} c ON c.d = v.d
           GROUP BY v.vec_id, c.cluster) s
-    JOIN (SELECT cluster, SUM(c * c) AS ss FROM c3 GROUP BY cluster) n
+    JOIN (SELECT cluster, SUM(c * c) AS ss
+          FROM c{iters} GROUP BY cluster) n
       ON n.cluster = s.cluster) x
   WHERE rn = 1
 )
