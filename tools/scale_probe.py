@@ -1,0 +1,282 @@
+"""Scale-exponent probe (VERDICT r10 item 2): measure, don't audit.
+
+The 100-TB story so far rests on plan audits and sf0.1 timings. This
+tool builds a factor-F corpus from an existing sf dir by self-union
+with F-1 re-keyed, content-relabeled copies, times the bench HEADLINE
+set at both scales inside ONE Spark session, and reports the per-query
+scaling exponent  e = ln(t_F / t_1) / ln(F).  e <= ~1.15 reads as
+linear (fixed per-query overhead biases e DOWN on sub-second queries,
+so a superlinear plan still shows); anything above gets a plan fix or
+a named disposition in SCALE.md.
+
+Corpus construction — the point is to scale the WORKLOAD, not to
+multiply degenerate duplicates (a naive self-union makes every doc a
+10x exact-dup and every vector a 10x ANN tie, which blows up candidate
+pairs quadratically and measures data semantics, not plan quality):
+
+* join keys get a per-copy stride of (max_key + 1), coordinated across
+  fact and dim tables (orders.o_custkey moves with customer.c_custkey,
+  lineitem moves with orders/part/supplier), so per-key densities and
+  join fan-outs are EXACTLY those of the source corpus;
+* region/nation stay unscaled (dimension tables don't grow with data);
+* document text is relabeled per copy with an md5-keyed alphabet
+  permutation (a 26! family — collision-free at any factor): lengths,
+  word counts, word boundaries, distinct-word ratios, and within-copy
+  dup/near-dup structure are preserved exactly (the curation quality
+  gate sees identical statistics), while char-8 shingles and word
+  n-grams become cross-copy DISJOINT — duplicate density per copy
+  equals the source;
+* embeddings get a per-copy orthogonal transform (circular rotation +
+  md5-keyed diagonal +-1), so within-copy inner products (cluster
+  structure, top-k neighborhoods) are bit-preserved while cross-copy
+  cosines collapse to noise, keeping LSH/IVF bucket occupancy flat
+  instead of stacking 10 identical vectors per bucket;
+* events keep their timestamps (a bigger corpus over the same period
+  is denser, which is what 10x ingest looks like) with strided
+  user_id/event_id so per-user series keep their source density.
+
+Copy 0 is byte-identical to the source corpus, so the 1x run is a
+true subset of the Fx run.
+
+Usage:
+    python tools/scale_probe.py [--factor 10] [--src /root/testdata/sf0.1]
+                                [--queries name ...] [--skip-xml]
+
+Writes the corpus to $TMPDIR/xmlhive_scale/sf{src_sf*F} (cached by a
+DONE marker), prints one JSON line {query: {t1, tF, exp}} plus a
+markdown table for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import re
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _perm(i: int) -> str:
+    """Per-copy alphabet permutation keyed by md5(letter, i) — a 26!
+    family, so copies never share a relabeling (a plain rotation
+    collides at factor > 26, reintroducing cross-copy exact dups).
+    i=0 is the identity. Permutations COMPOSE cleanly, so a corpus can
+    be built from an already-scaled corpus (sf1 -> sf10) without
+    cipher collisions."""
+    import hashlib
+
+    if i == 0:
+        return ALPHA
+    return "".join(
+        sorted(ALPHA, key=lambda c: hashlib.md5(f"{c}|{i}".encode()).hexdigest())
+    )
+
+
+def _cipher_sql(col: str, i: int) -> str:
+    """Per-copy injective letter relabeling (lengths, word boundaries,
+    distinct-word ratios preserved; shingle/n-gram sets cross-copy
+    disjoint)."""
+    p = _perm(i)
+    return (
+        f"translate({col}, '{ALPHA}{ALPHA.upper()}', '{p}{p.upper()}')"
+    )
+
+
+def _embedding_sql(i: int, dim: int = 64) -> str:
+    """Per-copy orthogonal transform: circular rotation by i combined
+    with a deterministic per-copy diagonal +-1 (md5-keyed). Both
+    factors are orthogonal and COPY-constant, so every within-copy
+    inner product is preserved bit-for-bit (cluster structure, top-k
+    neighborhoods), while cross-copy cosines collapse to noise — the
+    sign pattern keeps copies distinct even when rotations collide
+    mod dim (factor > 64). i=0 is the identity."""
+    import hashlib
+
+    if i == 0:
+        return "embedding"
+    terms = []
+    for d in range(dim):
+        src = (d + i) % dim + 1  # 1-based parquet list index
+        s = hashlib.md5(f"s|{i}|{d}".encode()).digest()[0] & 1
+        sign = "-" if s else ""
+        terms.append(f"{sign}embedding[{src}]")
+    return f"CAST([{', '.join(terms)}] AS FLOAT[]) AS embedding"
+
+
+def build_corpus(src: str, dst: str, factor: int) -> None:
+    """DuckDB-side corpus construction (one pass per table)."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+
+    def rp(table: str) -> str:
+        return f"read_parquet('{src}/{table}.parquet')"
+
+    def copy(select_sql: str, table: str) -> None:
+        con.execute(
+            f"COPY ({select_sql}) TO '{dst}/{table}.parquet'"
+            f" (FORMAT PARQUET)"
+        )
+        print(f"# built {table}", file=sys.stderr)
+
+    # dimension tables: unscaled
+    for table in ("region", "nation"):
+        copy(f"SELECT * FROM {rp(table)}", table)
+
+    # strides = max_key + 1, coordinated across tables
+    k = {
+        name: con.execute(f"SELECT max({col}) + 1 FROM {rp(tbl)}").fetchone()[0]
+        for name, tbl, col in (
+            ("cust", "customer", "c_custkey"),
+            ("supp", "supplier", "s_suppkey"),
+            ("part", "part", "p_partkey"),
+            ("ord", "orders", "o_orderkey"),
+            ("ev", "events", "event_id"),
+            ("usr", "events", "user_id"),
+            ("doc", "documents", "doc_id"),
+            ("vec", "embeddings", "vec_id"),
+        )
+    }
+    rng = f"CROSS JOIN range(0, {factor}) cp(i)"
+
+    copy(
+        f"SELECT c_custkey + i * {k['cust']} AS c_custkey, c_name,"
+        f" c_nationkey, c_acctbal, c_mktsegment FROM {rp('customer')} {rng}",
+        "customer",
+    )
+    copy(
+        f"SELECT s_suppkey + i * {k['supp']} AS s_suppkey, s_name,"
+        f" s_nationkey, s_acctbal FROM {rp('supplier')} {rng}",
+        "supplier",
+    )
+    copy(
+        f"SELECT p_partkey + i * {k['part']} AS p_partkey, p_name, p_brand,"
+        f" p_type, p_size, p_retailprice FROM {rp('part')} {rng}",
+        "part",
+    )
+    copy(
+        f"SELECT o_orderkey + i * {k['ord']} AS o_orderkey,"
+        f" o_custkey + i * {k['cust']} AS o_custkey, o_orderstatus,"
+        f" o_totalprice, o_orderdate, o_orderpriority"
+        f" FROM {rp('orders')} {rng}",
+        "orders",
+    )
+    copy(
+        f"SELECT l_orderkey + i * {k['ord']} AS l_orderkey,"
+        f" l_partkey + i * {k['part']} AS l_partkey,"
+        f" l_suppkey + i * {k['supp']} AS l_suppkey, l_linenumber,"
+        f" l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,"
+        f" l_linestatus, l_shipdate FROM {rp('lineitem')} {rng}",
+        "lineitem",
+    )
+    copy(
+        f"SELECT event_id + i * {k['ev']} AS event_id, ts,"
+        f" user_id + i * {k['usr']} AS user_id, event_type, value, props"
+        f" FROM {rp('events')} {rng}",
+        "events",
+    )
+    # per-copy cipher keyed by i: build one UNION ALL branch per copy
+    # (translate() needs literal alphabets)
+    doc_branches = " UNION ALL ".join(
+        f"SELECT doc_id + {i} * {k['doc']} AS doc_id,"
+        f" {_cipher_sql('text', i)} AS text, lang, source,"
+        f" length({_cipher_sql('text', i)}) AS n_chars"
+        f" FROM {rp('documents')}"
+        for i in range(factor)
+    )
+    copy(doc_branches, "documents")
+    emb_branches = " UNION ALL ".join(
+        f"SELECT vec_id + {i} * {k['vec']} AS vec_id,"
+        f" {_embedding_sql(i)}, label FROM {rp('embeddings')}"
+        for i in range(factor)
+    )
+    copy(emb_branches, "embeddings")
+    con.close()
+
+
+def time_queries(spark, names, sf_dir: str, samples: int = 3) -> dict:
+    """Warm once (untimed: JIT, index builds, XML gen), then min of
+    ``samples`` timed executions per query."""
+    from xml_hive_spark.operators import all_queries
+
+    reg = all_queries()
+    out = {}
+    for name in names:
+        qd = reg[name]
+        qd.fn(spark, sf_dir).count()  # warm: JIT, index/XML-gen one-times
+        best = float("inf")
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            qd.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+        print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: {out[name]:.3f}s",
+              file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--skip-xml", action="store_true",
+                    help="exclude xml_scan_bench (10 GiB one-time XML gen)")
+    ap.add_argument("--samples", type=int, default=3,
+                    help="timed samples per query (min is reported)")
+    args = ap.parse_args()
+
+    m = re.search(r"sf([0-9.]+)", args.src)
+    src_sf = float(m.group(1)) if m else 0.1
+    big_sf = src_sf * args.factor
+    big_name = f"sf{big_sf:g}"
+    dst = os.path.join(tempfile.gettempdir(), "xmlhive_scale", big_name)
+    marker = Path(dst) / "_DONE"
+    if not marker.exists():
+        build_corpus(args.src, dst, args.factor)
+        marker.write_text(f"factor={args.factor} src={args.src}\n")
+    else:
+        print(f"# corpus cached at {dst}", file=sys.stderr)
+
+    from bench import HEADLINE
+    from xml_hive_spark.session import get_spark
+
+    names = args.queries or list(HEADLINE)
+    if args.skip_xml and "xml_scan_bench" in names:
+        names.remove("xml_scan_bench")
+
+    spark = get_spark(app_name="xml-hive-spark-scale-probe")
+    t1 = time_queries(spark, names, args.src, samples=args.samples)
+    tf = time_queries(spark, names, dst, samples=args.samples)
+    spark.stop()
+
+    lf = math.log(args.factor)
+    report = {
+        n: {
+            "t1": t1[n],
+            "tF": tf[n],
+            "exp": round(math.log(tf[n] / t1[n]) / lf, 3) if t1[n] > 0 else None,
+        }
+        for n in names
+    }
+    print(json.dumps({"factor": args.factor, "src": args.src,
+                      "big_dir": dst, "queries": report}))
+    print("\n| query | t(1x) s | t(%dx) s | exponent |" % args.factor,
+          file=sys.stderr)
+    print("|---|---|---|---|", file=sys.stderr)
+    for n, r in sorted(report.items(), key=lambda kv: -(kv[1]["exp"] or 0)):
+        print(f"| {n} | {r['t1']} | {r['tF']} | {r['exp']} |",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -440,7 +440,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
     Skewed buckets (near-constant corpora) can salt the bucket id with a
     low-cardinality shard key, trading a per-shard re-join — the standard
-    skew remedy (tests/test_skew.py shows the pattern)."""
+    skew remedy (tests/test_skew.py shows the pattern).
+
+    SCALE DISPOSITION (r11 10x probe, SCALE.md §r11): measured runtime
+    exponent 1.50 — but the OUTPUT exponent is 2.00 exactly (41,744 ->
+    4,182,594 pairs at 10x): at θ=0.25 on this corpus's near-Gaussian
+    cosine distribution ~2% of ALL pairs qualify, so the emitted pair
+    set itself is quadratic and runtime is SUBLINEAR in its own output.
+    This is a property of the low threshold, not of the plan; the
+    banding (12x3) is the tuned recall point for θ=0.25 (raising r to
+    shrink buckets collapses recall: p=0.58 per plane -> 0.58^7 per
+    band). Production semantic dedup runs θ >= 0.85, where output is
+    sparse and the same plan is candidate-bound — that regime is what
+    ``ann_join_topk`` (adaptive banding, linear-at-scale) demonstrates."""
     emb = t(spark, sf, "embeddings")
     sigs = banded_signatures(emb, "vec_id", "embedding").persist()
     cand = sigs.select("id", F.posexplode("sig").alias("band", "bucket"))
@@ -1658,18 +1670,36 @@ def cosine_topk_ivf_pq_probed(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "ann_join_topk",
     oracle="""
-WITH qv AS (
+WITH nv AS (
+  -- adaptive rows-per-band (r11 scale-probe fix): r = max(5,
+  -- floor(log2(n // 64))) via integer binary-digit count — the EXACT
+  -- integer formula the Spark side computes with bit_length(), no
+  -- floating log2 at decade boundaries. 16 bands; 2^r buckets/band
+  -- tracks n/64 so per-bucket occupancy (and with it candidate-pair
+  -- volume per vector) stays ~constant as the corpus grows. At every
+  -- driver/bench SF (n <= 2000) r = 5, identical to the pre-r11 fixed
+  -- banding.
+  -- LEAST(30): band buckets are int32 (1 << (r-1) must fit); r = 30
+  -- already means n ~ 2^36 vectors per band-bucket target of 64
+  SELECT LEAST(30, GREATEST(5, length(printf('%b', count(*) // 64)) - 1))
+         AS r
+  FROM embeddings
+),
+qv AS (
   SELECT vec_id, t.d,
          CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1048576.0)
               AS BIGINT) AS q
   FROM embeddings CROSS JOIN range(0, 64) t(d)
 ),
 planes AS (
+  -- static 1024-plane ceiling (range() cannot take subqueries),
+  -- filtered to the 16*r planes actually used; covers r <= 64
   SELECT p.p, d.d,
          CASE WHEN CAST('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_'
                     || CAST(d.d AS VARCHAR)), 1, 1) AS INT) % 2 = 1
               THEN 1 ELSE -1 END AS s
-  FROM range(0, 80) p(p) CROSS JOIN range(0, 64) d(d)
+  FROM range(0, 1024) p(p) CROSS JOIN range(0, 64) d(d)
+  WHERE p.p < 16 * (SELECT r FROM nv)
 ),
 proj AS (
   SELECT v.vec_id, pl.p, SUM(v.q * pl.s) AS pr
@@ -1677,9 +1707,10 @@ proj AS (
   GROUP BY v.vec_id, pl.p
 ),
 bk AS (
-  SELECT vec_id, p // 5 AS band,
-         SUM(CASE WHEN pr >= 0 THEN 1 << (p % 5) ELSE 0 END) AS bucket
-  FROM proj GROUP BY vec_id, p // 5
+  SELECT vec_id, p // (SELECT r FROM nv) AS band,
+         SUM(CASE WHEN pr >= 0 THEN 1 << (p % (SELECT r FROM nv))
+                  ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id, p // (SELECT r FROM nv)
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1744,12 +1775,24 @@ def ann_join_topk(spark: SparkSession, sf: str) -> DataFrame:
     (plan-pinned: no vector column below the dedupe exchange,
     tests/test_plans.py).
 
-    Tuning: the all-corpus shape uses B=16 bands x r=5 rows (32 buckets
-    per band) rather than the dedup default (12x3, 8 buckets) — at r=3 a
-    RANDOM pair collides in some band with p≈0.8, making candidates a
-    constant fraction of all-pairs; r=5 cuts random collisions ~4x while
-    sign-LSH theory still gives ~0.75 recall of cos≈0.34 top-5
-    neighbors (floor asserted 0.3 in tests). Scoring + phase-one top-k
+    Tuning: the all-corpus shape uses B=16 bands x ADAPTIVE r rows
+    (2^r buckets per band) rather than the dedup default (12x3, 8
+    buckets). r = max(5, floor(log2(n / 64))) — computed with exact
+    integer bit_length, replayed in the oracle with the same integer
+    formula — so the per-band bucket space tracks n/64 and per-bucket
+    occupancy stays ~constant as the corpus grows. This is the r11
+    scale-probe finding: at FIXED r=5 the bucket count is a constant
+    32/band, so random-pair collisions make candidates a constant
+    FRACTION of all-pairs — measured exponent 1.49 at the 10x corpus
+    (1.8 s -> 57 s). With adaptive r the candidate volume per vector is
+    flat and the measured exponent drops to ~1 (SCALE.md §r11).
+    At every driver/bench SF (n <= 2000) the formula yields exactly
+    r=5 — bit-identical results and timings to the pre-r11 banding.
+    Recall: a cos≈0.86 neighbor agrees per plane with p≈0.83, so one
+    of 16 bands matches with 1-(1-p^r)^16 ≈ 0.997 at r=8 (n=20k);
+    moderate-similarity recall decays as r grows, which is the
+    documented LSH precision/recall dial (floor asserted in tests at
+    the SFs the tests run, where r=5). Scoring + phase-one top-k
     are FUSED in one mapInArrow (:func:`cosine_partial_topk`): one BLAS
     einsum per Arrow batch instead of an interpreted ~200-step JVM
     aggregate lambda per pair.
@@ -1768,8 +1811,14 @@ def ann_join_topk(spark: SparkSession, sf: str) -> DataFrame:
     # bounded; at 100 TB this is the signature TABLE the pipeline
     # materializes next to the corpus (the phash-dedup fingerprint-store
     # pattern). Measured at sf0.1: 2.51 → 1.84 s with identical output.
+    # exact integer twin of the oracle's GREATEST(5, bindigits(n//64)-1);
+    # the count() is one metadata-cheap job and the signature pass that
+    # follows dominates it at any scale
+    n = emb.count()
+    # min(30): band buckets ride array<int>, so 1 << (r-1) must fit int32
+    r = min(30, max(5, (n // 64).bit_length() - 1))
     sigs = banded_signatures(emb, "vec_id", "embedding",
-                             bands=16, rows_per_band=5).persist()
+                             bands=16, rows_per_band=r).persist()
     cand = sigs.select("id", F.posexplode("sig").alias("band", "bucket"))
     a = cand.select("band", "bucket", F.col("id").alias("qid"))
     b = cand.select("band", "bucket", F.col("id").alias("nid"))
