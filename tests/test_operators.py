@@ -200,7 +200,7 @@ _BARE_FLOORDIV_BUDGET = {
     "dedup_embedding_cosine": 2,     # squared norms >= 0
     "cosine_topk_ivf_pq": 3,         # norms / subspace index >= 0
     "cosine_topk_ivf_pq_probed": 3,  # same shapes as _pq
-    "ann_join_topk": 3,              # band index / count // 64, >= 0
+    "ann_join_topk": 4,              # band index / count // 64, >= 0
     "maxsim_late_interaction": 1,    # squared norm >= 0
     "hybrid_rank_fusion_rrf": 2,     # rank >= 1
     "recursive_cte_hierarchy": 1,    # id arithmetic >= 0

@@ -161,6 +161,48 @@ def davg(col, scale: int = 4):
     return F.sum(c.cast("decimal(30,6)")).cast("double") / F.count(F.lit(1))
 
 
+#: broadcast ceiling for candidate-attach payload tables (bytes). The
+#: r11 probe measured BOTH failure directions: a ~1 GiB broadcast dies
+#: in BroadcastExchange (setsim at the 100x corpus), while pinning a
+#: 120 MB payload to SHUFFLE_HASH was 1.5x SLOWER than broadcasting it
+#: (ann_join_topk, 274 s vs 187 s — the pair side re-shuffles with the
+#: payload attached). 256 MB is comfortably inside executor/driver
+#: broadcast headroom and an order of magnitude under the 1 GiB cliff.
+_ATTACH_BROADCAST_CAP = 256 << 20
+
+
+def payload_side(df: DataFrame, approx_bytes: int) -> DataFrame:
+    """Join-strategy guard for the candidate-attach pattern (vectors /
+    token sets joined back to candidate pairs by id). The payload table
+    scales WITH THE CORPUS, and Spark's size estimate for it is
+    post-aggregation (often cached-but-not-yet-materialized), so the
+    planner can pick a broadcast build of a corpus-sized table — the
+    r11 scale probe hit exactly this: setsim_join_prefix's verify
+    broadcast its ~1 GiB per-doc shingle-set table at the 100x corpus
+    and died in BroadcastExchange (SCALE.md §r11). Callers pass a
+    conservative driver-side size estimate (row count x bytes/row,
+    both known cheaply); while provably small the plan keeps the
+    broadcast it always had (driver/bench SFs are byte-identical),
+    beyond the cap the join is pinned to SHUFFLE_HASH — hash-partition
+    both sides on the id, build the payload partition locally; never
+    a sort, never a driver-sized table."""
+    if approx_bytes <= _ATTACH_BROADCAST_CAP:
+        return df
+    return df.hint("shuffle_hash")
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a source table — a FREE corpus-size proxy for
+    :func:`payload_side` estimates (no count job). Unknown/remote paths
+    return 'huge' so the decision fails to the scale-safe side."""
+    import os as _os
+
+    try:
+        return _os.path.getsize(_os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return 1 << 40
+
+
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     for n in names:
         t(spark, sf_dir, n).createOrReplaceTempView(n)
@@ -347,11 +389,23 @@ _DRIVER_WINDOW = [
 # portable HLL family, graph, streaming r7 cohort, text scoring,
 # lakehouse lifecycle, XML advanced/ETL/xpath), then the earliest
 # r8-vintage names (anomaly_mad_robust, attribution_last_touch,
-# bucketed_join_colocated, chi_square_independence) cut at 50. The
-# three rows-only-by-design entries (agg_approx_distinct,
-# agg_approx_percentiles, embedding_pca_project) are excluded per
-# VERDICT r10 item 4 — window slots go to hash-evidence refreshes.
+# bucketed_join_colocated) cut at 50. The three rows-only-by-design
+# entries (agg_approx_distinct, agg_approx_percentiles,
+# embedding_pca_project) are excluded per VERDICT r10 item 4 — window
+# slots go to hash-evidence refreshes. HEAD AMENDMENT (late r11, r8
+# convention for oracle-text changes): ann_join_topk's oracle gained
+# the adaptive-banding formula during r11 (results verified
+# bit-identical at sf0.001/0.01/0.1 and value-green at the 10x probe
+# corpus, so rule 4 — result semantics — does not apply, but the new
+# oracle TEXT should earn a driver hash), so it leads;
+# chi_square_independence drops to the r13 tail. The other three r11
+# scale-probe touches (dedup_embedding_cosine, dedup_minhash_lsh,
+# setsim_join_prefix) are join-strategy-only (payload_side hints),
+# outputs verified identical at sf0.01 — normal rotation per the r8
+# precedent; setsim_join_prefix and dedup-family refreshes are already
+# in this plan's cohort.
 # _R12_WINDOW_PLAN = [
+#     "ann_join_topk",
 #     "audio_resample_decimate",
 #     "avro_roundtrip",
 #     "bpe_pair_counts",
@@ -401,7 +455,6 @@ _DRIVER_WINDOW = [
 #     "anomaly_mad_robust",
 #     "attribution_last_touch",
 #     "bucketed_join_colocated",
-#     "chi_square_independence",
 # ]
 
 

@@ -16,7 +16,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from xml_hive_spark.operators import fan_out, query, t
+from xml_hive_spark.operators import (fan_out, payload_side, query, t,
+                                      table_bytes)
 
 # ------------------------------------------------------------- exact dedup
 
@@ -340,8 +341,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     hashed = shingles(docs).select("id", _hash48("sh").alias("shh"))
     sig = minhash_signatures_with_sets(hashed, num_perm=32).persist()
     pairs = lsh_candidate_pairs(sig, bands=8, rows=4)
-    sa = sig.select(F.col("id").alias("id_a"), F.col("shs").alias("sa"))
-    sb = sig.select(F.col("id").alias("id_b"), F.col("shs").alias("sb"))
+    # corpus-sized shingle-set payload: broadcast only while provably
+    # small, SHUFFLE_HASH beyond the cap (r11 probe class); disk bytes
+    # x8 is a free safe-side size proxy
+    sig_sized = payload_side(sig, table_bytes(sf, "documents") * 8)
+    sa = sig_sized.select(F.col("id").alias("id_a"), F.col("shs").alias("sa"))
+    sb = sig_sized.select(F.col("id").alias("id_b"), F.col("shs").alias("sb"))
     n_inter = F.size(F.array_intersect("sa", "sb"))
     return (
         pairs.join(sa, "id_a")
@@ -898,11 +903,19 @@ def setsim_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     # verification: one array_intersect per surviving pair (bounded
-    # arrays of longs), not a re-exploded shingle join
-    sa = sets.select(F.col("doc_id").alias("a_id"),
-                     F.col("toks").alias("ta"), F.col("sz").alias("sa"))
-    sb = sets.select(F.col("doc_id").alias("b_id"),
-                     F.col("toks").alias("tb"), F.col("sz").alias("sb"))
+    # arrays of longs), not a re-exploded shingle join. The per-doc
+    # set table is CORPUS-sized (~2 KB/doc of token arrays): broadcast
+    # only while provably small — at the r11 100x probe corpus the
+    # planner broadcast this table from a stale post-agg estimate and
+    # died in BroadcastExchange at ~1 GiB (SCALE.md §r11); beyond the
+    # cap the attach is pinned to SHUFFLE_HASH on the id
+    # free size proxy: the token-set table decompresses to roughly 8x
+    # the source parquet bytes (no count job on the hot path)
+    sets_sized = payload_side(sets, table_bytes(sf, "documents") * 8)
+    sa = sets_sized.select(F.col("doc_id").alias("a_id"),
+                           F.col("toks").alias("ta"), F.col("sz").alias("sa"))
+    sb = sets_sized.select(F.col("doc_id").alias("b_id"),
+                           F.col("toks").alias("tb"), F.col("sz").alias("sb"))
     return (
         cand.join(sa, "a_id")
         .join(sb, "b_id")

@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from xml_hive_spark.operators import fan_out, query, t
+from xml_hive_spark.operators import fan_out, payload_side, query, t
 
 
 def _dot(a, b):
@@ -454,13 +454,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     sparse and the same plan is candidate-bound — that regime is what
     ``ann_join_topk`` (adaptive banding, linear-at-scale) demonstrates."""
     emb = t(spark, sf, "embeddings")
+    n = emb.count()  # one cheap metadata job; sizes the attach join
     sigs = banded_signatures(emb, "vec_id", "embedding").persist()
     cand = sigs.select("id", F.posexplode("sig").alias("band", "bucket"))
     a = cand.select("band", "bucket", F.col("id").alias("id_a"))
     b = cand.select("band", "bucket", F.col("id").alias("id_b"))
     pairs = a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
     uniq = pairs.select("id_a", "id_b").distinct()
-    vecs = sigs.select("id", "vec")
+    # ~600 B/row vector payload: broadcast only while provably small
+    vecs = payload_side(sigs.select("id", "vec"), n * 600)
     attached = (
         uniq.join(
             vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("ea")),
@@ -1830,7 +1832,10 @@ def ann_join_topk(spark: SparkSession, sf: str) -> DataFrame:
     # (symmetric=True) folds each scored pair into both endpoints'
     # heaps, so the directed result is identical — still ids-only
     uniq = pairs.select("qid", "nid").distinct()
-    vecs = emb.select("vec_id", "embedding")
+    # ~600 B per row (64 floats + ids + array overhead): broadcast the
+    # vector table while provably small, pin SHUFFLE_HASH beyond the cap
+    # (corpus-sized broadcast is the r11 probe's failure class)
+    vecs = payload_side(emb.select("vec_id", "embedding"), n * 600)
     uniq = uniq.join(
         vecs.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")),
         "qid",
