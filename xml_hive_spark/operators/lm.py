@@ -259,16 +259,32 @@ def bpe_learn(spark: SparkSession, sf: str, n_merges: int = 6) -> DataFrame:
     pure-Python implementation in tests/test_lm.py).
 
     At 100 TB the word-frequency table is the only corpus-sized pass;
-    the merge loop runs on |vocab| rows. Lineage grows by one projection
-    per merge — checkpoint every ~20 merges at real scale (the
-    components-operator pattern)."""
+    the merge loop runs on |vocab| rows.
+
+    Two scale lessons from the r11 10x probe (the first cut took 7+ min
+    at the 10x corpus on ONE core — jstack showed nested interpreted
+    ArrayAggregate folds inside a single task):
+    * the vocab groupBy's output gets AQE-coalesced to 1-2 partitions
+      at small-to-mid scale, and every later per-merge projection
+      inherits that layout — the EXPLICIT hash repartition below (an
+      explicit partition count is exempt from AQE coalescing) spreads
+      the interpreted merge folds across all cores;
+    * each iteration's wf must be PERSISTED: the merge expressions
+      stack lineage, so un-cached iteration r re-applies all r-1
+      previous folds — O(m^2) interpreted fold passes; caching makes
+      it O(m) (each fold applied exactly once). The previous
+      iteration's cache is dropped once the next is materialized.
+    Measured at the 10x corpus: hang (killed at 7 min) -> ~11 s."""
     docs = t(spark, sf, "documents")
     wf = (
         docs.select(F.explode(F.expr(_SPARK_TOKENS)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .withColumn("syms", F.split("w", ""))
+        .repartition(spark.sparkContext.defaultParallelism, "w")
+        .persist()
     )
+    prev = wf
     merges = []
     for rank in range(1, n_merges + 1):
         # sequence(1, 0) is descending in Spark — single-symbol words
@@ -288,18 +304,26 @@ def bpe_learn(spark: SparkSession, sf: str, n_merges: int = 6) -> DataFrame:
             .orderBy(F.desc("cnt"), "a", "b")
             .limit(1)
             .collect()  # exactly one (pair, count) row — the model update
+            # (this scan also materializes wf's cache for this rank)
         )
         if not top:
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((rank, a, b, a + b, cnt))
         la, lb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        if prev is not wf:
+            prev.unpersist()  # rank r-1 cache: all consumers done
+        prev = wf
         wf = wf.withColumn(
             "syms", F.expr(_MERGE_EXPR.format(a=f"'{la}'", b=f"'{lb}'"))
-        )
-    return spark.createDataFrame(
+        ).persist()
+    out = spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, merged STRING, n BIGINT"
     )
+    if prev is not wf:
+        prev.unpersist()
+    wf.unpersist()
+    return out
 
 
 def _bpe_merge_ctes(r: int) -> str:

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xml_hive_spark.operators import query, register_views, t
+from xml_hive_spark.operators import query, register_views, t, table_bytes
 
 
 @query(
@@ -50,8 +50,18 @@ def recursive_cte_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
     CASTs). Scale shape: each recursion step is one equi-join of the
     frontier against nothing but itself (pure projection here), depth
     is O(log N) — the classic bounded-iteration transitive walk; the
-    final agg is domain-sized (max depth ~ log2 of the key space)."""
+    final agg is domain-sized (max depth ~ log2 of the key space).
+
+    The walk materializes n·log2(max_key) rows total, which crosses
+    Spark's default 1 M recursion-row safety valve at ~60 k customers
+    — the r11 10x scale probe hit RECURSION_ROW_LIMIT_EXCEEDED on
+    correct code. The limit is a valve, not a plan property, so size
+    it to the data: rows ≈ n·depth, with n bounded cheaply by disk
+    bytes (≥ ~25 B/row in parquet) and depth by the 64-bit key space."""
     register_views(spark, sf, "customer")
+    est_rows = max(1, table_bytes(sf, "customer") // 25)
+    spark.conf.set("spark.sql.cteRecursionRowLimit",
+                   str(max(1_000_000, est_rows * 64)))
     return spark.sql(
         """
 WITH RECURSIVE walk(custkey, node, depth) AS (
