@@ -116,13 +116,17 @@ CALIB_REF_SEC = 0.38  # idle-box COLD-SESSION value (bench's context):
 #   repeats on a quiet box (2026-08-14 round 8); fully C2-warmed
 #   steady state reaches 0.277. See SCALE.md §"Bench calibration".
 
-# Idle reference for the Python-worker probe (derived round 10, same
-# protocol: cold-session first-call value on the quietest observed box
-# state; see SCALE.md §"Bench calibration" for the measurement table).
-# NOTE: derived on a box whose JVM probe read 1.21x its own idle ref,
-# so this is an UPPER bound on the true idle value — revise downward
-# if a quieter session measures lower (re-derivation note required).
-CALIB_PY_REF_SEC = 0.41
+# Idle reference for the Python-worker probe. RE-DERIVED round 11 on
+# a genuinely quiet box (JVM probe 0.37-0.42, i.e. at/below its own
+# idle ref — the precondition the r10 note required): cold-session
+# first-call values measured 0.299 / 0.315 / 0.324 across three fresh
+# sessions (a fourth read 1.18 immediately after a bench teardown —
+# the Python-worker contention episode the probe exists to flag, so
+# excluded). 0.31 = mid-range, same convention as CALIB_REF_SEC. The
+# r10 value (0.41) was derived under Rj = 1.21 load and was ~30% high,
+# which under-reported Python-side contention ratios in r10 artifacts.
+# See SCALE.md §"Bench calibration".
+CALIB_PY_REF_SEC = 0.31
 
 
 def calibrate(spark) -> float:
