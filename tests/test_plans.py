@@ -513,6 +513,36 @@ def test_copurchase_lift_take_ordered(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_payload_side_strategy_guard(spark, sf_dir):
+    """payload_side (r11): corpus-sized candidate-attach tables must
+    ride SHUFFLE_HASH above the broadcast cap and keep their broadcast
+    below it — the r11 100x probe OOM'd a ~1 GiB BroadcastExchange that
+    Spark picked from a stale post-agg estimate. Pin both directions
+    at the unit level (the hint lands in the plan) plus the size proxy."""
+    from pyspark.sql import functions as F
+
+    from xml_hive_spark.operators import (_ATTACH_BROADCAST_CAP,
+                                          payload_side, t, table_bytes)
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    small = payload_side(emb, _ATTACH_BROADCAST_CAP)      # at cap: keep
+    big = payload_side(emb, _ATTACH_BROADCAST_CAP + 1)    # over: shuffle
+    pairs = emb.select(F.col("vec_id").alias("k")).limit(10)
+    p_small = pairs.join(
+        small.withColumnRenamed("vec_id", "k"), "k"
+    )._jdf.queryExecution().executedPlan().toString()
+    p_big = pairs.join(
+        big.withColumnRenamed("vec_id", "k"), "k"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" not in p_small
+    assert "ShuffledHashJoin" in p_big
+    assert "BroadcastExchange" not in p_big
+    # the free size proxy: real file -> its byte size; missing -> huge
+    # (fails to the scale-safe side)
+    assert table_bytes(sf_dir, "embeddings") > 0
+    assert table_bytes(sf_dir, "no_such_table") >= (1 << 40)
+
+
 def test_fan_out_guard(spark, sf_dir):
     """fan_out widens a small input to defaultParallelism (the per-row
     map stages behind it would otherwise run as ONE task at test SF)
