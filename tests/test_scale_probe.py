@@ -1,0 +1,123 @@
+"""Corpus-builder invariants for tools/scale_probe.py (r11).
+
+The scale-exponent probe's evidence is only as good as its corpus
+construction: the factor-F corpus must scale the WORKLOAD (keys
+coordinated, densities preserved) without degenerate duplication.
+DuckDB-only — no Spark session — so this runs in seconds.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.scale_probe import ALPHA, _perm, build_corpus  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("scale") / "x3")
+    build_corpus(SRC, dst, 3)
+    return dst
+
+
+def test_perm_family_injective_and_collision_free():
+    perms = {_perm(i) for i in range(200)}
+    assert len(perms) == 200  # a rotation family would collide at 26
+    assert all(sorted(p) == sorted(ALPHA) for p in perms)
+    assert _perm(0) == ALPHA  # copy 0 is the identity
+
+
+def test_key_coordination_no_orphans(corpus):
+    con = duckdb.connect()
+    for fact, dim, fk, pk in [
+        ("orders", "customer", "o_custkey", "c_custkey"),
+        ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+        ("lineitem", "part", "l_partkey", "p_partkey"),
+        ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+    ]:
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{corpus}/{fact}.parquet') f"
+            f" LEFT JOIN read_parquet('{corpus}/{dim}.parquet') d"
+            f" ON f.{fk} = d.{pk} WHERE d.{pk} IS NULL"
+        ).fetchone()[0]
+        assert n == 0, f"orphan {fact}.{fk}"
+
+
+def test_copy0_identity_and_cross_copy_disjoint(corpus):
+    con = duckdb.connect()
+    # copy 0 is byte-identical to the source
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{corpus}/documents.parquet') a"
+        f" JOIN read_parquet('{SRC}/documents.parquet') b USING (doc_id)"
+        f" WHERE a.text <> b.text"
+    ).fetchone()[0]
+    assert n == 0
+    # no text is shared across copies (would multiply duplicate density)
+    stride = con.execute(
+        f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    shared = con.execute(
+        f"SELECT count(*) FROM ("
+        f"  SELECT text, count(DISTINCT doc_id // {stride}) AS nc"
+        f"  FROM read_parquet('{corpus}/documents.parquet')"
+        f"  GROUP BY text HAVING nc > 1)"
+    ).fetchone()[0]
+    assert shared == 0
+    # n_chars stays consistent with the relabeled text
+    bad = con.execute(
+        f"SELECT count(*) FROM read_parquet('{corpus}/documents.parquet')"
+        f" WHERE n_chars <> length(text)"
+    ).fetchone()[0]
+    assert bad == 0
+
+
+def test_embedding_transform_is_orthogonal(corpus):
+    con = duckdb.connect()
+    stride = con.execute(
+        f"SELECT max(vec_id) + 1 FROM read_parquet('{SRC}/embeddings.parquet')"
+    ).fetchone()[0]
+    src = dict(con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{SRC}/embeddings.parquet')"
+        f" WHERE vec_id IN (3, 7)"
+    ).fetchall())
+    big = dict(con.execute(
+        f"SELECT vec_id, embedding"
+        f" FROM read_parquet('{corpus}/embeddings.parquet')"
+        f" WHERE vec_id IN ({stride + 3}, {stride + 7},"
+        f"                  {2 * stride + 3}, {2 * stride + 7})"
+    ).fetchall())
+    a = np.asarray(src[3], dtype=np.float64)
+    b = np.asarray(src[7], dtype=np.float64)
+    for cp in (1, 2):
+        ta = np.asarray(big[cp * stride + 3], dtype=np.float64)
+        tb = np.asarray(big[cp * stride + 7], dtype=np.float64)
+        # within-copy inner products bit-preserved (orthogonal transform)
+        assert float(a @ b) == float(ta @ tb)
+        assert float(a @ a) == float(ta @ ta)
+        # cross-copy cosine collapses to noise (not a near-duplicate)
+        cos = float(a @ ta) / math.sqrt(float(a @ a) * float(ta @ ta))
+        assert abs(cos) < 0.9
+
+
+def test_dims_unscaled_facts_scaled(corpus):
+    con = duckdb.connect()
+    for tbl, factor in [("region", 1), ("nation", 1),
+                        ("lineitem", 3), ("documents", 3),
+                        ("embeddings", 3), ("events", 3)]:
+        n0 = con.execute(
+            f"SELECT count(*) FROM read_parquet('{SRC}/{tbl}.parquet')"
+        ).fetchone()[0]
+        n1 = con.execute(
+            f"SELECT count(*) FROM read_parquet('{corpus}/{tbl}.parquet')"
+        ).fetchone()[0]
+        assert n1 == n0 * factor, tbl
