@@ -277,6 +277,29 @@ class TestPQ:
 
 
 class TestAnnJoin:
+    def test_adaptive_rows_per_band_cross_engine_parity(self):
+        """r11 adaptive banding: the Spark side computes
+        r = min(30, max(5, bit_length(n // 64) - 1)) with exact Python
+        integers; the oracle replays it as LEAST(30, GREATEST(5,
+        length(printf('%b', n // 64)) - 1)) in DuckDB. Pin the two
+        formulas equal across every bit-length boundary and the driver
+        SF corpus sizes — a one-off divergence would flip the whole
+        banding structure and hash-mismatch the entire result."""
+        import duckdb
+
+        ns = [1, 63, 64, 127, 128, 200, 500, 2000, 4095, 4096, 4097,
+              8191, 8192, 20000, 200000, 10**6, 10**9, 1 << 41]
+        for n in ns:
+            py = min(30, max(5, (n // 64).bit_length() - 1))
+            db = duckdb.sql(
+                f"SELECT LEAST(30, GREATEST(5,"
+                f" length(printf('%b', {n} // 64)) - 1))"
+            ).fetchone()[0]
+            assert py == db, (n, py, db)
+        # driver/bench SFs must keep the pre-r11 value exactly
+        for n in (200, 500, 2000):
+            assert min(30, max(5, (n // 64).bit_length() - 1)) == 5, n
+
     def test_ann_join_topk_recall_and_shape(self, spark, sf_dir):
         """All-corpus ANN join: exactly-once (qid, nid) pairs, ranks
         1..<=5 per query, exact reported cosines, and recall vs the
