@@ -121,3 +121,50 @@ def test_dims_unscaled_facts_scaled(corpus):
             f"SELECT count(*) FROM read_parquet('{corpus}/{tbl}.parquet')"
         ).fetchone()[0]
         assert n1 == n0 * factor, tbl
+
+
+def test_regress_bar_semantics():
+    """--regress fail threshold: sublinear drift never fails; a
+    dispositioned superlinear query fails only beyond recorded+0.15."""
+    from tools.scale_probe import regress_bar
+
+    # previously-flat query drifting inside the sublinear band: bar is 1.15
+    assert regress_bar(0.05) == pytest.approx(1.15)
+    assert regress_bar(0.98) == pytest.approx(1.15)
+    # dispositioned superlinear query (ann_join_topk 1.26): bar tracks it
+    assert regress_bar(1.26) == pytest.approx(1.41)
+    # unrecorded query defaults to the plain linearity bar
+    assert regress_bar(None) == pytest.approx(1.15)
+
+
+def test_regress_check_red_and_green():
+    from tools.scale_probe import regress_check
+
+    baseline = {"flat": 0.05, "dispositioned": 1.26}
+    report = {
+        "flat": {"exp": 0.90},            # drift inside sublinear band: ok
+        "dispositioned": {"exp": 1.35},   # within recorded+0.15: ok
+        "newly_quadratic": {"exp": 1.80}, # unrecorded, above 1.15: RED
+        "timed_out": {"exp": None},       # unmeasurable: RED, never silent
+    }
+    assert regress_check(report, baseline) == ["newly_quadratic", "timed_out"]
+    report["dispositioned"]["exp"] = 1.55  # worsened beyond its account
+    assert "dispositioned" in regress_check(report, baseline)
+
+
+def test_regress_baseline_parse_matches_artifact_layout():
+    """The committed SCALE_EXPONENTS artifact parses into a per-query
+    exponent map for both factor sections (the exp key name differs)."""
+    import json
+
+    art = json.load(open(Path(__file__).resolve().parent.parent
+                         / "SCALE_EXPONENTS_r11.json"))
+    for section, expkey in [("factor10", "exp_1_to_10"),
+                            ("factor100", "exp_10_to_100")]:
+        base = {
+            q: next(v for k, v in rec.items() if k.startswith("exp"))
+            for q, rec in art[section].items()
+        }
+        assert base, section
+        for q, rec in art[section].items():
+            assert base[q] == rec[expkey]

@@ -224,6 +224,40 @@ def time_queries(spark, names, sf_dir: str, samples: int = 3) -> dict:
     return out
 
 
+def regress_bar(baseline_exp: float | None) -> float:
+    """Fail threshold for a measured exponent against its recorded value.
+
+    Exponents on sub-second queries are noisy (fixed overhead biases
+    them down at 1x, so a warm cache or a busy box can move one by
+    +-0.2 without any plan change), and two queries carry recorded
+    superlinear dispositions (ann_join_topk's 16*r log factor,
+    dedup_embedding_cosine's quadratic OUTPUT). The regression bar is
+    therefore: fail only when the measured exponent exceeds BOTH the
+    linearity bar (1.15) and the recorded value + 0.15 — a previously
+    sublinear query drifting within the sublinear band never fails,
+    and a dispositioned query fails only if it worsens beyond its
+    recorded account."""
+    return max(1.15, (baseline_exp if baseline_exp is not None else 0.0) + 0.15)
+
+
+def regress_check(report: dict, baseline: dict) -> list[str]:
+    """Compare measured exponents to recorded ones; return the names
+    that exceed their bar (printed per-query to stderr)."""
+    failures = []
+    for n, r in sorted(report.items()):
+        rec = baseline.get(n)
+        bar = regress_bar(rec)
+        ok = r["exp"] is not None and r["exp"] <= bar
+        if not ok:
+            failures.append(n)
+        rec_s = f"{rec:+.2f}" if rec is not None else "unrecorded"
+        exp_s = f"{r['exp']:+.2f}" if r["exp"] is not None else "n/a"
+        print(f"# regress {n}: measured {exp_s} vs recorded "
+              f"{rec_s} (bar {bar:.2f}) -> "
+              f"{'ok' if ok else 'REGRESSED'}", file=sys.stderr)
+    return failures
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -233,7 +267,27 @@ def main() -> None:
                     help="exclude xml_scan_bench (10 GiB one-time XML gen)")
     ap.add_argument("--samples", type=int, default=3,
                     help="timed samples per query (min is reported)")
+    ap.add_argument("--regress", metavar="EXPONENTS_JSON", default=None,
+                    help="compare measured exponents to a recorded "
+                         "SCALE_EXPONENTS_r*.json; exit 1 on any query "
+                         "whose exponent exceeds regress_bar(recorded)")
     args = ap.parse_args()
+
+    baseline = None
+    if args.regress:
+        with open(args.regress) as fh:
+            art = json.load(fh)
+        section = art.get(f"factor{args.factor}")
+        if section is None:
+            ap.error(f"{args.regress} has no factor{args.factor} section")
+        # factor10 entries record exp_1_to_10, factor100 exp_10_to_100
+        baseline = {
+            q: next(v for k, v in rec.items() if k.startswith("exp"))
+            for q, rec in section.items()
+        }
+        if args.queries is None:
+            from bench import HEADLINE
+            args.queries = [q for q in HEADLINE if q in baseline]
 
     m = re.search(r"sf([0-9.]+)", args.src)
     src_sf = float(m.group(1)) if m else 0.1
@@ -275,6 +329,16 @@ def main() -> None:
     print("|---|---|---|---|", file=sys.stderr)
     for n, r in sorted(report.items(), key=lambda kv: -(kv[1]["exp"] or 0)):
         print(f"| {n} | {r['t1']} | {r['tF']} | {r['exp']} |",
+              file=sys.stderr)
+
+    if baseline is not None:
+        failures = regress_check(report, baseline)
+        if failures:
+            print(f"# REGRESSION: {len(failures)} quer"
+                  f"{'y' if len(failures) == 1 else 'ies'} above bar: "
+                  f"{', '.join(failures)}", file=sys.stderr)
+            sys.exit(1)
+        print(f"# regress: all {len(report)} exponents within bar",
               file=sys.stderr)
 
 
