@@ -1,0 +1,147 @@
+"""Per-query shuffle-byte audit: measure the exchanges, don't audit them.
+
+The 100-TB design claims lean on "minimize shuffles" — ids-only
+candidate phases, broadcast-vs-shuffle payload guards, map-side
+combines. The scale probe (tools/scale_probe.py) measures TIME; this
+tool measures BYTES: for each query it runs the plan once untimed
+(JIT, index/XML one-times) then reads the per-stage task metrics from
+the JVM AppStatusStore (works with spark.ui.enabled=false) and reports
+the delta in shuffle write/read, input, and output bytes for one
+steady-state execution.
+
+With ``--scaled DIR`` (a corpus built by tools/scale_probe.py) every
+query is measured at both scales and the bytes RATIO is reported — a
+linear plan moves <= factor x the shuffle bytes at a factor-x corpus;
+a plan whose candidate set or join fan-out grows superlinearly shows
+it in the ratio even when wall-clock hides it behind parallelism.
+
+Usage:
+    python tools/shuffle_audit.py [--sf-dir /root/testdata/sf0.1]
+                                  [--scaled $TMPDIR/xmlhive_scale/sf1]
+                                  [--queries name ...]
+
+Prints one JSON line {query: {shuffle_write, shuffle_read, input,
+output, ...}} plus a markdown table for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _store_totals(spark) -> dict[str, int]:
+    """Sum task metrics across every stage the status store retains.
+
+    Uses the Spark 4 AppStatusStore.stageList(statuses, details,
+    withSummaries, unsortedQuantiles, taskStatus) signature; the store
+    is populated regardless of spark.ui.enabled. The caller must size
+    spark.ui.retainedStages above the whole audit's stage count or a
+    mid-audit eviction would deflate the "after" snapshot (the session
+    below pins 100000)."""
+    sc = spark.sparkContext
+    ss = sc._jsc.sc().statusStore()
+    gw = sc._gateway
+    empty = gw.jvm.java.util.ArrayList()
+    quantiles = gw.new_array(gw.jvm.double, 0)
+    stages = ss.stageList(empty, False, False, quantiles, empty)
+    tot = {"shuffle_write": 0, "shuffle_read": 0, "input": 0, "output": 0,
+           "spill_disk": 0, "n_stages": 0}
+    for i in range(stages.size()):
+        st = stages.apply(i)
+        tot["shuffle_write"] += st.shuffleWriteBytes()
+        tot["shuffle_read"] += st.shuffleReadBytes()
+        tot["input"] += st.inputBytes()
+        tot["output"] += st.outputBytes()
+        tot["spill_disk"] += st.diskBytesSpilled()
+        tot["n_stages"] += 1
+    return tot
+
+
+def measure(spark, names, sf_dir: str) -> dict[str, dict[str, int]]:
+    from xml_hive_spark.operators import all_queries
+
+    reg = all_queries()
+    out = {}
+    for name in names:
+        qd = reg[name]
+        qd.fn(spark, sf_dir).count()  # warm: JIT, index/XML-gen one-times
+        before = _store_totals(spark)
+        qd.fn(spark, sf_dir).count()
+        after = _store_totals(spark)
+        out[name] = {k: after[k] - before[k] for k in before}
+        print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: "
+              f"sw={out[name]['shuffle_write']} sr={out[name]['shuffle_read']} "
+              f"in={out[name]['input']} spill={out[name]['spill_disk']}",
+              file=sys.stderr)
+    return out
+
+
+def _fmt(b: int) -> str:
+    for unit in ("B", "KB", "MB", "GB"):
+        if abs(b) < 1024 or unit == "GB":
+            return f"{b:.1f} {unit}" if unit != "B" else f"{b} B"
+        b /= 1024
+    return f"{b:.1f} GB"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--scaled", default=None,
+                    help="second corpus dir (scale_probe output); adds a "
+                         "bytes-ratio column")
+    ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--skip-xml", action="store_true")
+    args = ap.parse_args()
+
+    from bench import HEADLINE
+    from xml_hive_spark.session import get_spark
+
+    names = args.queries or list(HEADLINE)
+    if args.skip_xml and "xml_scan_bench" in names:
+        names.remove("xml_scan_bench")
+
+    spark = get_spark(app_name="xml-hive-spark-shuffle-audit",
+                      extra_conf={"spark.ui.retainedStages": "100000",
+                                  "spark.ui.retainedJobs": "100000"})
+    base = measure(spark, names, args.sf_dir)
+    scaled = measure(spark, names, args.scaled) if args.scaled else None
+    spark.stop()
+
+    report = {}
+    for n in names:
+        report[n] = dict(base[n])
+        if scaled:
+            report[n]["scaled_shuffle_write"] = scaled[n]["shuffle_write"]
+            bw = base[n]["shuffle_write"]
+            report[n]["shuffle_ratio"] = (
+                round(scaled[n]["shuffle_write"] / bw, 2) if bw > 0 else None
+            )
+    print(json.dumps({"sf_dir": args.sf_dir, "scaled": args.scaled,
+                      "queries": report}))
+
+    hdr = "| query | shuffle W | shuffle R | input | spill |"
+    sep = "|---|---|---|---|---|"
+    if scaled:
+        hdr += " shuffle W @scaled | ratio |"
+        sep += "---|---|"
+    print("\n" + hdr, file=sys.stderr)
+    print(sep, file=sys.stderr)
+    for n in sorted(names, key=lambda x: -report[x]["shuffle_write"]):
+        r = report[n]
+        row = (f"| {n} | {_fmt(r['shuffle_write'])} | {_fmt(r['shuffle_read'])}"
+               f" | {_fmt(r['input'])} | {_fmt(r['spill_disk'])} |")
+        if scaled:
+            ratio = r["shuffle_ratio"]
+            row += (f" {_fmt(r['scaled_shuffle_write'])} |"
+                    f" {ratio if ratio is not None else '—'} |")
+        print(row, file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,7 @@ def get_spark(
     app_name: str = "xml-hive-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -62,6 +63,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # session-creation-time overrides for tools (e.g. the shuffle audit
+    # raises spark.ui.retainedStages so per-query stage-metric deltas
+    # survive store eviction); no effect on an already-running session
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # Python workers import the package by reference (mapInPandas /
     # applyInPandasWithState closures); ship it so sessions started from
