@@ -191,14 +191,39 @@ def image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     loss. The fingerprint table (4 smallints/image) is persisted before
     the self-join so the codec runs ONCE per image, not once per plan
     subtree — at 100 TB the fingerprints are the stored index; images
-    never enter the join."""
+    never enter the join.
+
+    Unlike ``ann_join_topk``, the join carries the WHOLE fingerprint
+    (8 bytes) and computes hamming inside it: the ids-only candidate
+    discipline is for 512-byte payloads, and applying it here (r11
+    shuffle-byte audit finding) materialized every random 16-bit band
+    collision — an inherently QUADRATIC set at the fixed 65 536-bucket
+    band space (16.8× bytes at 10× data, 59.6× at 100×) — through a
+    distinct exchange plus two re-attach joins. With the fingerprint
+    riding the explode rows, collision pairs live and die inside the
+    join stage (4 bit_counts in codegen, no exchange) and only the ≤ 3
+    survivors — true near-dups, linear in the corpus — reach the
+    dedupe. Shuffled bytes: 8 fingerprint rows per image + survivors,
+    linear by construction (re-measured: ~1.3× bytes at 10× data on
+    KB-scale volumes). The quadratic collision-CHECK work is inherent
+    to exact 64-bit blocking (pigeonhole needs ≥ h+1 = 4 bands) and
+    stays embarrassingly parallel; the fix removes it from the network
+    fabric, which is the resource that doesn't scale with executors."""
     docs = t(spark, sf, "documents").select("doc_id")
     bands = phash_fingerprint_stage(synth_pair_png_stage(docs)).persist()
     expl = bands.select(
         "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_idx", "val"),
     )
-    cand = (
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}")))
+        for i in range(4)
+    ).alias("hamming")
+    return (
         expl.alias("a")
         .join(
             expl.alias("b"),
@@ -207,26 +232,12 @@ def image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming,
         )
-        .distinct()
-    )
-    ba = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(c).alias(f"{c}_a") for c in ("b0", "b1", "b2", "b3")],
-    )
-    bb = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(c).alias(f"{c}_b") for c in ("b0", "b1", "b2", "b3")],
-    )
-    hamming = sum(
-        F.bit_count(F.expr(f"b{i}_a ^ b{i}_b")) for i in range(4)
-    ).alias("hamming")
-    return (
-        cand.join(ba, "doc_a")
-        .join(bb, "doc_b")
-        .select("doc_a", "doc_b", hamming)
         .filter(F.col("hamming") <= 3)
+        .distinct()
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
 
