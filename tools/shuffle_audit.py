@@ -50,7 +50,7 @@ def _store_totals(spark) -> dict[str, int]:
     quantiles = gw.new_array(gw.jvm.double, 0)
     stages = ss.stageList(empty, False, False, quantiles, empty)
     tot = {"shuffle_write": 0, "shuffle_read": 0, "input": 0, "output": 0,
-           "spill_disk": 0, "n_stages": 0}
+           "spill_disk": 0, "n_stages": 0, "n_skipped": 0}
     for i in range(stages.size()):
         st = stages.apply(i)
         tot["shuffle_write"] += st.shuffleWriteBytes()
@@ -59,6 +59,14 @@ def _store_totals(spark) -> dict[str, int]:
         tot["output"] += st.outputBytes()
         tot["spill_disk"] += st.diskBytesSpilled()
         tot["n_stages"] += 1
+        # SKIPPED = the stage consumed already-written shuffle files.
+        # WITHIN one execution that's normal (a self-join reads one
+        # exchange twice; its bytes were counted at the write). ACROSS
+        # executions it under-counts — that leak is what the
+        # clearCache in measure() breaks; the count here is surfaced
+        # for diagnosis, not as an error.
+        if st.status().toString() == "SKIPPED":
+            tot["n_skipped"] += 1
     return tot
 
 
@@ -70,13 +78,22 @@ def measure(spark, names, sf_dir: str) -> dict[str, dict[str, int]]:
     for name in names:
         qd = reg[name]
         qd.fn(spark, sf_dir).count()  # warm: JIT, index/XML-gen one-times
+        # Spark reuses a prior identical execution's shuffle outputs
+        # (stages show SKIPPED), which silently zeroes the measured
+        # run's deltas — dedup_simhash at 10x read 1.8 KB instead of
+        # its true 167 MB before this clear. Dropping the cache breaks
+        # the shared lineage so every exchange of the measured run
+        # actually executes; WITHIN-run persist/reuse still applies,
+        # which is the plan behavior being measured.
+        spark.catalog.clearCache()
         before = _store_totals(spark)
         qd.fn(spark, sf_dir).count()
         after = _store_totals(spark)
         out[name] = {k: after[k] - before[k] for k in before}
         print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: "
               f"sw={out[name]['shuffle_write']} sr={out[name]['shuffle_read']} "
-              f"in={out[name]['input']} spill={out[name]['spill_disk']}",
+              f"in={out[name]['input']} spill={out[name]['spill_disk']} "
+              f"skipped={out[name]['n_skipped']}",
               file=sys.stderr)
     return out
 

@@ -510,19 +510,18 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
+        # hamming BEFORE distinct: chunk collisions at 4096 buckets are a
+        # constant fraction of all pairs (quadratic — the r11 byte-audit
+        # class found on image_phash_dedup), so they must die inside the
+        # join stage; only true near-dups reach the dedupe exchange
+        .filter(F.col("hamming") <= 3)
         .distinct()
     )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-        )
-        .filter(F.col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
-    )
+    return cand.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
 
 
 # ------------------------------------------------------------ ngram jaccard
