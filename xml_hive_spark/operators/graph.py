@@ -114,17 +114,31 @@ def pagerank(edges: DataFrame, damping: float = _DAMP,
         F.count(F.lit(1)).alias("outdeg")
     ).persist()
     teleport = ((100 - dnum) * _UNIT) // (100 * n)
+    # Vertex-scaled loop state must not broadcast past the cliff: ranks
+    # and contribs are O(V) rows, and AQE happily broadcasts the small
+    # persisted table at test SFs — at the r11 100x corpus (V ~ 16 M)
+    # the HashedRelation build OOM'd the driver (BroadcastExchange
+    # "Not enough memory", byte-audit sweep). The estimate uses
+    # ~100 B/row because a broadcast HashedRelation expands the 16 B of
+    # data several-fold (hash table + object headers), which is what
+    # actually sizes the cliff. Below the cap the plan keeps the
+    # broadcasts it always had (driver/bench SFs byte-identical).
+    from xml_hive_spark.operators import payload_side
+
+    vstate_bytes = n * 100
     ranks = nodes.withColumn("rank_units", F.lit(_UNIT // n).cast("long"))
     for k in range(iters):
         contribs = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(outdeg, "src")
+            edges.join(payload_side(ranks, vstate_bytes),
+                       edges.src == ranks.node)
+            .join(payload_side(outdeg, vstate_bytes), "src")
             .select("dst", F.expr("rank_units DIV outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         new_ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            nodes.join(payload_side(contribs, vstate_bytes),
+                       nodes.node == contribs.dst, "left")
             .select(
                 "node",
                 F.expr(
