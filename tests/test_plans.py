@@ -515,10 +515,14 @@ def test_copurchase_lift_take_ordered(spark, sf_dir):
 
 def test_payload_side_strategy_guard(spark, sf_dir):
     """payload_side (r11): corpus-sized candidate-attach tables must
-    ride SHUFFLE_HASH above the broadcast cap and keep their broadcast
+    ride SORT-MERGE above the broadcast cap and keep their broadcast
     below it — the r11 100x probe OOM'd a ~1 GiB BroadcastExchange that
-    Spark picked from a stale post-agg estimate. Pin both directions
-    at the unit level (the hint lands in the plan) plus the size proxy."""
+    Spark picked from a stale post-agg estimate, and the late-r11 byte
+    audit then retired the first SHUFFLE_HASH choice: its per-partition
+    hash build failed ("Can't acquire ... bytes memory to build hash
+    relation") in a loaded session on the same plan a fresh session
+    passed, while sort-merge spills gracefully. Pin both directions at
+    the unit level (the hint lands in the plan) plus the size proxy."""
     from pyspark.sql import functions as F
 
     from xml_hive_spark.operators import (_ATTACH_BROADCAST_CAP,
@@ -526,7 +530,7 @@ def test_payload_side_strategy_guard(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     small = payload_side(emb, _ATTACH_BROADCAST_CAP)      # at cap: keep
-    big = payload_side(emb, _ATTACH_BROADCAST_CAP + 1)    # over: shuffle
+    big = payload_side(emb, _ATTACH_BROADCAST_CAP + 1)    # over: merge
     pairs = emb.select(F.col("vec_id").alias("k")).limit(10)
     p_small = pairs.join(
         small.withColumnRenamed("vec_id", "k"), "k"
@@ -534,8 +538,8 @@ def test_payload_side_strategy_guard(spark, sf_dir):
     p_big = pairs.join(
         big.withColumnRenamed("vec_id", "k"), "k"
     )._jdf.queryExecution().executedPlan().toString()
-    assert "ShuffledHashJoin" not in p_small
-    assert "ShuffledHashJoin" in p_big
+    assert "SortMergeJoin" not in p_small
+    assert "SortMergeJoin" in p_big
     assert "BroadcastExchange" not in p_big
     # the free size proxy: real file -> its byte size; missing -> huge
     # (fails to the scale-safe side)

@@ -23,9 +23,21 @@ pairs quadratically and measures data semantics, not plan quality):
   permutation (a 26! family — collision-free at any factor): lengths,
   word counts, word boundaries, distinct-word ratios, and within-copy
   dup/near-dup structure are preserved exactly (the curation quality
-  gate sees identical statistics), while char-8 shingles and word
-  n-grams become cross-copy DISJOINT — duplicate density per copy
-  equals the source;
+  gate sees identical statistics). CAVEAT, measured late r11: the
+  cipher permutes LETTERS only, and the synthetic document text is
+  digit-dominated — so cross-copy shingle DISJOINTNESS largely fails
+  in practice (at the 10x corpus, 126 496 of 129 876 distinct char-8
+  shingles appear in >1 copy). The scaled corpora therefore behave as
+  BOILERPLATE-HEAVY stress corpora for shingle-based operators:
+  near-dup/containment structure recurs across copies instead of
+  staying copy-local. Banded near-dup (minhash/simhash bands) and
+  symmetric Jaccard (prefix+length filters) measured linear anyway;
+  the asymmetric containment join floods candidates on it — the
+  honest at-scale behavior on boilerplate, recorded in SCALE.md. The
+  r12 improvement is an md5-keyed DIGIT permutation (10! family)
+  composed with the alphabet one, which restores the disjointness
+  intent — note that changing the cipher re-baselines every corpus
+  this tool has produced (the _DONE cache must be cleared);
 * embeddings get a per-copy orthogonal transform (circular rotation +
   md5-keyed diagonal +-1), so within-copy inner products (cluster
   structure, top-k neighborhoods) are bit-preserved while cross-copy

@@ -183,12 +183,20 @@ def payload_side(df: DataFrame, approx_bytes: int) -> DataFrame:
     conservative driver-side size estimate (row count x bytes/row,
     both known cheaply); while provably small the plan keeps the
     broadcast it always had (driver/bench SFs are byte-identical),
-    beyond the cap the join is pinned to SHUFFLE_HASH — hash-partition
-    both sides on the id, build the payload partition locally; never
-    a sort, never a driver-sized table."""
+    beyond the cap the join is pinned to SORT-MERGE — hash-partition
+    both sides on the id and merge; never a driver-sized table, never
+    an unspillable build. The first cut pinned SHUFFLE_HASH here, and
+    the r11 byte-audit sweep falsified it: the per-partition hash
+    build has no graceful degradation, and in a loaded session the
+    100x containment attach died with "Can't acquire 67108864 bytes
+    memory to build hash relation" while the identical plan passed in
+    a fresh session — a join strategy whose viability depends on the
+    session's memory weather is not a scale-safe floor. Sort-merge
+    spills both sides; the sort premium only applies beyond the cap,
+    where robustness beats it."""
     if approx_bytes <= _ATTACH_BROADCAST_CAP:
         return df
-    return df.hint("shuffle_hash")
+    return df.hint("merge")
 
 
 def table_bytes(sf_dir: str, name: str) -> int:

@@ -342,7 +342,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     sig = minhash_signatures_with_sets(hashed, num_perm=32).persist()
     pairs = lsh_candidate_pairs(sig, bands=8, rows=4)
     # corpus-sized shingle-set payload: broadcast only while provably
-    # small, SHUFFLE_HASH beyond the cap (r11 probe class); disk bytes
+    # small, sort-merge beyond the cap (r11 probe class); disk bytes
     # x8 is a free safe-side size proxy
     sig_sized = payload_side(sig, table_bytes(sf, "documents") * 8)
     sa = sig_sized.select(F.col("id").alias("id_a"), F.col("shs").alias("sa"))
@@ -907,7 +907,7 @@ def setsim_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
     # only while provably small — at the r11 100x probe corpus the
     # planner broadcast this table from a stale post-agg estimate and
     # died in BroadcastExchange at ~1 GiB (SCALE.md §r11); beyond the
-    # cap the attach is pinned to SHUFFLE_HASH on the id
+    # cap the attach is pinned to sort-merge on the id
     # free size proxy: the token-set table decompresses to roughly 8x
     # the source parquet bytes (no count job on the hot path)
     sets_sized = payload_side(sets, table_bytes(sf, "documents") * 8)
@@ -1285,10 +1285,16 @@ def setsim_containment_join(spark: SparkSession, sf: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    sa = sets.select(F.col("doc_id").alias("a_id"),
-                     F.col("toks").alias("ta"), F.col("sz").alias("a_sz"))
-    sb = sets.select(F.col("doc_id").alias("b_id"),
-                     F.col("toks").alias("tb"))
+    # corpus-sized token-set payload (~2 KB/doc): broadcast only while
+    # provably small, sort-merge beyond the cap — the one candidate-
+    # attach site the r11 guard sweep missed; the byte-audit sweep
+    # found it the hard way (BroadcastExchange OOM at the 100x corpus)
+    sets_sized = payload_side(sets, table_bytes(sf, "documents") * 8)
+    sa = sets_sized.select(F.col("doc_id").alias("a_id"),
+                           F.col("toks").alias("ta"),
+                           F.col("sz").alias("a_sz"))
+    sb = sets_sized.select(F.col("doc_id").alias("b_id"),
+                           F.col("toks").alias("tb"))
     return (
         cand.join(sa, "a_id")
         .join(sb, "b_id")

@@ -99,7 +99,15 @@ def pagerank(edges: DataFrame, damping: float = _DAMP,
     if abs(dnum / 100.0 - damping) > 1e-12:
         raise ValueError("damping must be a multiple of 0.01 for the "
                          f"exact fixed-point iteration, got {damping}")
-    edges = edges.persist()
+    # Hash-partition the edge list on src ONCE before caching: the
+    # cached layout's outputPartitioning is visible to Catalyst, so
+    # the outdeg groupBy and — on the over-cap sort-merge path below
+    # — every iteration's edges-side join reuse it instead of
+    # re-shuffling the edge list per iteration (the byte audit read
+    # 11.7 GB at the 100x corpus for 5 iterations without this; edges
+    # are the big side, ranks the small one). One edge shuffle total,
+    # amortized across the loop — the standard iterative-graph layout.
+    edges = edges.repartition("src").persist()
     # No-dangling contract (docstring): every node has out-degree >= 1,
     # so the src column alone spans the node set — one cache pass and
     # half the distinct input vs unioning both endpoint columns (the
@@ -116,16 +124,21 @@ def pagerank(edges: DataFrame, damping: float = _DAMP,
     teleport = ((100 - dnum) * _UNIT) // (100 * n)
     # Vertex-scaled loop state must not broadcast past the cliff: ranks
     # and contribs are O(V) rows, and AQE happily broadcasts the small
-    # persisted table at test SFs — at the r11 100x corpus (V ~ 16 M)
+    # persisted table at test SFs — at the r11 100x corpus (V ~ 1.6 M)
     # the HashedRelation build OOM'd the driver (BroadcastExchange
-    # "Not enough memory", byte-audit sweep). The estimate uses
-    # ~100 B/row because a broadcast HashedRelation expands the 16 B of
-    # data several-fold (hash table + object headers), which is what
-    # actually sizes the cliff. Below the cap the plan keeps the
-    # broadcasts it always had (driver/bench SFs byte-identical).
+    # "Not enough memory", byte-audit sweep). The per-row estimate is
+    # 400 B, deliberately 4x the one-shot attach convention: a
+    # broadcast relation already expands the 16 B of data several-fold
+    # (hash table + object headers), AND an iterative loop holds
+    # multiple generations of broadcast relations live at once (each
+    # iteration's three joins re-broadcast; predecessors are freed
+    # lazily by GC, not at unpersist) — the sweep showed a fresh
+    # session surviving what a loaded session OOM'd on with the same
+    # plan. Below the cap the plan keeps the broadcasts it always had
+    # (driver/bench SFs byte-identical).
     from xml_hive_spark.operators import payload_side
 
-    vstate_bytes = n * 100
+    vstate_bytes = n * 400
     ranks = nodes.withColumn("rank_units", F.lit(_UNIT // n).cast("long"))
     for k in range(iters):
         contribs = (

@@ -1833,7 +1833,7 @@ def ann_join_topk(spark: SparkSession, sf: str) -> DataFrame:
     # heaps, so the directed result is identical — still ids-only
     uniq = pairs.select("qid", "nid").distinct()
     # ~600 B per row (64 floats + ids + array overhead): broadcast the
-    # vector table while provably small, pin SHUFFLE_HASH beyond the cap
+    # vector table while provably small, pin sort-merge beyond the cap
     # (corpus-sized broadcast is the r11 probe's failure class)
     vecs = payload_side(emb.select("vec_id", "embedding"), n * 600)
     uniq = uniq.join(
