@@ -332,57 +332,64 @@ _FANOUT_STATS_WARNED = False
 # is excluded and its slot goes to agg_argmax_argmin, the next
 # refresh candidate by (vintage, name) sort (r7 evidence). Zero
 # rows-only-by-design entries remain in this window.
+# Round 12 application: _R12_WINDOW_PLAN (pre-enumerated in r11)
+# applied mechanically at round start, verbatim — no amendments
+# pending (never-driver-checked = 0; the late-r11 oracle-text
+# upgrade ann_join_topk leads per the r8 convention; the r11
+# join-strategy touches setsim_join_prefix/image_phash_dedup are
+# already in the cohort). Rule-4 swaps during r12, if any, evict
+# from the refresh tail (bucketed_join_colocated first).
 _DRIVER_WINDOW = [
-    "pca_project_2d",
-    "streaming_vector_ingest",
-    "bpe_learn_merges",
-    "xml_write_roundtrip",
-    "agg_cube",
-    "agg_grouping_id",
-    "agg_percentiles_array",
-    "array_functions",
-    "binary_column_stats",
-    "date_functions",
-    "dedup_cluster_components",
-    "dedup_exact",
-    "dedup_exact_by_lang",
-    "dedup_ngram_jaccard",
-    "agg_argmax_argmin",
-    "explode_positional",
-    "grouped_agg_pandas_udf",
-    "interval_overlap_join",
-    "json_functions",
-    "multimodal_chunk_arrow",
-    "pandas_udf_scalar",
-    "partitioned_write_roundtrip",
-    "pivot_status_counts",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q20_heavy_supplier_chain",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "sample_hash_bucket",
-    "scan_project_filter",
-    "scd2_merge",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "sketch_count_min",
-    "struct_nested_access",
-    "udf_python_scalar",
-    "unpivot_part_metrics",
-    "window_lag_lead",
-    "window_ntile",
-    "window_range_frame",
-    "window_value_functions",
+    "ann_join_topk",
+    "audio_resample_decimate",
+    "avro_roundtrip",
+    "bpe_pair_counts",
+    "cdc_apply_changes",
+    "cohort_retention",
+    "compact_small_files",
+    "copurchase_pairs",
+    "decontaminate_eval_ngrams",
+    "dq_expectations",
+    "event_transition_matrix",
+    "funnel_conversion",
+    "fuzzy_join_levenshtein",
+    "graph_bfs_hops",
+    "graph_triangles",
+    "histogram_doc_length",
+    "image_phash_dedup",
+    "incremental_agg_merge",
+    "join_bloom_pruned",
+    "multimodal_gif_codec",
+    "multimodal_jpeg_codec",
+    "multimodal_png_codec",
+    "multimodal_wav_codec",
+    "orc_roundtrip",
+    "sample_weighted_poisson",
+    "scd2_point_in_time_join",
+    "schema_evolution_read",
+    "setsim_join_prefix",
+    "sketch_hll_grouped",
+    "sketch_hll_portable",
+    "sketch_hll_union",
+    "split_leakage_safe",
+    "streaming_cdc_upsert",
+    "streaming_dropdup_exactly_once",
+    "streaming_hll_distinct",
+    "streaming_static_join",
+    "table_profile",
+    "text_bm25_topk",
+    "text_ngram_novelty",
+    "text_repetition_score",
+    "tfidf_top_terms",
+    "time_travel_read",
+    "window_rolling_1h",
+    "xml_scan_advanced_xsd",
+    "xml_to_parquet_etl",
+    "xml_xpath_functions",
+    "zorder_write_skipping",
+    "anomaly_mad_robust",
+    "attribution_last_touch",
+    "bucketed_join_colocated",
 ]
 
 # ROUND-12 WINDOW, PRE-ENUMERATED (apply mechanically at r12 start:
@@ -412,58 +419,8 @@ _DRIVER_WINDOW = [
 # outputs verified identical at sf0.01 — normal rotation per the r8
 # precedent; setsim_join_prefix and dedup-family refreshes are already
 # in this plan's cohort.
-# _R12_WINDOW_PLAN = [
-#     "ann_join_topk",
-#     "audio_resample_decimate",
-#     "avro_roundtrip",
-#     "bpe_pair_counts",
-#     "cdc_apply_changes",
-#     "cohort_retention",
-#     "compact_small_files",
-#     "copurchase_pairs",
-#     "decontaminate_eval_ngrams",
-#     "dq_expectations",
-#     "event_transition_matrix",
-#     "funnel_conversion",
-#     "fuzzy_join_levenshtein",
-#     "graph_bfs_hops",
-#     "graph_triangles",
-#     "histogram_doc_length",
-#     "image_phash_dedup",
-#     "incremental_agg_merge",
-#     "join_bloom_pruned",
-#     "multimodal_gif_codec",
-#     "multimodal_jpeg_codec",
-#     "multimodal_png_codec",
-#     "multimodal_wav_codec",
-#     "orc_roundtrip",
-#     "sample_weighted_poisson",
-#     "scd2_point_in_time_join",
-#     "schema_evolution_read",
-#     "setsim_join_prefix",
-#     "sketch_hll_grouped",
-#     "sketch_hll_portable",
-#     "sketch_hll_union",
-#     "split_leakage_safe",
-#     "streaming_cdc_upsert",
-#     "streaming_dropdup_exactly_once",
-#     "streaming_hll_distinct",
-#     "streaming_static_join",
-#     "table_profile",
-#     "text_bm25_topk",
-#     "text_ngram_novelty",
-#     "text_repetition_score",
-#     "tfidf_top_terms",
-#     "time_travel_read",
-#     "window_rolling_1h",
-#     "xml_scan_advanced_xsd",
-#     "xml_to_parquet_etl",
-#     "xml_xpath_functions",
-#     "zorder_write_skipping",
-#     "anomaly_mad_robust",
-#     "attribution_last_touch",
-#     "bucketed_join_colocated",
-# ]
+# (The pre-enumerated list above is now the live _DRIVER_WINDOW; the
+# _R13_WINDOW_PLAN is appended at r12 close per the ritual.)
 
 
 def all_queries() -> dict[str, QueryDef]:
