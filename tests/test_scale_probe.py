@@ -123,6 +123,17 @@ def test_dims_unscaled_facts_scaled(corpus):
         assert n1 == n0 * factor, tbl
 
 
+def test_exponent_clamps_to_timer_resolution():
+    """A sub-ms 1x timing (rounds to 0.0) must yield a finite exponent,
+    not None → spurious hard gate failure (ADVICE r11); None stays
+    reserved for true timeouts."""
+    from tools.scale_probe import exponent
+
+    assert exponent(0.0, 0.01, 10) == pytest.approx(1.0)   # 1ms -> 10ms
+    assert exponent(0.0, 0.0, 10) == 0.0                   # both sub-ms
+    assert exponent(0.5, 5.0, 10) == pytest.approx(1.0)    # normal path
+
+
 def test_regress_bar_semantics():
     """--regress fail threshold: sublinear drift never fails; a
     dispositioned superlinear query fails only beyond recorded+0.15."""

@@ -13,17 +13,32 @@ from tools.shuffle_audit import _store_totals, measure  # noqa: E402
 
 
 def test_store_totals_sees_a_shuffle(spark):
+    # sum only the stages this test creates (id > before max): with the
+    # shared suite session's default retainedStages, old-stage eviction
+    # between snapshots would flake a before/after total-delta
+    # (ADVICE r11) — the min_stage_id filter is the tool's own fix
     before = _store_totals(spark)
     spark.range(100_000).selectExpr("id % 13 AS k", "id AS v") \
         .groupBy("k").sum("v").collect()
-    after = _store_totals(spark)
-    # one groupBy = one exchange: bytes strictly increase and match
-    # across the write/read sides of the same exchange
-    dw = after["shuffle_write"] - before["shuffle_write"]
-    dr = after["shuffle_read"] - before["shuffle_read"]
-    assert dw > 0
-    assert dr == dw
-    assert after["n_stages"] > before["n_stages"]
+    after = _store_totals(spark, min_stage_id=before["max_stage_id"] + 1)
+    # one groupBy = one exchange: bytes match across the write/read
+    # sides of the same exchange
+    assert after["shuffle_write"] > 0
+    assert after["shuffle_read"] == after["shuffle_write"]
+    assert after["n_stages"] >= 2  # map side + reduce side
+    assert after["max_stage_id"] > before["max_stage_id"]
+
+
+def test_store_totals_min_stage_id_excludes_old_stages(spark):
+    spark.range(10_000).selectExpr("id % 7 AS k").groupBy("k").count() \
+        .collect()
+    snap = _store_totals(spark)
+    # a floor above every retained stage id sums nothing
+    empty = _store_totals(spark, min_stage_id=snap["max_stage_id"] + 1)
+    assert empty["n_stages"] == 0
+    assert empty["shuffle_write"] == 0
+    # max_stage_id is reported regardless of the filter window
+    assert empty["max_stage_id"] == snap["max_stage_id"]
 
 
 def test_measure_delta_is_per_query(spark, sf_dir):

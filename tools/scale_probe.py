@@ -236,6 +236,16 @@ def time_queries(spark, names, sf_dir: str, samples: int = 3) -> dict:
     return out
 
 
+def exponent(t1: float, tF: float, factor: int) -> float:
+    """Scaling exponent from two timings, clamped to the timer's 1 ms
+    resolution so a sub-ms 1x run yields a (noisy, finite) exponent
+    instead of None — None is reserved for true timeouts, which the
+    regression gate must keep treating as hard failures (ADVICE r11)."""
+    return round(
+        math.log(max(tF, 0.001) / max(t1, 0.001)) / math.log(factor), 3
+    )
+
+
 def regress_bar(baseline_exp: float | None) -> float:
     """Fail threshold for a measured exponent against its recorded value.
 
@@ -298,8 +308,17 @@ def main() -> None:
             for q, rec in section.items()
         }
         if args.queries is None:
+            # full HEADLINE set (ADVICE r11): a headline query not yet
+            # in the artifact gets the unrecorded 1.15 bar instead of
+            # silently skipping the gate; baseline entries outside
+            # HEADLINE are named so the gap is visible, not silent
             from bench import HEADLINE
-            args.queries = [q for q in HEADLINE if q in baseline]
+            args.queries = list(HEADLINE)
+            unmeasured = sorted(set(baseline) - set(HEADLINE))
+            if unmeasured:
+                print(f"# regress WARNING: {len(unmeasured)} baseline "
+                      f"queries not in HEADLINE, not re-measured: "
+                      f"{', '.join(unmeasured)}", file=sys.stderr)
 
     m = re.search(r"sf([0-9.]+)", args.src)
     src_sf = float(m.group(1)) if m else 0.1
@@ -325,13 +344,8 @@ def main() -> None:
     tf = time_queries(spark, names, dst, samples=args.samples)
     spark.stop()
 
-    lf = math.log(args.factor)
     report = {
-        n: {
-            "t1": t1[n],
-            "tF": tf[n],
-            "exp": round(math.log(tf[n] / t1[n]) / lf, 3) if t1[n] > 0 else None,
-        }
+        n: {"t1": t1[n], "tF": tf[n], "exp": exponent(t1[n], tf[n], args.factor)}
         for n in names
     }
     print(json.dumps({"factor": args.factor, "src": args.src,

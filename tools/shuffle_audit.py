@@ -34,15 +34,20 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _store_totals(spark) -> dict[str, int]:
-    """Sum task metrics across every stage the status store retains.
+def _store_totals(spark, min_stage_id: int = -1) -> dict[str, int]:
+    """Sum task metrics across retained stages with id >= min_stage_id.
 
     Uses the Spark 4 AppStatusStore.stageList(statuses, details,
     withSummaries, unsortedQuantiles, taskStatus) signature; the store
-    is populated regardless of spark.ui.enabled. The caller must size
-    spark.ui.retainedStages above the whole audit's stage count or a
-    mid-audit eviction would deflate the "after" snapshot (the session
-    below pins 100000)."""
+    is populated regardless of spark.ui.enabled. ``max_stage_id`` in
+    the result lets a caller take a before-snapshot and then sum ONLY
+    the stages a measured run created (id > before max) — immune to
+    the store evicting OLD stages between snapshots, which a plain
+    before/after total-delta silently under-counts (the SKIPPED-stage
+    failure class r11 fixed once; ADVICE r11 flagged the remaining
+    eviction window). Eviction can still bite only if a SINGLE
+    measured run outgrows spark.ui.retainedStages — measure() warns
+    when the store is sized near that."""
     sc = spark.sparkContext
     ss = sc._jsc.sc().statusStore()
     gw = sc._gateway
@@ -50,9 +55,14 @@ def _store_totals(spark) -> dict[str, int]:
     quantiles = gw.new_array(gw.jvm.double, 0)
     stages = ss.stageList(empty, False, False, quantiles, empty)
     tot = {"shuffle_write": 0, "shuffle_read": 0, "input": 0, "output": 0,
-           "spill_disk": 0, "n_stages": 0, "n_skipped": 0}
+           "spill_disk": 0, "n_stages": 0, "n_skipped": 0,
+           "max_stage_id": -1}
     for i in range(stages.size()):
         st = stages.apply(i)
+        sid = st.stageId()
+        tot["max_stage_id"] = max(tot["max_stage_id"], sid)
+        if sid < min_stage_id:
+            continue
         tot["shuffle_write"] += st.shuffleWriteBytes()
         tot["shuffle_read"] += st.shuffleReadBytes()
         tot["input"] += st.inputBytes()
@@ -74,6 +84,7 @@ def measure(spark, names, sf_dir: str) -> dict[str, dict[str, int]]:
     from xml_hive_spark.operators import all_queries
 
     reg = all_queries()
+    retained = int(spark.conf.get("spark.ui.retainedStages", "1000"))
     out = {}
     for name in names:
         qd = reg[name]
@@ -88,8 +99,15 @@ def measure(spark, names, sf_dir: str) -> dict[str, dict[str, int]]:
         spark.catalog.clearCache()
         before = _store_totals(spark)
         qd.fn(spark, sf_dir).count()
-        after = _store_totals(spark)
-        out[name] = {k: after[k] - before[k] for k in before}
+        # sum ONLY the measured run's stages (id > before max): old-stage
+        # eviction between snapshots can no longer deflate the figure
+        after = _store_totals(spark, min_stage_id=before["max_stage_id"] + 1)
+        if after["n_stages"] > retained // 2:
+            print(f"# WARNING {name}: {after['n_stages']} stages vs "
+                  f"spark.ui.retainedStages={retained} — a single run "
+                  f"near the cap can self-evict; raise retainedStages",
+                  file=sys.stderr)
+        out[name] = {k: after[k] for k in after if k != "max_stage_id"}
         print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: "
               f"sw={out[name]['shuffle_write']} sr={out[name]['shuffle_read']} "
               f"in={out[name]['input']} spill={out[name]['spill_disk']} "
