@@ -20,24 +20,22 @@ pairs quadratically and measures data semantics, not plan quality):
   join fan-outs are EXACTLY those of the source corpus;
 * region/nation stay unscaled (dimension tables don't grow with data);
 * document text is relabeled per copy with an md5-keyed alphabet
-  permutation (a 26! family — collision-free at any factor): lengths,
-  word counts, word boundaries, distinct-word ratios, and within-copy
-  dup/near-dup structure are preserved exactly (the curation quality
-  gate sees identical statistics). CAVEAT, measured late r11: the
-  cipher permutes LETTERS only, and the synthetic document text is
-  digit-dominated — so cross-copy shingle DISJOINTNESS largely fails
-  in practice (at the 10x corpus, 126 496 of 129 876 distinct char-8
-  shingles appear in >1 copy). The scaled corpora therefore behave as
-  BOILERPLATE-HEAVY stress corpora for shingle-based operators:
-  near-dup/containment structure recurs across copies instead of
-  staying copy-local. Banded near-dup (minhash/simhash bands) and
-  symmetric Jaccard (prefix+length filters) measured linear anyway;
-  the asymmetric containment join floods candidates on it — the
-  honest at-scale behavior on boilerplate, recorded in SCALE.md. The
-  r12 improvement is an md5-keyed DIGIT permutation (10! family)
-  composed with the alphabet one, which restores the disjointness
-  intent — note that changing the cipher re-baselines every corpus
-  this tool has produced (the _DONE cache must be cleared);
+  permutation (26! family) COMPOSED with an md5-keyed digit
+  permutation (10! family; collision-freeness at the factors used is
+  asserted in tests): lengths, word counts, word boundaries,
+  distinct-word ratios, and within-copy dup/near-dup structure are
+  preserved exactly (the curation quality gate sees identical
+  statistics) while cross-copy shingle/n-gram sets go DISJOINT
+  (asserted in tests/test_scale_probe.py). History: through r11 the
+  cipher permuted LETTERS only, and the synthetic text is
+  digit-dominated, so disjointness largely failed in practice (at the
+  10x corpus, 126 496 of 129 876 distinct char-8 shingles spanned >1
+  copy — measured late r11, commit 2031ff8); those corpora behaved as
+  boilerplate-heavy stress corpora (conservative for dedup/setsim —
+  the honest account is in SCALE.md r11). The digit permutation is
+  the r12 re-baseline (VERDICT r11 item 2); changing the cipher
+  re-baselines every corpus this tool has produced, so the _DONE
+  cache was cleared and SCALE_EXPONENTS_r12.json re-recorded;
 * embeddings get a per-copy orthogonal transform (circular rotation +
   md5-keyed diagonal +-1), so within-copy inner products (cluster
   structure, top-k neighborhoods) are bit-preserved while cross-copy
@@ -74,6 +72,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
+DIGITS = "0123456789"
 
 
 def _perm(i: int) -> str:
@@ -92,13 +91,37 @@ def _perm(i: int) -> str:
     )
 
 
+def _dperm(i: int) -> str:
+    """Per-copy DIGIT permutation keyed by md5(digit, i) — the r12
+    re-baseline (VERDICT r11 item 2): the synthetic document text is
+    digit-dominated, so the letter-only cipher left 126,496 of 129,876
+    distinct char-8 shingles shared across copies at the 10x corpus
+    (measured late r11, commit 2031ff8) — boilerplate-heavy instead of
+    the documented disjoint-shingle composition. A 10! family is only
+    3.6M relabelings but md5-keyed draws stay collision-free at the
+    factors used here (asserted in tests); composition with the
+    alphabet permutation keeps the combined family injective
+    per-character, so lengths, word boundaries, and within-copy
+    dup/near-dup structure remain exactly preserved. i=0 identity."""
+    import hashlib
+
+    if i == 0:
+        return DIGITS
+    return "".join(
+        sorted(DIGITS, key=lambda c: hashlib.md5(f"d|{c}|{i}".encode()).hexdigest())
+    )
+
+
 def _cipher_sql(col: str, i: int) -> str:
-    """Per-copy injective letter relabeling (lengths, word boundaries,
-    distinct-word ratios preserved; shingle/n-gram sets cross-copy
-    disjoint)."""
+    """Per-copy injective character relabeling — letters AND digits
+    (lengths, word boundaries, distinct-word ratios preserved;
+    shingle/n-gram sets cross-copy disjoint on the digit-dominated
+    synthetic text only because the digit permutation participates)."""
     p = _perm(i)
+    d = _dperm(i)
     return (
-        f"translate({col}, '{ALPHA}{ALPHA.upper()}', '{p}{p.upper()}')"
+        f"translate({col}, '{ALPHA}{ALPHA.upper()}{DIGITS}',"
+        f" '{p}{p.upper()}{d}')"
     )
 
 
