@@ -453,9 +453,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     band). Production semantic dedup runs θ >= 0.85, where output is
     sparse and the same plan is candidate-bound — that regime is what
     ``ann_join_topk`` (adaptive banding, linear-at-scale) demonstrates."""
-    emb = t(spark, sf, "embeddings")
+    return embedding_cosine_pairs(t(spark, sf, "embeddings"),
+                                  "vec_id", "embedding", 0.25)
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    bands: int = 12,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """The full banded-LSH → dedupe → attach → exact-verify pipeline of
+    :func:`dedup_embedding_cosine`, parameterized on the threshold (and
+    banding) so the sparse production regime (θ ≥ 0.85) is testable
+    independently of the committed θ = 0.25 registry shape — the
+    θ-sweep test (tests/test_similarity.py) pins that the quadratic
+    growth the r11 scale probe measured at θ = 0.25 lives in the OUTPUT,
+    not the plan: candidates are banding-bound and identical across θ,
+    and the θ ≥ 0.85 pair set scales with the planted near-dup count."""
     n = emb.count()  # one cheap metadata job; sizes the attach join
-    sigs = banded_signatures(emb, "vec_id", "embedding").persist()
+    sigs = banded_signatures(emb, id_col, vec_col,
+                             bands=bands, rows_per_band=rows_per_band).persist()
     cand = sigs.select("id", F.posexplode("sig").alias("band", "bucket"))
     a = cand.select("band", "bucket", F.col("id").alias("id_a"))
     b = cand.select("band", "bucket", F.col("id").alias("id_b"))
@@ -474,7 +494,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("id_a", "id_b", "ea", "eb")
     )
-    return cosine_threshold_pairs(attached, 0.25)
+    return cosine_threshold_pairs(attached, threshold)
 
 
 def cosine_threshold_pairs(pairs: DataFrame, threshold: float,
