@@ -419,8 +419,72 @@ _DRIVER_WINDOW = [
 # outputs verified identical at sf0.01 — normal rotation per the r8
 # precedent; setsim_join_prefix and dedup-family refreshes are already
 # in this plan's cohort.
-# (The pre-enumerated list above is now the live _DRIVER_WINDOW; the
-# _R13_WINDOW_PLAN is appended at r12 close per the ritual.)
+# ROUND-13 WINDOW, PRE-ENUMERATED (apply mechanically at r13 start:
+# replace _DRIVER_WINDOW with this list, run tools/verify_local.py over
+# it, commit first; then rule-4 swap any query whose result semantics
+# change during r13, evicting from the refresh tail).
+# Derivation (mechanical, at r12 start, from CORRECTNESS_r01–r11 +
+# the r12 window assumed fresh): never-driver-checked = ZERO; no
+# rule-4 evictions pending (the r12 dedup_embedding_cosine refactor is
+# code-motion into embedding_cosine_pairs — output verified identical
+# at sf0.01). Cohort = oldest-driver-evidence outside the r12 window,
+# (vintage, name)-sorted: the complete remaining r8-vintage block
+# (46 rows) + the 4 earliest r9-vintage names (agg_percentiles,
+# anomaly_zscore_events, array_higher_order, asof_join) cut at 50.
+# The 3 rows-only-by-design entries stay excluded per VERDICT r10
+# item 4.
+# _R13_WINDOW_PLAN = [
+#     "chi_square_independence",
+#     "chunk_content_defined",
+#     "corpus_curation_pipeline",
+#     "corpus_mix_weights",
+#     "corpus_provenance_report",
+#     "dedup_incremental_ingest",
+#     "embedding_drift_monitor",
+#     "event_pattern_match",
+#     "federated_three_source_join",
+#     "filter_top_decile_docs",
+#     "forecast_seasonal_naive_backtest",
+#     "graph_pagerank",
+#     "hive_script_transform",
+#     "hybrid_rank_fusion_rrf",
+#     "knn_classify_majority",
+#     "max_drawdown_per_user",
+#     "maxsim_late_interaction",
+#     "multimodal_image_augment",
+#     "multimodal_tile_composite",
+#     "multimodal_video_framesample",
+#     "nested_denormalize_roundtrip",
+#     "ohlc_bars_hourly",
+#     "pareto_skyline_2d",
+#     "pca_explained_variance_2d",
+#     "phrase_search_positional",
+#     "recursive_cte_hierarchy",
+#     "regression_slope_closed_form",
+#     "rls_masked_view",
+#     "sample_stratified_exact",
+#     "scd2_early_arriving_fact",
+#     "setsim_containment_join",
+#     "sketch_kmv_distinct",
+#     "sketch_quantile_histogram",
+#     "snapshot_change_feed",
+#     "spatial_grid_join",
+#     "streak_gaps_islands",
+#     "streaming_late_data_drop",
+#     "streaming_ohlc_bars",
+#     "streaming_quantile_histogram",
+#     "text_pii_redact",
+#     "timeseries_gap_fill",
+#     "vacuum_unreferenced",
+#     "xml_attribute_roundtrip",
+#     "xml_corrupt_capture",
+#     "xml_expression_codec",
+#     "xsd_generate_roundtrip",
+#     "agg_percentiles",
+#     "anomaly_zscore_events",
+#     "array_higher_order",
+#     "asof_join",
+# ]
 
 
 def all_queries() -> dict[str, QueryDef]:
