@@ -115,6 +115,52 @@ def test_cross_copy_shingles_disjoint(corpus):
     assert shared / len(copies) < 0.005, f"{shared}/{len(copies)} shared"
 
 
+def test_composed_build_has_no_twinned_copies(tmp_path):
+    """Two-level builds (sf1 → sf10) must not replant duplicates: with
+    a shared key namespace, copy (i, 0) of level 2 and copy (0, i) of
+    level 1 compose to the IDENTICAL transform (p_0 is the identity),
+    twinning 2·(factor−1) copies — measured 18 % duplicate docs at the
+    r12 sf10 corpus before the seed fix. The seeded composition keeps
+    every text unique (up to the source's own duplicates) and the
+    identity copy 0 intact."""
+    lvl1 = str(tmp_path / "x3")
+    lvl2 = str(tmp_path / "x3x3")
+    build_corpus(SRC, lvl1, 3, seed=0)
+    build_corpus(lvl1, lvl2, 3, seed=3)  # = lvl1's next_seed
+    con = duckdb.connect()
+    src_dups = con.execute(
+        f"SELECT count(*) FROM (SELECT text FROM"
+        f" read_parquet('{SRC}/documents.parquet')"
+        f" GROUP BY text HAVING count(*) > 1)"
+    ).fetchone()[0]
+    dup_texts = con.execute(
+        f"SELECT count(*) FROM (SELECT text FROM"
+        f" read_parquet('{lvl2}/documents.parquet')"
+        f" GROUP BY text HAVING count(*) > 1)"
+    ).fetchone()[0]
+    # each source dup-text recurs once per composed copy (9), nothing else
+    assert dup_texts == src_dups * 9, (dup_texts, src_dups)
+    # copy 0 of copy 0 is still byte-identical to the source
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{lvl2}/documents.parquet') a"
+        f" JOIN read_parquet('{SRC}/documents.parquet') b USING (doc_id)"
+        f" WHERE a.text <> b.text"
+    ).fetchone()[0]
+    assert n == 0
+    # and the embedding twin check: no vector outside copy 0 equals its
+    # source (the (i,0)/(0,i) coincidence made them bit-equal)
+    stride = con.execute(
+        f"SELECT max(vec_id) + 1 FROM read_parquet('{SRC}/embeddings.parquet')"
+    ).fetchone()[0]
+    eq = con.execute(
+        f"SELECT count(*) FROM read_parquet('{lvl2}/embeddings.parquet') a"
+        f" JOIN read_parquet('{SRC}/embeddings.parquet') b"
+        f" ON a.vec_id % {stride} = b.vec_id AND a.vec_id >= {stride}"
+        f" WHERE a.embedding = b.embedding"
+    ).fetchone()[0]
+    assert eq == 0
+
+
 def test_embedding_transform_is_orthogonal(corpus):
     con = duckdb.connect()
     stride = con.execute(

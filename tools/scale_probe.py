@@ -146,12 +146,30 @@ def _embedding_sql(i: int, dim: int = 64) -> str:
     return f"CAST([{', '.join(terms)}] AS FLOAT[]) AS embedding"
 
 
-def build_corpus(src: str, dst: str, factor: int) -> None:
-    """DuckDB-side corpus construction (one pass per table)."""
+def build_corpus(src: str, dst: str, factor: int, seed: int = 0) -> None:
+    """DuckDB-side corpus construction (one pass per table).
+
+    ``seed`` namespaces the per-copy transform keys for COMPOSED builds
+    (sf1 → sf10): without it, copy (i, 0) of the second decade and copy
+    (0, i) of the first compose to the IDENTICAL transform (p_0 is the
+    identity, so p_0∘p_i = p_i∘p_0), planting 2·(factor−1) twinned
+    copies — measured at the r12 sf10 corpus: 45,584 of 454,272
+    distinct texts (≈18 % of docs) were exact cross-copy duplicates,
+    and the same coincidence duplicates the embedding transform
+    (rotation i + signs s_i both ways). Every r11 factor-100 exponent
+    was measured on such a twinned corpus — dup-sensitive candidate
+    volumes (ann/dedup/setsim) were inflated at the second decade.
+    Copy i ≠ 0 now uses key seed+i (copy 0 stays the identity so the
+    subset property holds); the caller building FROM a scaled corpus
+    passes the source's next_seed (recorded in its _DONE marker), so
+    key namespaces never overlap across decades."""
     import duckdb
 
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+
+    def key(i: int) -> int:
+        return 0 if i == 0 else seed + i
 
     def rp(table: str) -> str:
         return f"read_parquet('{src}/{table}.parquet')"
@@ -223,15 +241,15 @@ def build_corpus(src: str, dst: str, factor: int) -> None:
     # (translate() needs literal alphabets)
     doc_branches = " UNION ALL ".join(
         f"SELECT doc_id + {i} * {k['doc']} AS doc_id,"
-        f" {_cipher_sql('text', i)} AS text, lang, source,"
-        f" length({_cipher_sql('text', i)}) AS n_chars"
+        f" {_cipher_sql('text', key(i))} AS text, lang, source,"
+        f" length({_cipher_sql('text', key(i))}) AS n_chars"
         f" FROM {rp('documents')}"
         for i in range(factor)
     )
     copy(doc_branches, "documents")
     emb_branches = " UNION ALL ".join(
         f"SELECT vec_id + {i} * {k['vec']} AS vec_id,"
-        f" {_embedding_sql(i)}, label FROM {rp('embeddings')}"
+        f" {_embedding_sql(key(i))}, label FROM {rp('embeddings')}"
         for i in range(factor)
     )
     copy(emb_branches, "embeddings")
@@ -350,8 +368,21 @@ def main() -> None:
     dst = os.path.join(tempfile.gettempdir(), "xmlhive_scale", big_name)
     marker = Path(dst) / "_DONE"
     if not marker.exists():
-        build_corpus(args.src, dst, args.factor)
-        marker.write_text(f"factor={args.factor} src={args.src}\n")
+        # composed builds read the source corpus's key namespace so the
+        # second decade's cipher keys never overlap the first's (the
+        # twinned-copy bug — see build_corpus docstring)
+        seed = 0
+        src_marker = Path(args.src) / "_DONE"
+        if src_marker.exists():
+            m_seed = re.search(r"next_seed=(\d+)", src_marker.read_text())
+            if m_seed:
+                seed = int(m_seed.group(1))
+            else:
+                ap.error(f"{src_marker} predates the seeded cipher — "
+                         f"rebuild the source corpus first")
+        build_corpus(args.src, dst, args.factor, seed=seed)
+        marker.write_text(f"factor={args.factor} src={args.src} "
+                          f"seed={seed} next_seed={seed + args.factor}\n")
     else:
         print(f"# corpus cached at {dst}", file=sys.stderr)
 
