@@ -248,14 +248,14 @@ def test_regress_baseline_parse_matches_artifact_layout():
     exponent map for both factor sections (the exp key name differs)."""
     import json
 
-    art = json.load(open(Path(__file__).resolve().parent.parent
-                         / "SCALE_EXPONENTS_r11.json"))
-    for section, expkey in [("factor10", "exp_1_to_10"),
-                            ("factor100", "exp_10_to_100")]:
-        base = {
-            q: next(v for k, v in rec.items() if k.startswith("exp"))
-            for q, rec in art[section].items()
-        }
-        assert base, section
-        for q, rec in art[section].items():
-            assert base[q] == rec[expkey]
+    for artname in ("SCALE_EXPONENTS_r11.json", "SCALE_EXPONENTS_r12.json"):
+        art = json.load(open(Path(__file__).resolve().parent.parent / artname))
+        for section, expkey in [("factor10", "exp_1_to_10"),
+                                ("factor100", "exp_10_to_100")]:
+            base = {
+                q: next(v for k, v in rec.items() if k.startswith("exp"))
+                for q, rec in art[section].items()
+            }
+            assert base, (artname, section)
+            for q, rec in art[section].items():
+                assert base[q] == rec[expkey]
