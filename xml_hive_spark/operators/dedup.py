@@ -1229,10 +1229,13 @@ def setsim_containment_join(spark: SparkSession, sf: str) -> DataFrame:
     prefix", still exactly lossless. The prefix join's rows are
     COUNTED per pair (groupBy replaces the old distinct — same
     shuffle shape) and pairs below c_req drop before the expensive
-    verify. Measured at sf0.1 with EXTRA = 2: distinct candidates
-    1,441,429 → 202,356 (7.1×; end-to-end 3.4 → 2.0 s at sf0.1 and
-    89 → 11.6 s at the 10× corpus, exponent 1.42 → 0.77), identical
-    511 rows — the r8 positional filter kept
+    verify. EXTRA swept at {2,4,6,8,14} (SCALE.md §r12): candidates at
+    sf0.1 drop 1,441,429 → 202k → 58k → 11.4k → 4.6k → 627 while the
+    raw prefix join only grows 2.9 M → 9.9 M, and end-to-end wall-clock
+    bottoms at EXTRA = 4 (sf0.1 3.4 → 0.9 s; 10× corpus 89 → 5.6 s;
+    100× corpus 262 → 73 s — the verify attach stops dominating and
+    the raw join + pair count-aggregate, both exactly linear in corpus
+    size, take over), identical rows at every SF — the r8 positional filter kept
     1.44 M of the 3.53 M raw rows because 1.06 M candidates share
     exactly ONE rare token and the B-side positional term is vacuous
     for the long B docs containment allows. The r8 per-row positional
@@ -1247,7 +1250,7 @@ def setsim_containment_join(spark: SparkSession, sf: str) -> DataFrame:
     arithmetic (inter·10 ≥ |A|·9), bit-identical to the naive O(n²)
     DuckDB oracle — zero recall loss, no all-pairs comparison."""
     T_NUM, T_DEN = 9, 10
-    EXTRA = 2  # prefix deepened by 2 -> pairs must share >= 3 tokens
+    EXTRA = 4  # prefix deepened by 4 -> pairs must share >= 5 tokens
 
     d = (
         t(spark, sf, "documents")
