@@ -425,9 +425,13 @@ _DRIVER_WINDOW = [
 # change during r13, evicting from the refresh tail).
 # Derivation (mechanical, at r12 start, from CORRECTNESS_r01–r11 +
 # the r12 window assumed fresh): never-driver-checked = ZERO; no
-# rule-4 evictions pending (the r12 dedup_embedding_cosine refactor is
-# code-motion into embedding_cosine_pairs — output verified identical
-# at sf0.01). Cohort = oldest-driver-evidence outside the r12 window,
+# rule-4 evictions pending: the r12 dedup_embedding_cosine refactor is
+# code-motion into embedding_cosine_pairs (output verified identical at
+# sf0.01), and setsim_containment_join's counted-pigeonhole prune is
+# perf-only (outputs bit-identical at sf0.1/sf1/sf10, DuckDB-green at
+# sf0.01 and sf0.1) — normal rotation per the r8 precedent, and it
+# already sits in this cohort, so the new code earns a fresh driver
+# hash in r13 anyway. Cohort = oldest-driver-evidence outside the r12 window,
 # (vintage, name)-sorted: the complete remaining r8-vintage block
 # (46 rows) + the 4 earliest r9-vintage names (agg_percentiles,
 # anomaly_zscore_events, array_higher_order, asof_join) cut at 50.
