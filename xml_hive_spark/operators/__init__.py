@@ -339,57 +339,68 @@ _FANOUT_STATS_WARNED = False
 # join-strategy touches setsim_join_prefix/image_phash_dedup are
 # already in the cohort). Rule-4 swaps during r12, if any, evict
 # from the refresh tail (bucketed_join_colocated first).
+# Round 13 application: _R13_WINDOW_PLAN (pre-enumerated in r12, kept
+# below for the record) applied mechanically at round start, with the
+# ONE head amendment VERDICT r12 item 1 ordered: dedup_embedding_cosine
+# leads (its r12 refactor routes the registry entry through the new
+# parameterized embedding_cosine_pairs — code-motion, output verified
+# identical at sf0.01, but per the r8 "new code earns a driver hash"
+# convention the refactored path needs fresh driver evidence; its last
+# driver hash is r9). The eviction comes from the refresh tail:
+# asof_join (the newest r9-vintage name in the plan) drops to the r14
+# tail. setsim_containment_join (the other r12-touched code path)
+# already sits in this cohort, as the plan derivation anticipated.
 _DRIVER_WINDOW = [
-    "ann_join_topk",
-    "audio_resample_decimate",
-    "avro_roundtrip",
-    "bpe_pair_counts",
-    "cdc_apply_changes",
-    "cohort_retention",
-    "compact_small_files",
-    "copurchase_pairs",
-    "decontaminate_eval_ngrams",
-    "dq_expectations",
-    "event_transition_matrix",
-    "funnel_conversion",
-    "fuzzy_join_levenshtein",
-    "graph_bfs_hops",
-    "graph_triangles",
-    "histogram_doc_length",
-    "image_phash_dedup",
-    "incremental_agg_merge",
-    "join_bloom_pruned",
-    "multimodal_gif_codec",
-    "multimodal_jpeg_codec",
-    "multimodal_png_codec",
-    "multimodal_wav_codec",
-    "orc_roundtrip",
-    "sample_weighted_poisson",
-    "scd2_point_in_time_join",
-    "schema_evolution_read",
-    "setsim_join_prefix",
-    "sketch_hll_grouped",
-    "sketch_hll_portable",
-    "sketch_hll_union",
-    "split_leakage_safe",
-    "streaming_cdc_upsert",
-    "streaming_dropdup_exactly_once",
-    "streaming_hll_distinct",
-    "streaming_static_join",
-    "table_profile",
-    "text_bm25_topk",
-    "text_ngram_novelty",
-    "text_repetition_score",
-    "tfidf_top_terms",
-    "time_travel_read",
-    "window_rolling_1h",
-    "xml_scan_advanced_xsd",
-    "xml_to_parquet_etl",
-    "xml_xpath_functions",
-    "zorder_write_skipping",
-    "anomaly_mad_robust",
-    "attribution_last_touch",
-    "bucketed_join_colocated",
+    "dedup_embedding_cosine",
+    "chi_square_independence",
+    "chunk_content_defined",
+    "corpus_curation_pipeline",
+    "corpus_mix_weights",
+    "corpus_provenance_report",
+    "dedup_incremental_ingest",
+    "embedding_drift_monitor",
+    "event_pattern_match",
+    "federated_three_source_join",
+    "filter_top_decile_docs",
+    "forecast_seasonal_naive_backtest",
+    "graph_pagerank",
+    "hive_script_transform",
+    "hybrid_rank_fusion_rrf",
+    "knn_classify_majority",
+    "max_drawdown_per_user",
+    "maxsim_late_interaction",
+    "multimodal_image_augment",
+    "multimodal_tile_composite",
+    "multimodal_video_framesample",
+    "nested_denormalize_roundtrip",
+    "ohlc_bars_hourly",
+    "pareto_skyline_2d",
+    "pca_explained_variance_2d",
+    "phrase_search_positional",
+    "recursive_cte_hierarchy",
+    "regression_slope_closed_form",
+    "rls_masked_view",
+    "sample_stratified_exact",
+    "scd2_early_arriving_fact",
+    "setsim_containment_join",
+    "sketch_kmv_distinct",
+    "sketch_quantile_histogram",
+    "snapshot_change_feed",
+    "spatial_grid_join",
+    "streak_gaps_islands",
+    "streaming_late_data_drop",
+    "streaming_ohlc_bars",
+    "streaming_quantile_histogram",
+    "text_pii_redact",
+    "timeseries_gap_fill",
+    "vacuum_unreferenced",
+    "xml_attribute_roundtrip",
+    "xml_corrupt_capture",
+    "xml_expression_codec",
+    "xsd_generate_roundtrip",
+    "agg_percentiles",
+    "anomaly_zscore_events",
+    "array_higher_order",
 ]
 
 # ROUND-12 WINDOW, PRE-ENUMERATED (apply mechanically at r12 start:
