@@ -259,3 +259,70 @@ def test_regress_baseline_parse_matches_artifact_layout():
             assert base, (artname, section)
             for q, rec in art[section].items():
                 assert base[q] == rec[expkey]
+
+
+def test_exponent_none_propagates_from_timeouts():
+    """A capped (None) timing on either side propagates to a None
+    exponent — the regress gate's hard-failure branch needs a real
+    producer (ADVICE r12)."""
+    from tools.scale_probe import exponent
+
+    assert exponent(None, 5.0, 10) is None
+    assert exponent(0.5, None, 10) is None
+    assert exponent(None, None, 10) is None
+
+
+def test_capped_count_records_none_on_timeout():
+    """_capped_count cancels the Spark jobs at the cap and returns None;
+    under the cap it returns the elapsed seconds. Spark is simulated:
+    cancelAllJobs makes the in-flight count() raise, exactly like a
+    cancelled Spark job does."""
+    import time as _time
+
+    from tools.scale_probe import _capped_count
+
+    class FakeSC:
+        def __init__(self):
+            self.cancelled = False
+
+        def cancelAllJobs(self):
+            self.cancelled = True
+
+    class FakeSpark:
+        def __init__(self):
+            self.sparkContext = FakeSC()
+
+    spark = FakeSpark()
+
+    class SlowDF:
+        def count(self):
+            for _ in range(200):
+                _time.sleep(0.05)
+                if spark.sparkContext.cancelled:
+                    raise RuntimeError("Job cancelled")
+
+    class FastDF:
+        def count(self):
+            return 1
+
+    assert _capped_count(spark, lambda s, d: SlowDF(), "x", 0.2) is None
+    assert spark.sparkContext.cancelled
+    spark.sparkContext.cancelled = False
+    t = _capped_count(spark, lambda s, d: FastDF(), "x", 5.0)
+    assert t is not None and t < 1.0
+    assert not spark.sparkContext.cancelled
+
+
+def test_stale_pre_r12_corpus_marker_detected(tmp_path):
+    """A cached corpus whose _DONE marker lacks next_seed= (pre-r12
+    letter-only cipher) must read as stale so main() rebuilds it instead
+    of silently reusing it (ADVICE r12); the post-r12 format and a
+    missing marker are not stale."""
+    from tools.scale_probe import stale_corpus
+
+    marker = tmp_path / "_DONE"
+    assert not stale_corpus(marker)  # no cache: build path, not stale
+    marker.write_text("factor=10 src=/root/testdata/sf0.1\n")  # pre-r12
+    assert stale_corpus(marker)
+    marker.write_text("factor=10 src=/root/testdata/sf0.1 seed=0 next_seed=10\n")
+    assert not stale_corpus(marker)

@@ -64,8 +64,10 @@ import json
 import math
 import os
 import re
+import shutil
 import sys
 import tempfile
+import threading
 import time
 from pathlib import Path
 
@@ -256,32 +258,85 @@ def build_corpus(src: str, dst: str, factor: int, seed: int = 0) -> None:
     con.close()
 
 
-def time_queries(spark, names, sf_dir: str, samples: int = 3) -> dict:
+def stale_corpus(marker: Path) -> bool:
+    """True when a cached corpus's _DONE marker predates the r12 seeded
+    digit-permutation cipher (no ``next_seed=`` field) — such a corpus
+    was built with the letter-only cipher and must be rebuilt, never
+    silently reused (ADVICE r12)."""
+    return marker.exists() and "next_seed=" not in marker.read_text()
+
+
+def _capped_count(spark, fn, sf_dir: str, cap_sec: float) -> float | None:
+    """Run ``fn(spark, sf_dir).count()`` under a wall-clock cap. Returns
+    elapsed seconds, or None when the cap fired (the Spark jobs are
+    cancelled so the probe moves on instead of blocking forever —
+    ADVICE r12: regress_check's documented None-as-hard-failure branch
+    needs a producer)."""
+    fired = threading.Event()
+
+    def _kill():
+        fired.set()
+        spark.sparkContext.cancelAllJobs()
+
+    timer = threading.Timer(cap_sec, _kill)
+    timer.daemon = True
+    timer.start()
+    t0 = time.perf_counter()
+    try:
+        fn(spark, sf_dir).count()
+        return time.perf_counter() - t0
+    except Exception:
+        if fired.is_set():
+            return None
+        raise
+    finally:
+        timer.cancel()
+
+
+def time_queries(spark, names, sf_dir: str, samples: int = 3,
+                 timeout: float = 900.0) -> dict:
     """Warm once (untimed: JIT, index builds, XML gen), then min of
-    ``samples`` timed executions per query."""
+    ``samples`` timed executions per query. Each execution (warm
+    included) runs under a ``timeout``-second wall-clock cap; a capped
+    query records None and the regression gate treats that as a hard
+    failure."""
     from xml_hive_spark.operators import all_queries
 
     reg = all_queries()
     out = {}
     for name in names:
         qd = reg[name]
-        qd.fn(spark, sf_dir).count()  # warm: JIT, index/XML-gen one-times
+        # warm: JIT, index/XML-gen one-times
+        warm = _capped_count(spark, qd.fn, sf_dir, timeout)
+        if warm is None:
+            out[name] = None
+            print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: TIMEOUT "
+                  f"(> {timeout:g}s)", file=sys.stderr)
+            continue
         best = float("inf")
         for _ in range(samples):
-            t0 = time.perf_counter()
-            qd.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 3)
-        print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: {out[name]:.3f}s",
+            t = _capped_count(spark, qd.fn, sf_dir, timeout)
+            if t is None:
+                best = None
+                break
+            best = min(best, t)
+        out[name] = None if best is None else round(best, 3)
+        print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: "
+              + (f"{out[name]:.3f}s" if out[name] is not None
+                 else f"TIMEOUT (> {timeout:g}s)"),
               file=sys.stderr)
     return out
 
 
-def exponent(t1: float, tF: float, factor: int) -> float:
-    """Scaling exponent from two timings, clamped to the timer's 1 ms
-    resolution so a sub-ms 1x run yields a (noisy, finite) exponent
-    instead of None — None is reserved for true timeouts, which the
-    regression gate must keep treating as hard failures (ADVICE r11)."""
+def exponent(t1: float | None, tF: float | None, factor: int) -> float | None:
+    """Scaling exponent from two timings. Finite inputs are clamped to
+    the timer's 1 ms resolution so a sub-ms 1x run yields a (noisy,
+    finite) exponent. None in either input means that execution hit the
+    per-query wall-clock cap in :func:`time_queries` (ADVICE r12) and
+    propagates — the regression gate treats a None exponent as a hard
+    failure (ADVICE r11)."""
+    if t1 is None or tF is None:
+        return None
     return round(
         math.log(max(tF, 0.001) / max(t1, 0.001)) / math.log(factor), 3
     )
@@ -330,6 +385,10 @@ def main() -> None:
                     help="exclude xml_scan_bench (10 GiB one-time XML gen)")
     ap.add_argument("--samples", type=int, default=3,
                     help="timed samples per query (min is reported)")
+    ap.add_argument("--timeout", type=float, default=900.0,
+                    help="per-execution wall-clock cap in seconds; a "
+                         "capped query records None (hard failure under "
+                         "--regress) instead of blocking the probe")
     ap.add_argument("--regress", metavar="EXPONENTS_JSON", default=None,
                     help="compare measured exponents to a recorded "
                          "SCALE_EXPONENTS_r*.json; exit 1 on any query "
@@ -367,6 +426,14 @@ def main() -> None:
     big_name = f"sf{big_sf:g}"
     dst = os.path.join(tempfile.gettempdir(), "xmlhive_scale", big_name)
     marker = Path(dst) / "_DONE"
+    if stale_corpus(marker):
+        # pre-r12 corpus (letter-only cipher, unseeded composition):
+        # the cipher change re-baselined every cached corpus, so a
+        # stale one must never be silently reused (ADVICE r12) —
+        # rebuild from scratch
+        print(f"# stale pre-r12 corpus at {dst} (marker lacks "
+              f"next_seed=) — rebuilding", file=sys.stderr)
+        shutil.rmtree(dst)
     if not marker.exists():
         # composed builds read the source corpus's key namespace so the
         # second decade's cipher keys never overlap the first's (the
@@ -394,8 +461,10 @@ def main() -> None:
         names.remove("xml_scan_bench")
 
     spark = get_spark(app_name="xml-hive-spark-scale-probe")
-    t1 = time_queries(spark, names, args.src, samples=args.samples)
-    tf = time_queries(spark, names, dst, samples=args.samples)
+    t1 = time_queries(spark, names, args.src, samples=args.samples,
+                      timeout=args.timeout)
+    tf = time_queries(spark, names, dst, samples=args.samples,
+                      timeout=args.timeout)
     spark.stop()
 
     report = {
