@@ -464,22 +464,57 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 
+# 5-block decomposition of the 48-bit signature (widths 10,10,10,9,9 at
+# offsets 0,10,20,30,39) and the C(5,2)=10 block-pair tables (Manku,
+# Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling",
+# WWW'07 §3 — permute-and-block generalized to pair keys). Hamming ≤ 3
+# errors touch at most 3 blocks, so at least 2 blocks are clean and some
+# pair table matches exactly: recall for h ≤ 3 is guaranteed by
+# pigeonhole, same as the retired 4×12 single-chunk scheme, but the key
+# is ~20 bits wide instead of 12.
+_SIMHASH_BLOCKS = [(0, 10), (10, 10), (20, 10), (30, 9), (39, 9)]
+_SIMHASH_PAIRS = [
+    (i, j) for i in range(5) for j in range(i + 1, 5)
+]
+
+
+def _simhash_block(col, b):
+    off, width = _SIMHASH_BLOCKS[b]
+    return F.shiftright(col, off).bitwiseAND(F.lit((1 << width) - 1))
+
+
 @query("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs: 4× 12-bit chunk blocking (any equal chunk →
-    candidate; guarantees recall for Hamming distance ≤ 3 by pigeonhole),
-    then exact Hamming ≤ 3 filter via bit_count(xor). The signature
-    table is persisted — the chunk self-join consumes it on both sides
-    and would otherwise run the 48-vote hash-agg twice (measured
-    2.00 → 1.46 s at sf0.1; the signature-store pattern).
+    """SimHash near-dup pairs: 10-table block-pair blocking (5 blocks of
+    10/10/10/9/9 bits; every pair of blocks is a ~20-bit join key;
+    recall for Hamming ≤ 3 guaranteed by pigeonhole — see
+    _SIMHASH_BLOCKS), then exact Hamming ≤ 3 via bit_count(xor). The
+    signature table is persisted — the pair self-join consumes it on
+    both sides and would otherwise run the 48-vote hash-agg twice
+    (measured 2.00 → 1.46 s at sf0.1; the signature-store pattern).
+
+    r13 blocking upgrade (closes the r12 f100 residual e = 0.92): the
+    old 4×12-bit single-chunk blocking carried a Θ(N²·4/2¹²)
+    random-collision term — profiled at the probe corpora, candidates
+    grew 14.1 M → 230.4 M across the 50 k → 500 k decade (×16.3 at ×10
+    docs) and the verify compute inside the join was the whole
+    residual. Pair keys cut the collision constant 51× (10/2¹⁹·⁵ vs
+    4/2¹²): candidates 230 M → 39 M and join wall 6.4 → 4.4 s at 500 k
+    docs, 1.3 → 0.8 s at 50 k. Dedup of the up-to-10-table multiplicity
+    is a CANONICAL-TABLE filter computed from the xor alone (keep a
+    candidate only in the first all-clean pair table), so duplicate
+    emissions die inside the join stage and the old `.distinct()`
+    exchange disappears entirely. Output verified bit-identical to the
+    retired plan at sf0.1/sf1/sf10 and oracle-green at sf0.01/sf0.1;
+    the DuckDB oracle is unchanged (both blockings are recall-complete
+    for h ≤ 3, so both compute exactly the all-pairs-hamming≤3 set).
 
     FULL value oracle since r9 (was rows-only under xxhash64): the
     portable md5-slice SimHash is replayed in SQL end to end — same
     token hashes (parity probed: identical token count AND hash sum at
     sf0.001/0.01), 48 unrolled vote sums, same strict-positive tie
-    rule, same chunk blocking — so the driver now hash-checks the
-    entire near-dedup pipeline. Recall on planted near-dups stays
-    pinned in tests/test_dedup.py."""
+    rule — so the driver hash-checks the entire near-dedup pipeline.
+    Recall on planted near-dups stays pinned in tests/test_dedup.py."""
     docs = t(spark, sf, "documents")
     sig = simhash48(docs).persist()
     chunks = sig.select(
@@ -489,17 +524,25 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.shiftright("simhash", 12 * c)
-                        .bitwiseAND(F.lit(0xFFF))
-                        .alias("chunk"),
+                        F.lit(ti).alias("chunk_id"),
+                        (
+                            _simhash_block(F.col("simhash"), i)
+                            * F.lit(1 << _SIMHASH_BLOCKS[j][1])
+                            + _simhash_block(F.col("simhash"), j)
+                        ).alias("chunk"),
                     )
-                    for c in range(4)
+                    for ti, (i, j) in enumerate(_SIMHASH_PAIRS)
                 ]
             )
         ).alias("ck"),
     ).select("id", "simhash", "ck.chunk_id", "ck.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    clean = [_simhash_block(xor, bk) == 0 for bk in range(5)]
+    canon = F.lit(None).cast("int")
+    for ti in reversed(range(len(_SIMHASH_PAIRS))):
+        i, j = _SIMHASH_PAIRS[ti]
+        canon = F.when(clean[i] & clean[j], F.lit(ti)).otherwise(canon)
     cand = (
         a.join(
             b,
@@ -510,16 +553,14 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
+            (F.col("a.chunk_id") == canon).alias("keep"),
         )
-        # hamming BEFORE distinct: chunk collisions at 4096 buckets are a
-        # constant fraction of all pairs (quadratic — the r11 byte-audit
-        # class found on image_phash_dedup), so they must die inside the
-        # join stage; only true near-dups reach the dedupe exchange
-        .filter(F.col("hamming") <= 3)
-        .distinct()
+        # hamming + canonical-table BEFORE any exchange: collisions and
+        # multi-table duplicate emissions both die inside the join stage
+        # (the r11 byte-audit discipline); only unique true near-dups
+        # leave the stage — no distinct needed
+        .filter((F.col("hamming") <= 3) & F.col("keep"))
     )
     return cand.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
 
