@@ -501,6 +501,79 @@ _DRIVER_WINDOW = [
 #     "asof_join",
 # ]
 
+# ROUND-14 WINDOW, PRE-ENUMERATED (apply mechanically at r14 start:
+# replace _DRIVER_WINDOW with this list, run tools/verify_local.py over
+# it, commit first; then rule-4 swap any query whose result semantics
+# change during r14, evicting from the refresh tail).
+# Derivation (mechanical, at r13, from CORRECTNESS_r01–r12 + the r13
+# window assumed fresh): rule-1 lead plagiarism_detect (added r13, the
+# only never-driver-checked entry). dedup_simhash carries the r13
+# block-pair blocking upgrade (perf-only, outputs verified
+# bit-identical at sf0.1/sf1/sf10, oracle-green at sf0.01/sf0.1) and
+# earns its fresh driver hash here per the r8 convention — it is
+# r9-vintage, so it sits in this cohort naturally. The r13
+# containment_pairs code-motion needs no carry: setsim_containment_join
+# is IN the r13 window, so the refactored path is driver-hashed this
+# round. Cohort = oldest-driver-evidence outside the r13 window,
+# (vintage, name)-sorted: the complete r9-vintage block (42 rows —
+# asof_join, the cosine_topk brute/lsh/ivf ladder, the text-analysis
+# family, the streaming r9 cohort, multimodal stubs, XML scan quartet)
+# + the 7 earliest r10-vintage names cut at 50; cosine_topk_ivf_pq
+# drops to the r15 tail. The 3 rows-only-by-design entries stay
+# excluded per VERDICT r10 item 4.
+# _R14_WINDOW_PLAN = [
+#     "plagiarism_detect",
+#     "asof_join",
+#     "copurchase_lift",
+#     "cosine_topk_bruteforce",
+#     "cosine_topk_ivf",
+#     "cosine_topk_lsh",
+#     "daily_new_and_cumulative_users",
+#     "dedup_exact_by_hash",
+#     "dedup_minhash_lsh",
+#     "dedup_simhash",
+#     "doc_chunks_udtf",
+#     "join_null_safe_eq",
+#     "lateral_topn_per_group",
+#     "multimodal_decode_stub",
+#     "multimodal_feature_extract",
+#     "multimodal_frame_sample",
+#     "multimodal_resize_stub",
+#     "pack_sequences",
+#     "parquet_codec_zstd",
+#     "quality_filter_verdicts",
+#     "salted_join_agg",
+#     "sample_deterministic",
+#     "session_window_agg",
+#     "sql_registered_udf",
+#     "streaming_dedup_minhash",
+#     "streaming_sessionize",
+#     "streaming_stream_join",
+#     "streaming_stream_join_outer",
+#     "streaming_window_counts",
+#     "text_clean_normalize",
+#     "text_fingerprint",
+#     "text_language_id",
+#     "text_quality_score",
+#     "text_token_stats",
+#     "tumbling_window_agg",
+#     "twap_time_weighted",
+#     "variant_json_access",
+#     "vocab_topk",
+#     "window_percent_rank",
+#     "xml_scan_bench",
+#     "xml_scan_books",
+#     "xml_scan_inferred",
+#     "xml_sql_ddl",
+#     "agg_distinct_count",
+#     "agg_grouping_sets",
+#     "agg_rollup",
+#     "agg_stats",
+#     "apply_in_pandas_centered",
+#     "conditional_functions",
+#     "cosine_topk_ivf_kmeans",
+# ]
+
 
 def all_queries() -> dict[str, QueryDef]:
     """Import every operator module (side effect: registration) and return
