@@ -185,7 +185,7 @@ class TestSetSimJoinPrefix:
 
 
 class TestPlagiarismDetect:
-    """Cross-query invariants tying plagiarism_detect (t = 0.7) to
+    """Cross-query invariants tying plagiarism_detect (t = 0.8) to
     setsim_containment_join (t = 0.9) — both ride containment_pairs,
     so threshold monotonicity and attribution shape are checkable
     without an oracle."""
@@ -197,9 +197,10 @@ class TestPlagiarismDetect:
         ids = [r.a_id for r in rows]
         assert len(ids) == len(set(ids))  # argmax emits exactly one source
         for r in rows:
+            assert r.a_id % 5 == 2  # only batch docs are probed
             assert r.a_id != r.src_id
             assert 0 < r.inter_n <= r.a_sz
-            assert r.inter_n * 10 >= r.a_sz * 7  # the t=0.7 floor holds
+            assert r.inter_n * 10 >= r.a_sz * 8  # the t=0.8 floor holds
             if r.inter_n == r.a_sz:
                 assert r.verdict == "verbatim"
             elif r.inter_n * 10 >= r.a_sz * 9:
@@ -208,14 +209,16 @@ class TestPlagiarismDetect:
                 assert r.verdict == "partial"
 
     def test_t09_pairs_are_subset_of_t07_report_domain(self, spark, sf_dir):
-        """Every doc contained at t = 0.9 must appear in the t = 0.7
-        report (thresholds are nested), and its attributed source must
-        achieve at least the 0.9-pair's intersection (argmax)."""
+        """Every BATCH doc (doc_id % 5 = 2) contained at t = 0.9 must
+        appear in the t = 0.8 report (thresholds are nested and the
+        probe restriction only trims the A side), and its attributed
+        source must achieve at least the 0.9-pair's intersection
+        (argmax)."""
         from xml_hive_spark.operators import all_queries
 
         strict = all_queries()["setsim_containment_join"].fn(spark, sf_dir)
         report = {r.a_id: r for r in
                   all_queries()["plagiarism_detect"].fn(spark, sf_dir).collect()}
-        for r in strict.collect():
+        for r in strict.filter(F.col("a_id") % 5 == 2).collect():
             assert r.a_id in report
             assert report[r.a_id].inter_n >= r.inter_n

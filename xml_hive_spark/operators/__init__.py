@@ -199,6 +199,29 @@ def payload_side(df: DataFrame, approx_bytes: int) -> DataFrame:
     return df.hint("merge")
 
 
+def dim_side(df: DataFrame, approx_bytes: int) -> DataFrame:
+    """Join-strategy guard for SKINNY corpus-derived dimension tables
+    (tens of bytes per row — e.g. the shingle-vocabulary df table:
+    8-byte hash + count). Broadcast while provably small, exactly like
+    :func:`payload_side`; beyond the cap pin SHUFFLE_HASH rather than
+    sort-merge. The distinction from payload_side matters in both
+    directions (r13, measured): a corpus-sized skinny dim forced to
+    MERGE makes SMJ sort the huge probe stream too (the 158 M-row toks
+    table at the 100× corpus — the containment staging build went from
+    ~73 s to wedged), while its per-partition hash build is bounded by
+    vocab_bytes / shuffle_partitions (~34 MB at the 100× corpus) and
+    shrinks further on a real cluster where partitions scale with
+    cores. The r11 falsification of shuffle_hash ("no graceful
+    degradation") was on the ~2 KB/row SET-ATTACH payload whose build
+    is corpus_bytes / partitions — two orders fatter per row; skinny
+    dims don't reach that regime before the dim itself stops being a
+    dim. Broadcast stays the plan at driver/bench SFs (byte-identical
+    plans)."""
+    if approx_bytes <= _ATTACH_BROADCAST_CAP:
+        return df
+    return df.hint("shuffle_hash")
+
+
 def table_bytes(sf_dir: str, name: str) -> int:
     """On-disk size of a source table — a FREE corpus-size proxy for
     :func:`payload_side` estimates (no count job). Unknown/remote paths

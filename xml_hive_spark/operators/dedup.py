@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from xml_hive_spark.operators import (fan_out, payload_side, query, t,
+from xml_hive_spark.operators import (dim_side, fan_out, payload_side, query, t,
                                       table_bytes)
 
 # ------------------------------------------------------------- exact dedup
@@ -892,15 +892,27 @@ def setsim_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
 
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     pref = (
-        # no broadcast HINT: the shingle-vocabulary df table grows with the
-        # corpus (12.9k rows here; multi-GB at 100 TB), and a forced
-        # F.broadcast can never be demoted by AQE — let AQE pick broadcast
-        # while freq is under the threshold and fall back to a shuffled
-        # equi-join on tok when it is not (the toks side shuffles either
-        # way for the doc_id window that follows)
-        toks.join(freq, "tok")
+        # the shingle-vocabulary df table grows with the corpus (~24 B
+        # per distinct 8-gram ≈ 20-30× the zstd'd documents bytes:
+        # measured 1.1 GiB serialized at the 100× corpus vs 57 MB on
+        # disk) and Catalyst's STATIC estimate for it sails under the
+        # 10 MB broadcast threshold — the initial plan commits to a
+        # BroadcastHashJoin that AQE never demotes (r13, measured: the
+        # broadcast collect blew maxResultSize/heap at the 100× corpus;
+        # the old comment here claimed AQE would fall back — falsified).
+        # See dim_side for why shuffle_hash (not merge) past the cap.
+        # dim_side pins SHUFFLE_HASH beyond the cap (skinny 24 B rows:
+        # per-partition build ~34 MB at 100×, and merge would force a
+        # sort of the 158 M-row toks stream — measured wedged); the ×32 proxy
+        # keeps the broadcast at driver/bench SFs (freq ≈ 110 MB at the
+        # 10× corpus, known-good) and merges at 100× and beyond. The
+        # per-doc size map is 16 B/doc (÷50 of the text bytes) — a
+        # legitimate broadcast until ~10⁹ docs, merged past it.
+        toks.join(dim_side(freq, table_bytes(sf, "documents") * 32),
+                  "tok")
         .withColumn("rn", F.row_number().over(w))
-        .join(sets.select("doc_id", "sz"), "doc_id")
+        .join(dim_side(sets.select("doc_id", "sz"),
+                       table_bytes(sf, "documents") // 50), "doc_id")
         .filter(
             F.col("rn")
             <= F.col("sz") - F.ceil(F.col("sz") * T_NUM / T_DEN) + 1
@@ -1227,7 +1239,7 @@ def dedup_incremental_ingest(spark: SparkSession, sf: str) -> DataFrame:
 
 def containment_pairs(
     spark: SparkSession, sf: str, t_num: int = 9, t_den: int = 10,
-    extra: int = 4,
+    extra: int = 4, probe_pred=None,
 ) -> DataFrame:
     """EXACT set-CONTAINMENT join (|A∩B| / |A| ≥ t over char-8-gram
     shingle sets) — Broder's other similarity measure: resemblance
@@ -1273,12 +1285,17 @@ def containment_pairs(
     arithmetic (inter·t_den ≥ |A|·t_num), bit-identical to the naive
     O(n²) DuckDB oracle — zero recall loss, no all-pairs comparison.
 
-    r13: parameterized over the threshold (t_num/t_den) and the prune
-    depth so a second consumer (``plagiarism_detect``, t = 0.7) can
-    exercise the counted pigeonhole in a different miss-budget regime —
-    pure code-motion from the r12 ``setsim_containment_join`` body at
-    the default arguments (output re-verified identical at sf0.01 and
-    sf0.1, same ritual as the r12 ``embedding_cosine_pairs`` motion)."""
+    r13: parameterized over the threshold (t_num/t_den), the prune
+    depth, and an optional PROBE-side predicate so a second consumer
+    (``plagiarism_detect``, t = 0.8, batch-vs-corpus) can exercise the
+    counted pigeonhole in a different miss-budget regime — pure
+    code-motion from the r12 ``setsim_containment_join`` body at the
+    default arguments (output re-verified identical at sf0.01 and
+    sf0.1, same ritual as the r12 ``embedding_cosine_pairs`` motion).
+    ``probe_pred`` restricts which documents are PROBED (the A side);
+    the index side, the global df ranking, and the verify sets always
+    cover the full corpus, so a probed document's pairs are exactly
+    the all-corpus pairs with that a_id."""
     T_NUM, T_DEN = t_num, t_den
     EXTRA = extra  # prefix deepened by EXTRA -> share >= 1+EXTRA tokens
 
@@ -1304,9 +1321,18 @@ def containment_pairs(
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     ranked = (
-        toks.join(freq, "tok")
+        # same corpus-sized-broadcast guard as the Jaccard twin's pref
+        # stage (see setsim_join_prefix): the static estimate for the
+        # vocab df table ducks under the broadcast threshold and the
+        # resulting BroadcastHashJoin is never demoted by AQE — at the
+        # 100× corpus the freq collect alone is ~1.1 GiB (r13, died in
+        # BroadcastExchange). dim_side: shuffle-hash beyond the cap,
+        # broadcast kept at driver/bench SFs.
+        toks.join(dim_side(freq, table_bytes(sf, "documents") * 32),
+                  "tok")
         .withColumn("rn", F.row_number().over(w))
-        .join(sets.select("doc_id", "sz"), "doc_id")
+        .join(dim_side(sets.select("doc_id", "sz"),
+                       table_bytes(sf, "documents") // 50), "doc_id")
     ).persist()
     # m = allowed misses; pl = deepened prefix; c_req = pl − m shared
     # tokens required (exact pigeonhole, lossless at any EXTRA ≥ 0)
@@ -1318,6 +1344,11 @@ def containment_pairs(
                 F.col("sz").alias("sa"),
                 (pl_col - m_col).alias("c_req"))
     )
+    if probe_pred is not None:
+        # probe restriction lands BEFORE the prefix join, so the raw
+        # join volume (Σ df over probed prefixes — the t = 0.7 spill
+        # site) shrinks with the batch, not after the damage
+        probe = probe.filter(probe_pred(F.col("a_id")))
     index = ranked.select(F.col("doc_id").alias("b_id"), "tok",
                           F.col("sz").alias("sb"))
     cand = (
@@ -1402,7 +1433,8 @@ pairs AS (
          CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_n,
          CAST(len(a.toks) AS BIGINT) AS a_sz
   FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-  WHERE len(list_intersect(a.toks, b.toks)) * 10 >= len(a.toks) * 7
+  WHERE a.doc_id % 5 = 2
+    AND len(list_intersect(a.toks, b.toks)) * 10 >= len(a.toks) * 8
 ),
 best AS (
   SELECT a_id, b_id, inter_n, a_sz,
@@ -1419,30 +1451,61 @@ FROM best WHERE rn = 1
     tags=("dedup", "setsim", "containment", "plagiarism"),
 )
 def plagiarism_detect(spark: SparkSession, sf: str) -> DataFrame:
-    """Plagiarism attribution report: for every document whose char-8
-    shingle set is ≥ 70 % contained in another document, the single
-    best SOURCE (argmax containment, ties to the smallest doc_id) and
-    a verdict class — 'verbatim' (every shingle present),
-    'near_verbatim' (≥ 90 %), else 'partial'. The production shape on
-    top of a containment join: dedup answers "is this a copy",
-    plagiarism detection answers "of WHAT, and how much".
+    """Plagiarism attribution report, BATCH-vs-CORPUS: for every
+    submitted document (doc_id % 5 = 2 stands in for the submission
+    batch, the ``dedup_incremental_ingest`` framing) whose char-8
+    shingle set is ≥ 80 % contained in any other document of the full
+    corpus, the single best SOURCE (argmax containment, ties to the
+    smallest doc_id) and a verdict class — 'verbatim' (every shingle
+    present), 'near_verbatim' (≥ 90 %), else 'partial'. The production
+    shape on top of a containment join: dedup answers "is this a
+    copy", plagiarism detection answers "of WHAT, and how much" — and
+    production plagiarism checks screen a submission batch against a
+    reference corpus, not the corpus against itself.
 
     Exercises the r12 counted-pigeonhole prune (VERDICT r12 item 6) in
     a different miss-budget regime than ``setsim_containment_join``'s
-    t = 0.9: at t = 0.7 the allowed misses m ≈ 0.3·|A| (vs 0.1·|A|),
-    so the deepened prefix pl = m + 5 probes ~3× more tokens per
-    document and c_req stays 5 — the prune's selectivity must come
-    from the count threshold alone, not prefix shortness. The argmax
-    is one window (row_number over a_id, inter_n DESC, b_id) on the
-    verified pairs — candidate-bound like its input, no extra scan of
-    the corpus.
+    t = 0.9: at t = 0.8 the allowed misses m ≈ 0.2·|A| (vs 0.1·|A|)
+    and the r12-optimal EXTRA = 4 is WEAK — on this boilerplate-heavy
+    corpus pairs share ≥ 5 deep-prefix tokens easily, so at the 10×
+    corpus c ≥ 5 left 3.42 M of 14.6 M distinct pairs alive (output:
+    990 rows) and every survivor dragged the ~2 KB set attach through
+    the verify join (~70 GB of spill at 100× — the disk death the
+    first cut measured). The prune depth must scale with the miss
+    budget: the r13 sweep at the 10× corpus (EXTRA ∈ {4, 14, 29, 49}:
+    survivors 3.42 M → 62 k → 1,180 → 1,090 while raw prefix-join rows
+    only grow 46 M → 67 M → 99 M → 147 M) bottoms at EXTRA = 29, where
+    survivors ≈ output and the verify attach is trivial. Lossless at
+    any EXTRA by the counted pigeonhole, so the sweep is a pure
+    perf knob — same discipline as the r12 EXTRA = 4 sweep at t = 0.9.
 
-    Scale shape: everything up to the verified pairs is
-    :func:`containment_pairs` (linear probe/index joins, counted
-    pigeonhole, payload-guarded set attach); the attribution window
-    partitions by a_id — parallel across contained documents, no
-    global sort, no driver loop."""
-    pairs = containment_pairs(spark, sf, t_num=7, t_den=10, extra=4)
+    Scale lessons (r13, measured the expensive way — both shapes were
+    BUILT and killed with numbers): (1) the first cut was ALL-corpus
+    at t = 0.7 — linear per decade but with a 14.5× raw-volume
+    constant over t = 0.9 (prefix-join rows 53.4 M at sf0.1 → 534 M at
+    the 10× corpus, exactly ×10; the pair-count aggregation of those
+    rows spilled the box's disk to death mid-probe). (2) batch-framed
+    t = 0.7 still ground past 10 minutes at the 100× corpus (~1.07 G
+    raw rows — the 30 %-depth prefix reaches boilerplate shingles with
+    huge df on this templated corpus). t = 0.8 finds the IDENTICAL
+    report rows on the driver corpus (the contained docs here are
+    near-verbatim, so 0.7 and 0.8 select the same pairs) at half the
+    prefix depth. The batch predicate lands on the probe side BEFORE
+    the prefix join, so raw volume shrinks 5× at the source; the
+    index side, global df ranking, and verify sets stay corpus-wide,
+    so a submitted doc's report row is identical to what the
+    all-corpus query would emit for it. At 100 TB the probe side is
+    the (bounded) ingest batch and the raw volume is
+    Θ(batch_tokens × avg df) — independent of how the rest of the
+    corpus grows relative to itself.
+
+    The argmax is one window (row_number over a_id, inter_n DESC,
+    b_id) on the verified pairs — candidate-bound like its input, no
+    extra scan of the corpus."""
+    pairs = containment_pairs(
+        spark, sf, t_num=8, t_den=10, extra=29,
+        probe_pred=lambda doc_id: doc_id % 5 == 2,
+    )
     w = Window.partitionBy("a_id").orderBy(F.desc("inter_n"), F.col("b_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))

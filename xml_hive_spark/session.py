@@ -59,7 +59,15 @@ def get_spark(
         # rows cross the Python→JVM boundary (sources/pushdown.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 1 GB/core — the shape a real executor gets (4-8 GB over 4-8
+        # cores); the round-1 skeleton's 8g (0.25 GB/core) made join
+        # viability depend on "memory weather" at the 100x probe corpus:
+        # the staging-table persists alone exceed 8g there and the spill
+        # read-ahead threads OOM under GCLocker thrash (r13, measured on
+        # plagiarism_detect; the box has 128 GiB for local[32]). Plans
+        # are still spill-audited — SHUFFLE_AUDIT records 0 spill bytes
+        # at both probe decades for every headline query.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
