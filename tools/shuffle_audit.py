@@ -132,10 +132,26 @@ def main() -> None:
                          "bytes-ratio column")
     ap.add_argument("--queries", nargs="*", default=None)
     ap.add_argument("--skip-xml", action="store_true")
+    ap.add_argument("--attach-cap", type=int, default=None,
+                    help="override operators._ATTACH_BROADCAST_CAP "
+                         "(bytes). --attach-cap 0 forces every "
+                         "dim_side/payload_side guard to its beyond-cap "
+                         "strategy at ANY scale, so a small corpus runs "
+                         "the same post-crossover plan as a large one — "
+                         "the only way to read a clean byte RATIO across "
+                         "a decade that otherwise straddles the "
+                         "broadcast→shuffle_hash/merge transition "
+                         "(SCALE.md r13 setsim account)")
     args = ap.parse_args()
 
     from bench import HEADLINE
     from xml_hive_spark.session import get_spark
+
+    if args.attach_cap is not None:
+        import xml_hive_spark.operators as _ops
+        _ops._ATTACH_BROADCAST_CAP = args.attach_cap
+        print(f"# _ATTACH_BROADCAST_CAP overridden to {args.attach_cap}",
+              file=sys.stderr)
 
     names = args.queries or list(HEADLINE)
     if args.skip_xml and "xml_scan_bench" in names:
