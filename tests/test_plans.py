@@ -547,6 +547,40 @@ def test_payload_side_strategy_guard(spark, sf_dir):
     assert table_bytes(sf_dir, "no_such_table") >= (1 << 40)
 
 
+def test_dim_side_strategy_guard(spark, sf_dir):
+    """dim_side (r13): SKINNY corpus-derived dims (the shingle-vocab
+    df table, ~24 B/row) must ride SHUFFLE_HASH above the broadcast
+    cap — NOT sort-merge, which would sort the huge probe stream too
+    (measured r13: the containment staging build went from ~73 s to
+    wedged when the freq join was pinned to merge at the 100× corpus)
+    — and keep their broadcast below it (driver/bench-SF plans
+    byte-identical). The beyond-cap hash build is vocab_bytes /
+    partitions, which never reaches the regime where the r11 audit
+    falsified shuffle_hash for ~2 KB/row payloads (payload_side's
+    merge choice). Pin both directions at the unit level."""
+    from pyspark.sql import functions as F
+
+    from xml_hive_spark.operators import (_ATTACH_BROADCAST_CAP, dim_side,
+                                          t)
+
+    dim = (t(spark, sf_dir, "documents")
+           .select(F.xxhash64("text").alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    probe = t(spark, sf_dir, "documents").select(
+        F.xxhash64("text").alias("tok"), "doc_id")
+    small = dim_side(dim, _ATTACH_BROADCAST_CAP)      # at cap: keep
+    big = dim_side(dim, _ATTACH_BROADCAST_CAP + 1)    # over: shuffle_hash
+    p_small = probe.join(small, "tok")._jdf.queryExecution() \
+        .executedPlan().toString()
+    p_big = probe.join(big, "tok")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in p_small
+    assert "ShuffledHashJoin" not in p_small
+    assert "ShuffledHashJoin" in p_big
+    assert "BroadcastExchange" not in p_big
+    assert "SortMergeJoin" not in p_big
+
+
 def test_fan_out_guard(spark, sf_dir):
     """fan_out widens a small input to defaultParallelism (the per-row
     map stages behind it would otherwise run as ONE task at test SF)
