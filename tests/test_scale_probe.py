@@ -248,7 +248,8 @@ def test_regress_baseline_parse_matches_artifact_layout():
     exponent map for both factor sections (the exp key name differs)."""
     import json
 
-    for artname in ("SCALE_EXPONENTS_r11.json", "SCALE_EXPONENTS_r12.json"):
+    for artname in ("SCALE_EXPONENTS_r11.json", "SCALE_EXPONENTS_r12.json",
+                    "SCALE_EXPONENTS_r13.json"):
         art = json.load(open(Path(__file__).resolve().parent.parent / artname))
         for section, expkey in [("factor10", "exp_1_to_10"),
                                 ("factor100", "exp_10_to_100")]:
