@@ -78,3 +78,45 @@ def test_get_spark_extra_conf_applies_at_creation():
         assert s is pre
     else:
         assert s.conf.get("spark.ui.retainedStages") == "54321"
+
+
+def test_byte_regress_gate():
+    """byte_regress (r13): bytes are the load-invariant plan-change
+    signal (ann's sf1 shuffle_write replayed byte-identical across the
+    r12 and r13 audits while wall-clock exponents moved ±0.3 with box
+    load). The gate must fail on drift in EITHER direction, on new
+    base-SF spill, on an unrecorded measured query, and on bytes
+    appearing where the record pins zero — and pass identical replays
+    and sub-tolerance drift."""
+    from tools.shuffle_audit import byte_regress
+
+    rec = {
+        "a": {"shuffle_write": 1000, "spill_disk": 0},
+        "b": {"shuffle_write": 0, "spill_disk": 0},
+        "c": {"shuffle_write": 500, "spill_disk": 0},
+    }
+    ok = {
+        "a": {"shuffle_write": 1000, "spill_disk": 0},   # exact replay
+        "b": {"shuffle_write": 0, "spill_disk": 0},      # zero pinned
+        "c": {"shuffle_write": 549, "spill_disk": 0},    # +9.8% < bar
+    }
+    assert byte_regress(ok, rec) == []
+
+    assert byte_regress(
+        {"a": {"shuffle_write": 1101, "spill_disk": 0}}, rec)  # +10.1%
+    assert byte_regress(
+        {"a": {"shuffle_write": 899, "spill_disk": 0}}, rec)   # −10.1%:
+    # vanishing bytes = a silently-broadcast exchange, equally a change
+    assert byte_regress(
+        {"b": {"shuffle_write": 1, "spill_disk": 0}}, rec)     # 0-pin
+    assert byte_regress(
+        {"a": {"shuffle_write": 1000, "spill_disk": 7}}, rec)  # new spill
+    assert byte_regress(
+        {"new_q": {"shuffle_write": 10, "spill_disk": 0}}, rec)  # unrecorded
+    # recorded-but-unmeasured is the caller's visible gap, not a failure
+    assert byte_regress(
+        {"a": {"shuffle_write": 1000, "spill_disk": 0}}, rec) == []
+    # tolerance is a parameter: the same +9.8% fails a tighter bar
+    assert byte_regress(
+        {"c": {"shuffle_write": 549, "spill_disk": 0}}, rec,
+        tolerance=0.05)

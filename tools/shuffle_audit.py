@@ -19,9 +19,24 @@ Usage:
     python tools/shuffle_audit.py [--sf-dir /root/testdata/sf0.1]
                                   [--scaled $TMPDIR/xmlhive_scale/sf1]
                                   [--queries name ...]
+                                  [--regress SHUFFLE_AUDIT_rN.json]
 
 Prints one JSON line {query: {shuffle_write, shuffle_read, input,
 output, ...}} plus a markdown table for SCALE.md.
+
+``--regress`` (r13): compare each query's base-SF shuffle_write to the
+recorded artifact and exit 1 on drift beyond ±10 %. Rationale: on this
+host, WALL-CLOCK exponents moved ±0.3 with box load while shuffle
+bytes replayed BYTE-IDENTICAL across rounds and sessions (ann sf1:
+168,062,463 in both the r12 and r13 audits; every decade-1 r13 ratio
+replayed r12 within noise) — bytes are the load-invariant plan-change
+signal, so the byte gate catches a silently changed join strategy,
+lost map-side combine, or candidate-volume regression that a loaded
+box hides in timing noise. Queries present in the artifact but not
+measured are listed (visible gap, not silent); queries measured but
+unrecorded fail (a new query must be added to the artifact
+deliberately). Spill at the base SF also fails — every recorded
+base-SF measurement has spill 0, so any spill is new memory pressure.
 """
 
 from __future__ import annotations
@@ -124,6 +139,43 @@ def _fmt(b: int) -> str:
     return f"{b:.1f} GB"
 
 
+def byte_regress(measured: dict[str, dict[str, int]],
+                 recorded: dict[str, dict[str, int]],
+                 tolerance: float = 0.10) -> list[str]:
+    """Compare measured base-SF bytes to a recorded artifact's
+    ``queries`` section. Returns failure strings (empty = pass).
+
+    Fails on: shuffle_write drift beyond ±tolerance (both directions —
+    bytes VANISHING usually means a broadcast silently replaced an
+    exchange the design wanted, or a stage stopped executing);
+    measured-but-unrecorded queries (additions must be recorded
+    deliberately); any nonzero base-SF spill (every recorded base
+    measurement spills 0 bytes). A zero-byte recorded query pins
+    exact-zero (those plans are broadcast/local by design). Recorded
+    queries that were not measured are the CALLER's visible gap —
+    reported by the CLI, not a failure here, so a targeted re-audit of
+    two queries doesn't drag the whole set."""
+    failures = []
+    for name, m in measured.items():
+        rec = recorded.get(name)
+        if rec is None:
+            failures.append(f"{name}: measured but not in artifact")
+            continue
+        want = rec["shuffle_write"]
+        got = m["shuffle_write"]
+        if want == 0:
+            if got != 0:
+                failures.append(f"{name}: bytes appeared ({got} vs 0)")
+        elif abs(got - want) > tolerance * want:
+            failures.append(
+                f"{name}: shuffle_write {got} vs recorded {want} "
+                f"({got / want:.3f}x, bar ±{tolerance:.0%})")
+        if m.get("spill_disk", 0) > 0:
+            failures.append(f"{name}: base-SF spill {m['spill_disk']} B "
+                            f"(recorded 0)")
+    return failures
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -132,6 +184,14 @@ def main() -> None:
                          "bytes-ratio column")
     ap.add_argument("--queries", nargs="*", default=None)
     ap.add_argument("--skip-xml", action="store_true")
+    ap.add_argument("--regress", metavar="SHUFFLE_AUDIT_JSON", default=None,
+                    help="compare base-SF shuffle_write per query to the "
+                         "recorded artifact; exit 1 beyond ±10% or on new "
+                         "base-SF spill. Default query set = the "
+                         "artifact's recorded queries (load-invariant "
+                         "plan-change gate — see module docstring)")
+    ap.add_argument("--tolerance", type=float, default=0.10,
+                    help="relative drift bar for --regress (default 0.10)")
     ap.add_argument("--attach-cap", type=int, default=None,
                     help="override operators._ATTACH_BROADCAST_CAP "
                          "(bytes). --attach-cap 0 forces every "
@@ -152,6 +212,18 @@ def main() -> None:
         _ops._ATTACH_BROADCAST_CAP = args.attach_cap
         print(f"# _ATTACH_BROADCAST_CAP overridden to {args.attach_cap}",
               file=sys.stderr)
+
+    recorded = None
+    if args.regress:
+        with open(args.regress) as fh:
+            art = json.load(fh)
+        recorded = art["queries"]
+        if art.get("sf_dir") and art["sf_dir"] != args.sf_dir:
+            print(f"# regress WARNING: artifact recorded at "
+                  f"{art['sf_dir']}, measuring {args.sf_dir} — bytes are "
+                  f"corpus-dependent, expect failures", file=sys.stderr)
+        if args.queries is None:
+            args.queries = sorted(recorded)
 
     names = args.queries or list(HEADLINE)
     if args.skip_xml and "xml_scan_bench" in names:
@@ -192,6 +264,19 @@ def main() -> None:
             row += (f" {_fmt(r['scaled_shuffle_write'])} |"
                     f" {ratio if ratio is not None else '—'} |")
         print(row, file=sys.stderr)
+
+    if recorded is not None:
+        unmeasured = sorted(set(recorded) - set(names))
+        if unmeasured:
+            print(f"# regress: {len(unmeasured)} recorded queries not "
+                  f"re-measured: {', '.join(unmeasured)}", file=sys.stderr)
+        failures = byte_regress(base, recorded, args.tolerance)
+        for f in failures:
+            print(f"# byte REGRESSED {f}", file=sys.stderr)
+        print(f"# byte regress: {len(base) - len(failures)}/{len(base)} "
+              f"within ±{args.tolerance:.0%}", file=sys.stderr)
+        if failures:
+            sys.exit(1)
 
 
 if __name__ == "__main__":
