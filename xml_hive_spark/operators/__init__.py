@@ -544,8 +544,21 @@ _DRIVER_WINDOW = [
 # + the 7 earliest r10-vintage names cut at 50; cosine_topk_ivf_pq
 # drops to the r15 tail. The 3 rows-only-by-design entries stay
 # excluded per VERDICT r10 item 4.
+# LATE-r13 AMENDMENT (same r8 convention that ordered the r13 head):
+# setsim_join_prefix joins the window — the r13 dim_side guard landed
+# INSIDE its pref stage (dedup.py:903-914, commit 406cdb6) after its
+# last driver hash (r12 window), so the executing code is newer than
+# its evidence; outputs were verified unchanged at sf0.01/sf0.1 (both
+# re-run this session: full sf0.01 gate + the 188-row sf0.1 solo
+# oracle) but the new code path earns a driver hash like every other.
+# The eviction comes from the refresh tail: cosine_topk_ivf_kmeans
+# (the last-cut r10 name) drops to the r15 tail beside
+# cosine_topk_ivf_pq. The other dim_side consumer,
+# setsim_containment_join, is already driver-hashed WITH the new code
+# in the r13 window; plagiarism_detect (the third) leads this plan.
 # _R14_WINDOW_PLAN = [
 #     "plagiarism_detect",
+#     "setsim_join_prefix",
 #     "asof_join",
 #     "copurchase_lift",
 #     "cosine_topk_bruteforce",
@@ -594,7 +607,6 @@ _DRIVER_WINDOW = [
 #     "agg_stats",
 #     "apply_in_pandas_centered",
 #     "conditional_functions",
-#     "cosine_topk_ivf_kmeans",
 # ]
 
 
