@@ -222,3 +222,85 @@ class TestPlagiarismDetect:
         for r in strict.filter(F.col("a_id") % 5 == 2).collect():
             assert r.a_id in report
             assert report[r.a_id].inter_n >= r.inter_n
+
+
+class TestContainmentPairsBruteForce:
+    """Randomized brute-force equivalence for ``containment_pairs``
+    across the (t, EXTRA, probe_pred) space the r13 parameterization
+    opened up. The counted pigeonhole's losslessness claim is
+    constructive (any pair missing c_req = pl − m prefix tokens has
+    more than m misses), but the two registry consumers only exercise
+    (9/10, EXTRA=4) and (8/10, EXTRA=29) on the driver corpora — this
+    pins the whole lattice, including EXTRA=0 (the minimal prefix) and
+    a probe-side predicate, against a shingle-set brute force on an
+    adversarial micro-corpus (planted substring containments, edited
+    near-misses, sub-8-char docs that must be filtered, duplicate
+    texts)."""
+
+    @staticmethod
+    def _corpus(tmp_path, spark, seed):
+        import random
+        rng = random.Random(seed)
+        alpha = "abcdef "  # tiny alphabet -> dense shingle collisions
+        texts = {}
+        did = 0
+        for _ in range(18):  # base docs
+            texts[did] = "".join(rng.choice(alpha)
+                                 for _ in range(rng.randint(12, 60)))
+            did += 1
+        for _ in range(10):  # planted containment: base text + padding
+            src = rng.choice(list(texts.values()))
+            pad = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+            texts[did] = (src + pad) if rng.random() < 0.5 else (pad + src)
+            did += 1
+        for _ in range(6):  # near-miss: contained text with one edit
+            src = rng.choice(list(texts.values()))
+            if len(src) > 10:
+                i = rng.randint(1, len(src) - 2)
+                texts[did] = src[:i] + rng.choice(alpha) + src[i + 1:]
+                did += 1
+        texts[did] = rng.choice(list(texts.values())); did += 1  # exact dup
+        texts[did] = "short"; did += 1  # < 8 chars: must be filtered
+        import pandas as pd
+        p = str(tmp_path / "documents.parquet")
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}
+                     ).to_parquet(p)
+        return str(tmp_path), texts
+
+    @staticmethod
+    def _brute(texts, t_num, t_den, probe):
+        sh = {i: {tx[j:j + 8] for j in range(len(tx) - 7)}
+              for i, tx in texts.items() if len(tx) >= 8}
+        out = set()
+        for a, sa in sh.items():
+            if not probe(a):
+                continue
+            for b, sb in sh.items():
+                if a != b and len(sa & sb) * t_den >= len(sa) * t_num:
+                    out.add((a, b, len(sa & sb), len(sa)))
+        return out
+
+    @pytest.mark.parametrize("seed,t_num,t_den,extra,mod", [
+        (1, 9, 10, 4, None),    # setsim_containment_join's shape
+        (2, 8, 10, 0, None),    # minimal prefix, fatter miss budget
+        (3, 8, 10, 29, 5),      # plagiarism_detect's shape (batch side)
+        (4, 7, 10, 2, None),    # beyond both registry thresholds
+        (5, 9, 10, 0, 3),      # strict t, minimal prefix, probe pred
+    ])
+    def test_matches_brute_force(self, spark, tmp_path, seed, t_num,
+                                 t_den, extra, mod):
+        from xml_hive_spark.operators.dedup import containment_pairs
+
+        sf, texts = self._corpus(tmp_path, spark, seed)
+        pred = (None if mod is None
+                else (lambda c, m=mod: c % m == 1))
+        got = {(r.a_id, r.b_id, r.inter_n, r.a_sz)
+               for r in containment_pairs(
+                   spark, sf, t_num=t_num, t_den=t_den, extra=extra,
+                   probe_pred=pred).collect()}
+        want = self._brute(texts, t_num, t_den,
+                           (lambda a: True) if mod is None
+                           else (lambda a: a % mod == 1))
+        assert got == want, (
+            f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}")
+        assert want, "corpus must plant at least one containment"
