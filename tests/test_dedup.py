@@ -304,3 +304,82 @@ class TestContainmentPairsBruteForce:
         assert got == want, (
             f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}")
         assert want, "corpus must plant at least one containment"
+
+
+class TestSimhashBlockPairPigeonhole:
+    """Exhaustive pin of the r13 block-pair blocking math. The recall
+    claim ('hamming ≤ 3 → some pair table matches') and the canonical-
+    table dedup both reduce to properties of the 5-block decomposition
+    of the 48-bit XOR — checkable exhaustively in pure Python over all
+    C(48,0)+C(48,1)+C(48,2)+C(48,3) = 18,473 error patterns, no Spark
+    and no corpus, so a silent edit to _SIMHASH_BLOCKS/_SIMHASH_PAIRS
+    that breaks the pigeonhole can never reach the join."""
+
+    @staticmethod
+    def _pyblock(x, b):
+        from xml_hive_spark.operators.dedup import _SIMHASH_BLOCKS
+        off, width = _SIMHASH_BLOCKS[b]
+        return (x >> off) & ((1 << width) - 1)
+
+    @staticmethod
+    def _xors_up_to_h3():
+        from itertools import combinations
+        yield 0
+        for k in (1, 2, 3):
+            for bits in combinations(range(48), k):
+                x = 0
+                for b in bits:
+                    x |= 1 << b
+                yield x
+
+    def test_blocks_partition_48_bits(self):
+        from xml_hive_spark.operators.dedup import (_SIMHASH_BLOCKS,
+                                                    _SIMHASH_PAIRS)
+        covered = []
+        for off, width in _SIMHASH_BLOCKS:
+            covered.extend(range(off, off + width))
+        assert sorted(covered) == list(range(48))  # disjoint, complete
+        assert len(_SIMHASH_PAIRS) == 10
+        assert len(set(_SIMHASH_PAIRS)) == 10
+
+    def test_recall_and_canonical_exhaustive(self):
+        from xml_hive_spark.operators.dedup import _SIMHASH_PAIRS
+        for x in self._xors_up_to_h3():
+            clean = [self._pyblock(x, b) == 0 for b in range(5)]
+            tables = [ti for ti, (i, j) in enumerate(_SIMHASH_PAIRS)
+                      if clean[i] and clean[j]]
+            # pigeonhole: ≤3 errors touch ≤3 blocks → ≥2 clean → ≥1 table
+            assert tables, f"xor {x:012x} recalled by no pair table"
+            # the canonical filter (first all-clean table) keeps exactly
+            # one of the duplicate emissions
+            assert min(tables) in tables and len(set(tables)) == len(tables)
+
+    def test_h4_can_escape_every_table(self):
+        """h = 4 sits OUTSIDE the guarantee: one error in four distinct
+        blocks dirties every pair. Pins that the scheme's promise is
+        exactly ≤ 3 — if this ever starts passing recall, the block
+        layout changed and the collision-constant math in the
+        dedup_simhash docstring is stale."""
+        from xml_hive_spark.operators.dedup import (_SIMHASH_BLOCKS,
+                                                    _SIMHASH_PAIRS)
+        x = 0
+        for off, _ in _SIMHASH_BLOCKS[:4]:
+            x |= 1 << off
+        clean = [self._pyblock(x, b) == 0 for b in range(5)]
+        assert not [ti for ti, (i, j) in enumerate(_SIMHASH_PAIRS)
+                    if clean[i] and clean[j]]
+
+    def test_column_extractor_matches_python(self, spark):
+        """The Spark Column twin (_simhash_block) must agree with the
+        pure-Python mirror the exhaustive proofs above run on."""
+        import random
+        from xml_hive_spark.operators.dedup import _simhash_block
+
+        rng = random.Random(13)
+        sigs = [rng.getrandbits(48) for _ in range(200)]
+        df = spark.createDataFrame([(s,) for s in sigs], "simhash long")
+        cols = [_simhash_block(F.col("simhash"), b).alias(f"b{b}")
+                for b in range(5)]
+        for row, s in zip(df.select(*cols).collect(), sigs):
+            for b in range(5):
+                assert row[f"b{b}"] == self._pyblock(s, b)
