@@ -656,3 +656,49 @@ def test_bench_contract():
     assert bench.CALIB_REF_SEC > 0
     assert bench.CALIB_PY_REF_SEC > 0
     assert callable(bench.calibrate) and callable(bench.calibrate_py)
+
+
+def test_guard_size_estimates_are_conservative(spark, sf_dir):
+    """The join-strategy guards decide from FREE driver-side estimates
+    (on-disk parquet bytes × a per-shape multiplier), never a count
+    job. Safety depends on one direction only: the estimate must be
+    ≥ the dim's true in-memory size, or a corpus whose text compresses
+    better than its vocabulary could duck a corpus-sized table under
+    the broadcast cap again (the r13 broadcast death: a ~1.1 GiB
+    shingle vocab statically estimated under 64 MB). This test CAUGHT
+    two of the three r8-vintage multipliers under-estimating when
+    first written (r13): the ÷50 size-map proxy was ~13× UNDER its
+    real 32 B/row table (would broadcast to ~3.5 GB real at ~10⁸
+    docs) and the ×8 payload proxy was ~2.2× UNDER the measured
+    17–19× parquet-to-set-table expansion (would broadcast to
+    ~580 MB real) — both corrected (size map: plain table_bytes,
+    3.6× margin; payload: ×32, ~1.7× margin; freq ×32 measured
+    6–46× conservative). Row-size model: freq and sz rows are two
+    8-byte values plus ~16 B of row overhead (32 B/row upper bound);
+    the payload is the collected shingle-set array, 8 B per distinct
+    8-gram plus per-row overhead."""
+    from pyspark.sql import functions as F
+
+    from xml_hive_spark.operators import t, table_bytes
+
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", F.lower(F.col("text")).alias("tx"))
+         .filter(F.length("tx") >= 8))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, length(tx) - 7),"
+            " i -> substring(tx, i, 8))"))).alias("g"),
+    ).select("doc_id", F.xxhash64("g").alias("tok"))
+    n_vocab = toks.select("tok").distinct().count()
+    n_docs = d.count()
+    n_toks = toks.count()
+    base = table_bytes(sf_dir, "documents")
+
+    assert base * 32 >= n_vocab * 32, (
+        f"freq estimate {base * 32} < {n_vocab} rows x 32 B")
+    assert base >= n_docs * 32, (
+        f"sz-map estimate {base} < {n_docs} rows x 32 B")
+    assert base * 32 >= (n_toks * 8 + n_docs * 32) * 1.5, (
+        f"payload estimate {base * 32} lacks 1.5x margin over set "
+        f"arrays ({n_toks} x 8 B + overhead)")

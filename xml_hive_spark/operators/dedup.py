@@ -341,10 +341,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     hashed = shingles(docs).select("id", _hash48("sh").alias("shh"))
     sig = minhash_signatures_with_sets(hashed, num_perm=32).persist()
     pairs = lsh_candidate_pairs(sig, bands=8, rows=4)
-    # corpus-sized shingle-set payload: broadcast only while provably
-    # small, sort-merge beyond the cap (r11 probe class); disk bytes
-    # x8 is a free safe-side size proxy
-    sig_sized = payload_side(sig, table_bytes(sf, "documents") * 8)
+    # corpus-sized shingle-set (+ signature) payload: broadcast only
+    # while provably small, sort-merge beyond the cap (r11 probe
+    # class). ×32 proxy: the set tables measure 17–19× their parquet,
+    # so the ×8 this replaced was ~2.2× UNDER, not safe-side as its
+    # comment claimed (measured r13, pinned in tests/test_plans.py).
+    sig_sized = payload_side(sig, table_bytes(sf, "documents") * 32)
     sa = sig_sized.select(F.col("id").alias("id_a"), F.col("shs").alias("sa"))
     sb = sig_sized.select(F.col("id").alias("id_b"), F.col("shs").alias("sb"))
     n_inter = F.size(F.array_intersect("sa", "sb"))
@@ -906,13 +908,17 @@ def setsim_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
         # sort of the 158 M-row toks stream — measured wedged); the ×32 proxy
         # keeps the broadcast at driver/bench SFs (freq ≈ 110 MB at the
         # 10× corpus, known-good) and merges at 100× and beyond. The
-        # per-doc size map is 16 B/doc (÷50 of the text bytes) — a
-        # legitimate broadcast until ~10⁹ docs, merged past it.
+        # per-doc size map rides the full parquet-bytes proxy: its real
+        # rows are ~32 B (two longs + row overhead) vs ~115 B/doc of
+        # parquet, so table_bytes is a 3.6× over-estimate — the ÷50 it
+        # replaced UNDER-estimated by ~13× (measured r13, pinned in
+        # tests/test_plans.py::test_guard_size_estimates_are_conservative)
+        # and would have kept broadcasting to ~3.5 GB real at ~10⁸ docs.
         toks.join(dim_side(freq, table_bytes(sf, "documents") * 32),
                   "tok")
         .withColumn("rn", F.row_number().over(w))
         .join(dim_side(sets.select("doc_id", "sz"),
-                       table_bytes(sf, "documents") // 50), "doc_id")
+                       table_bytes(sf, "documents")), "doc_id")
         .filter(
             F.col("rn")
             <= F.col("sz") - F.ceil(F.col("sz") * T_NUM / T_DEN) + 1
@@ -961,9 +967,12 @@ def setsim_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
     # planner broadcast this table from a stale post-agg estimate and
     # died in BroadcastExchange at ~1 GiB (SCALE.md §r11); beyond the
     # cap the attach is pinned to sort-merge on the id
-    # free size proxy: the token-set table decompresses to roughly 8x
-    # the source parquet bytes (no count job on the hot path)
-    sets_sized = payload_side(sets, table_bytes(sf, "documents") * 8)
+    # free size proxy: ×32 the source parquet bytes. The token-set
+    # table MEASURES 17.3–18.4× the parquet at every driver SF (the ×8
+    # this replaced was 2.2× UNDER — it would broadcast to ~580 MB real
+    # before flipping; measured r13, pinned in tests/test_plans.py);
+    # ×32 gives ~1.7× margin and matches the freq-dim discipline.
+    sets_sized = payload_side(sets, table_bytes(sf, "documents") * 32)
     sa = sets_sized.select(F.col("doc_id").alias("a_id"),
                            F.col("toks").alias("ta"), F.col("sz").alias("sa"))
     sb = sets_sized.select(F.col("doc_id").alias("b_id"),
@@ -1327,12 +1336,15 @@ def containment_pairs(
         # resulting BroadcastHashJoin is never demoted by AQE — at the
         # 100× corpus the freq collect alone is ~1.1 GiB (r13, died in
         # BroadcastExchange). dim_side: shuffle-hash beyond the cap,
-        # broadcast kept at driver/bench SFs.
+        # broadcast kept at driver/bench SFs. Size-map proxy is plain
+        # table_bytes (3.6× over real; the ÷50 it replaced was ~13×
+        # UNDER — see the prefix twin's comment and the r13 pin in
+        # tests/test_plans.py).
         toks.join(dim_side(freq, table_bytes(sf, "documents") * 32),
                   "tok")
         .withColumn("rn", F.row_number().over(w))
         .join(dim_side(sets.select("doc_id", "sz"),
-                       table_bytes(sf, "documents") // 50), "doc_id")
+                       table_bytes(sf, "documents")), "doc_id")
     ).persist()
     # m = allowed misses; pl = deepened prefix; c_req = pl − m shared
     # tokens required (exact pigeonhole, lossless at any EXTRA ≥ 0)
@@ -1365,8 +1377,9 @@ def containment_pairs(
     # corpus-sized token-set payload (~2 KB/doc): broadcast only while
     # provably small, sort-merge beyond the cap — the one candidate-
     # attach site the r11 guard sweep missed; the byte-audit sweep
-    # found it the hard way (BroadcastExchange OOM at the 100x corpus)
-    sets_sized = payload_side(sets, table_bytes(sf, "documents") * 8)
+    # found it the hard way (BroadcastExchange OOM at the 100x corpus).
+    # ×32 proxy: the set table measures 17–19× its parquet (r13 pin).
+    sets_sized = payload_side(sets, table_bytes(sf, "documents") * 32)
     sa = sets_sized.select(F.col("doc_id").alias("a_id"),
                            F.col("toks").alias("ta"),
                            F.col("sz").alias("a_sz"))
