@@ -556,6 +556,11 @@ _DRIVER_WINDOW = [
 # cosine_topk_ivf_pq. The other dim_side consumer,
 # setsim_containment_join, is already driver-hashed WITH the new code
 # in the r13 window; plagiarism_detect (the third) leads this plan.
+# The later r13 guard-proxy fix (size-map/payload multipliers, commit
+# e3a00fb) touches dedup_minhash_lsh plus the three above; all four
+# are covered without further amendment — minhash_lsh,
+# setsim_join_prefix, and plagiarism_detect are in THIS plan, and
+# setsim_containment_join's r13 driver hash post-dates the fix.
 # _R14_WINDOW_PLAN = [
 #     "plagiarism_detect",
 #     "setsim_join_prefix",
