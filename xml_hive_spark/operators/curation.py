@@ -348,32 +348,46 @@ def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     doc surviving a stage it shouldn't (or dropped wrongly) moves a
     count and breaks the driver's value gate.
 
-    Scale shape: dedup is one md5-keyed window (equivalently hash-agg
-    + broadcast-back); the quality gate is per-row JVM expressions; the
-    gram stage explodes ONLY quality survivors and joins their hashed
-    8-grams (``xxhash64``, 8-byte keys) against the benchmark-bounded
-    broadcast eval set with a left-anti join (NOT EXISTS); the split is
-    a per-row hash expression. Four stages, two shuffles (dedup window,
-    final agg) plus one broadcast anti-join — the whole pipeline in one
-    DAG with nothing materialized between stages."""
+    Scale shape (restructured r13 — guide §2.3/§2.4 "shuffle keys and
+    metadata instead of payloads"): the r7–r12 plan ran the dedup as a
+    ``min(doc_id) OVER (PARTITION BY md5(text))`` window, which hash-
+    partitions and SORTS the full text corpus — and because both the
+    clean branch and the contamination branch consumed it, Catalyst
+    planned that corpus-wide text shuffle TWICE (two identical
+    Exchange+Sort+Window subtrees over ~sum(text) bytes; no exchange
+    reuse — the branches prune different columns). Measured at sf0.1:
+    8 exchanges, 3 scans, 2 full-text sorts (plans/r13/
+    corpus_curation_pipeline_before.txt). Now the dedup is a hash
+    aggregate: ``min(struct(doc_id, lang, n_chars)) GROUP BY
+    md5(text)`` — doc_id is unique, so the lexicographic struct min IS
+    the min-doc_id representative carrying its own attributes. Partial
+    (map-side) aggregation means the one dedup shuffle moves ~56 B per
+    row (md5 key + ids) instead of document text, and it happens ONCE:
+    zero text bytes cross any exchange in the whole pipeline. The
+    quality gate and the contamination probe are pure functions of
+    ``text``, and duplicate groups are keyed on md5(text), so every
+    group member passes or fails together — both commute with the
+    dedup and run BEFORE it (quality row-local pre-shuffle; grams
+    straight off the scan). The contamination side may now emit
+    non-representative/eval doc_ids too; they are harmless in the
+    anti-join because ``clean`` holds only train-split representatives
+    (superset argument, outputs bit-identical — oracle-verified at
+    sf0.001/0.01/0.1). Stages: two narrow shuffles (dedup agg, final
+    agg) + one broadcast anti-join, one DAG, nothing materialized."""
     docs = t(spark, sf, "documents")
-    wdd = Window.partitionBy(F.md5(F.col("text").cast("binary")))
-    deduped = (
-        docs.select(
-            "doc_id", "lang", "n_chars", "text",
-            F.min("doc_id").over(wdd).alias("rep"),
-        )
-        .filter(F.col("doc_id") == F.col("rep"))
-        .drop("rep")
-    )
     wsplit = F.split(F.col("text"), " ")
     quality = (
-        deduped.withColumn("n_words", F.size(wsplit))
+        docs.withColumn("n_words", F.size(wsplit))
         .withColumn("n_distinct", F.size(F.array_distinct(wsplit)))
         .filter(
             (F.col("n_words") >= 20)
             & (F.col("n_distinct") * 10 >= F.col("n_words") * 3)
         )
+    )
+    reps = (
+        quality.groupBy(F.md5(F.col("text").cast("binary")).alias("k"))
+        .agg(F.min(F.struct("doc_id", "lang", "n_chars")).alias("r"))
+        .select("r.doc_id", "r.lang", "r.n_chars")
     )
 
     def gram_hashes(df: DataFrame) -> DataFrame:
@@ -398,13 +412,13 @@ def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     contaminated = (
-        gram_hashes(quality)
+        gram_hashes(quality.filter(F.col("doc_id") % 50 != 0))
         .join(F.broadcast(eval_grams), "gh")
         .select("doc_id")
         .distinct()
     )
     clean = (
-        quality.filter(F.col("doc_id") % 50 != 0)
+        reps.filter(F.col("doc_id") % 50 != 0)
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "n_chars")
     )
