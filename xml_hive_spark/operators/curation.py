@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from xml_hive_spark.operators import query, t
+from xml_hive_spark.operators import query, t, table_rows
 
 _DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
 _SPARK_TOKENS = "filter(split(lower(text), '\\\\s+'), w -> w <> '')"
@@ -55,7 +55,8 @@ def corpus_provenance_report(spark: SparkSession, sf: str) -> DataFrame:
     multi-distinct Expand for the language count), |sources| rows out;
     the corpus total is the one driver scalar."""
     docs = t(spark, sf, "documents")
-    n_total = docs.count()
+    # r13: footer-metadata count (no Spark job) — see table_rows
+    n_total = table_rows(spark, sf, "documents")
     return (
         docs.select(
             "source", "lang", "n_chars",
