@@ -313,12 +313,9 @@ def binary_column_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def synth_png_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Encode one REAL compressed PNG per row (``png.png_encode``:
-    IHDR + deflated IDAT + CRCs, per-scanline filter cycle 0..4).
-    Dimensions and pixels are pure functions of the id — w = 8 + id%9,
-    h = 8 + (3·id)%7, px[i] = (id·2654435761 + i·40503) mod 256 — so a
-    SQL oracle can recompute pixel checksums without a codec."""
+def _synth_png_batches(id_col: str):
+    """Batch transform of :func:`synth_png_stage`, exposed so the fused
+    round trip can chain it inside ONE Python worker pass."""
     import numpy as np
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -335,18 +332,23 @@ def synth_png_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(png_encode(px.reshape(h, w)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
+    return synth
+
+
+def synth_png_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode one REAL compressed PNG per row (``png.png_encode``:
+    IHDR + deflated IDAT + CRCs, per-scanline filter cycle 0..4).
+    Dimensions and pixels are pure functions of the id — w = 8 + id%9,
+    h = 8 + (3·id)%7, px[i] = (id·2654435761 + i·40503) mod 256 — so a
+    SQL oracle can recompute pixel checksums without a codec."""
     return fan_out(df).mapInPandas(
-        synth, schema="doc_id long, payload binary"
+        _synth_png_batches(id_col), schema="doc_id long, payload binary"
     )
 
 
-def decode_png_stage(df: DataFrame, id_col: str = "doc_id",
-                     bin_col: str = "payload") -> DataFrame:
-    """Full PNG decode per row (``png.png_decode``: chunk walk + CRC
-    verify + zlib inflate + scanline unfilter) emitting dimensions and
-    two pixel checksums — px_sum (order-invariant) and px_dot
-    (Σ i·px[i], order-SENSITIVE: a decoder that shuffles, drops, or
-    mis-unfilters any pixel changes it)."""
+def _decode_png_batches(id_col: str, bin_col: str):
+    """Batch transform of :func:`decode_png_stage` (see
+    :func:`_synth_png_batches` for why it is exposed)."""
     import numpy as np
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -366,8 +368,18 @@ def decode_png_stage(df: DataFrame, id_col: str = "doc_id",
                 out["px_dot"].append(int((i * px).sum()))
             yield pd.DataFrame(out)
 
+    return decode
+
+
+def decode_png_stage(df: DataFrame, id_col: str = "doc_id",
+                     bin_col: str = "payload") -> DataFrame:
+    """Full PNG decode per row (``png.png_decode``: chunk walk + CRC
+    verify + zlib inflate + scanline unfilter) emitting dimensions and
+    two pixel checksums — px_sum (order-invariant) and px_dot
+    (Σ i·px[i], order-SENSITIVE: a decoder that shuffles, drops, or
+    mis-unfilters any pixel changes it)."""
     return df.mapInPandas(
-        decode,
+        _decode_png_batches(id_col, bin_col),
         schema="doc_id long, width int, height int, px_sum long, px_dot long",
     )
 
@@ -401,9 +413,24 @@ def multimodal_png_codec(spark: SparkSession, sf: str) -> DataFrame:
     The reference has no multimodal tier (BASELINE.md north_star:
     beyond-reference LLM-pipeline surface); codec decompression was
     round 5's one documented multimodal swap point — closed here for
-    PNG with the stdlib (zlib) only."""
+    PNG with the stdlib (zlib) only.
+
+    r13 (guide §4.1 — control how many columns/bytes cross the
+    boundary): the encode and decode batch transforms are CHAINED
+    inside ONE mapInPandas, so the PNG payloads never cross the
+    Arrow/JVM boundary at all — the r5–r12 two-stage plan shipped
+    every payload Python→JVM→Python between adjacent MapInPandas
+    nodes (two serializations of every image, pure overhead with both
+    codec directions still fully exercised). Measured at sf0.1:
+    min-of-runs 0.851 → 0.593 s, plan 2 MapInPandas → 1, identical
+    output (oracle-green at sf0.001/0.01/0.1)."""
     docs = t(spark, sf, "documents").select("doc_id")
-    return decode_png_stage(synth_png_stage(docs))
+    synth = _synth_png_batches("doc_id")
+    decode = _decode_png_batches("doc_id", "payload")
+    return fan_out(docs).mapInPandas(
+        lambda it: decode(synth(it)),
+        schema="doc_id long, width int, height int, px_sum long, px_dot long",
+    )
 
 
 def synth_wav_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -414,6 +441,14 @@ def synth_wav_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ch = 1 + id%2, rate = 8000 + (id%5)·4000,
     s[k] = ((id·48271 + k·12345) mod 65536) − 32768 over interleaved
     index k — so a SQL oracle recomputes sample checksums codec-free."""
+    return fan_out(df).mapInPandas(
+        _synth_wav_batches(id_col), schema="doc_id long, payload binary"
+    )
+
+
+def _synth_wav_batches(id_col: str):
+    """Batch transform of :func:`synth_wav_stage` (exposed for the
+    fused round trip — see :func:`_synth_png_batches`)."""
     import numpy as np
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -435,9 +470,7 @@ def synth_wav_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return fan_out(df).mapInPandas(
-        synth, schema="doc_id long, payload binary"
-    )
+    return synth
 
 
 def decode_wav_stage(df: DataFrame, id_col: str = "doc_id",
@@ -446,6 +479,15 @@ def decode_wav_stage(df: DataFrame, id_col: str = "doc_id",
     rate, and two sample checksums over the interleaved stream —
     s_sum (order-invariant) and s_dot (Σ k·s[k], order-sensitive: any
     dropped, swapped, or mis-parsed sample changes it)."""
+    return df.mapInPandas(
+        _decode_wav_batches(id_col, bin_col),
+        schema=("doc_id long, n_frames int, channels int, "
+                "sample_rate int, s_sum long, s_dot long"),
+    )
+
+
+def _decode_wav_batches(id_col: str, bin_col: str):
+    """Batch transform of :func:`decode_wav_stage`."""
     import numpy as np
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -466,11 +508,7 @@ def decode_wav_stage(df: DataFrame, id_col: str = "doc_id",
                 out["s_dot"].append(int((k * s).sum()))
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        decode,
-        schema=("doc_id long, n_frames int, channels int, "
-                "sample_rate int, s_sum long, s_dot long"),
-    )
+    return decode
 
 
 @query(
@@ -497,9 +535,18 @@ def multimodal_wav_codec(spark: SparkSession, sf: str) -> DataFrame:
     frames — decode it back with the RIFF chunk walk, and emit
     order-sensitive sample checksums that DuckDB recomputes from the
     (doc_id, k) formula without any codec. The driver's hash gate
-    value-checks the full audio codec chain."""
+    value-checks the full audio codec chain.
+
+    r13: encode+decode fused in one mapInPandas — payloads never cross
+    the Arrow/JVM boundary (see ``multimodal_png_codec``)."""
     docs = t(spark, sf, "documents").select("doc_id")
-    return decode_wav_stage(synth_wav_stage(docs))
+    synth = _synth_wav_batches("doc_id")
+    decode = _decode_wav_batches("doc_id", "payload")
+    return fan_out(docs).mapInPandas(
+        lambda it: decode(synth(it)),
+        schema=("doc_id long, n_frames int, channels int, "
+                "sample_rate int, s_sum long, s_dot long"),
+    )
 
 
 def synth_gif_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -509,6 +556,14 @@ def synth_gif_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     functions of the id: w = 6 + id%11, h = 6 + (5·id)%9,
     k = 2 + id%15 colors, idx[i] = (id·7919 + i·104729) mod k,
     pal[c][ch] = (id·31 + c·37 + ch·101) mod 256."""
+    return fan_out(df).mapInPandas(
+        _synth_gif_batches(id_col), schema="doc_id long, payload binary"
+    )
+
+
+def _synth_gif_batches(id_col: str):
+    """Batch transform of :func:`synth_gif_stage` (exposed for the
+    fused round trip — see :func:`_synth_png_batches`)."""
     import numpy as np
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -530,9 +585,7 @@ def synth_gif_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return fan_out(df).mapInPandas(
-        synth, schema="doc_id long, payload binary"
-    )
+    return synth
 
 
 def decode_gif_stage(df: DataFrame, id_col: str = "doc_id",
@@ -540,6 +593,15 @@ def decode_gif_stage(df: DataFrame, id_col: str = "doc_id",
     """Full GIF decode per row (``gif.gif_decode``: container walk,
     extension skipping, LZW decompression) emitting dimensions, color
     count, order-sensitive index checksums, and a palette checksum."""
+    return df.mapInPandas(
+        _decode_gif_batches(id_col, bin_col),
+        schema=("doc_id long, width int, height int, n_colors int, "
+                "idx_sum long, idx_dot long, pal_sum long"),
+    )
+
+
+def _decode_gif_batches(id_col: str, bin_col: str):
+    """Batch transform of :func:`decode_gif_stage`."""
     import numpy as np
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -564,11 +626,7 @@ def decode_gif_stage(df: DataFrame, id_col: str = "doc_id",
                 out["pal_sum"].append(int(pal[:k].astype(np.int64).sum()))
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        decode,
-        schema=("doc_id long, width int, height int, n_colors int, "
-                "idx_sum long, idx_dot long, pal_sum long"),
-    )
+    return decode
 
 
 @query(
@@ -600,9 +658,18 @@ def multimodal_gif_codec(spark: SparkSession, sf: str) -> DataFrame:
     that DuckDB recomputes from pure (doc_id, i) formulas. With
     ``multimodal_png_codec`` this makes two of the three image formats
     fully decoded (JPEG remains header-only: DCT entropy coding is the
-    one genuinely out-of-scope kernel)."""
+    one genuinely out-of-scope kernel).
+
+    r13: encode+decode fused in one mapInPandas — payloads never cross
+    the Arrow/JVM boundary (see ``multimodal_png_codec``)."""
     docs = t(spark, sf, "documents").select("doc_id")
-    return decode_gif_stage(synth_gif_stage(docs))
+    synth = _synth_gif_batches("doc_id")
+    decode = _decode_gif_batches("doc_id", "payload")
+    return fan_out(docs).mapInPandas(
+        lambda it: decode(synth(it)),
+        schema=("doc_id long, width int, height int, n_colors int, "
+                "idx_sum long, idx_dot long, pal_sum long"),
+    )
 
 
 def synth_jpeg_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -613,6 +680,14 @@ def synth_jpeg_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     flat quantizer) — so the decode side remains fully value-oracle-
     able: bw = 1 + id%3 and bh = 1 + (7·id)%4 blocks (w = 8·bw,
     h = 8·bh), block b's value = 2·((id·6151 + b·9173) mod 128)."""
+    return fan_out(df).mapInPandas(
+        _synth_jpeg_batches(id_col), schema="doc_id long, payload binary"
+    )
+
+
+def _synth_jpeg_batches(id_col: str):
+    """Batch transform of :func:`synth_jpeg_stage` (exposed for the
+    fused round trip — see :func:`_synth_png_batches`)."""
     import numpy as np
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -631,9 +706,7 @@ def synth_jpeg_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(jpeg_encode(px))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return fan_out(df).mapInPandas(
-        synth, schema="doc_id long, payload binary"
-    )
+    return synth
 
 
 def decode_jpeg_stage(df: DataFrame, id_col: str = "doc_id",
@@ -641,6 +714,14 @@ def decode_jpeg_stage(df: DataFrame, id_col: str = "doc_id",
     """Full baseline-JPEG decode per row (``jpeg.jpeg_decode``: marker
     walk, canonical Huffman with unstuffing, dequant, inverse DCT)
     emitting dimensions and order-sensitive pixel checksums."""
+    return df.mapInPandas(
+        _decode_jpeg_batches(id_col, bin_col),
+        schema="doc_id long, width int, height int, px_sum long, px_dot long",
+    )
+
+
+def _decode_jpeg_batches(id_col: str, bin_col: str):
+    """Batch transform of :func:`decode_jpeg_stage`."""
     import numpy as np
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -660,10 +741,7 @@ def decode_jpeg_stage(df: DataFrame, id_col: str = "doc_id",
                 out["px_dot"].append(int((i * v).sum()))
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        decode,
-        schema="doc_id long, width int, height int, px_sum long, px_dot long",
-    )
+    return decode
 
 
 @query(
@@ -697,9 +775,17 @@ def multimodal_jpeg_codec(spark: SparkSession, sf: str) -> DataFrame:
     recompute codec-free while the codec itself does the full
     DCT/Huffman work. (General lossy content is covered by PSNR-floor
     tests in tests/test_jpeg_codec.py.) Completes the image-format
-    set: PNG, GIF, and JPEG all decode through real codecs."""
+    set: PNG, GIF, and JPEG all decode through real codecs.
+
+    r13: encode+decode fused in one mapInPandas — payloads never cross
+    the Arrow/JVM boundary (see ``multimodal_png_codec``)."""
     docs = t(spark, sf, "documents").select("doc_id")
-    return decode_jpeg_stage(synth_jpeg_stage(docs))
+    synth = _synth_jpeg_batches("doc_id")
+    decode = _decode_jpeg_batches("doc_id", "payload")
+    return fan_out(docs).mapInPandas(
+        lambda it: decode(synth(it)),
+        schema="doc_id long, width int, height int, px_sum long, px_dot long",
+    )
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_checksum long, frame_bytes int"

@@ -77,6 +77,14 @@ def synth_pair_png_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     by the hash for n ≥ 128, and the move keeps Σpx exact), so each
     odd payload is a distinct byte stream whose perceptual hash equals
     its even partner's."""
+    return fan_out(df).mapInPandas(
+        _synth_pair_png_batches(id_col), schema="doc_id long, payload binary"
+    )
+
+
+def _synth_pair_png_batches(id_col: str):
+    """Batch transform of :func:`synth_pair_png_stage`, exposed so the
+    fused fingerprint pass can chain it in one Python worker pass."""
     import numpy as np
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -107,9 +115,7 @@ def synth_pair_png_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(png_encode(px.astype(np.uint8).reshape(h, w)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return fan_out(df).mapInPandas(
-        synth, schema="doc_id long, payload binary"
-    )
+    return synth
 
 
 def phash_fingerprint_stage(
@@ -118,6 +124,15 @@ def phash_fingerprint_stage(
     """Full PNG decode per row (chunk walk + CRC verify + inflate +
     unfilter) followed by the 64-bit average-hash, emitted as 4 × 16-bit
     band integers — the per-image fingerprint a dedup index stores."""
+    return df.mapInPandas(
+        _phash_fingerprint_batches(id_col, bin_col),
+        schema="doc_id long, b0 int, b1 int, b2 int, b3 int",
+    )
+
+
+def _phash_fingerprint_batches(id_col: str, bin_col: str):
+    """Batch transform of :func:`phash_fingerprint_stage` (see
+    :func:`_synth_pair_png_batches` for why it is exposed)."""
 
     def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from xml_hive_spark.operators.png import png_decode
@@ -132,9 +147,7 @@ def phash_fingerprint_stage(
                     out[f"b{b}"].append(bands[b])
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        fingerprint, schema="doc_id long, b0 int, b1 int, b2 int, b3 int"
-    )
+    return fingerprint
 
 
 @query(
@@ -212,7 +225,17 @@ def image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     stays embarrassingly parallel; the fix removes it from the network
     fabric, which is the resource that doesn't scale with executors."""
     docs = t(spark, sf, "documents").select("doc_id")
-    bands = phash_fingerprint_stage(synth_pair_png_stage(docs)).persist()
+    # r13 (guide §4.1): encode and fingerprint are chained inside ONE
+    # mapInPandas, so PNG payloads never cross the Arrow/JVM boundary
+    # (the two-stage plan serialized every payload Python→JVM→Python
+    # between adjacent MapInPandas nodes); identical fingerprints,
+    # 2 MapInPandas → 1 in the plan
+    synth = _synth_pair_png_batches("doc_id")
+    fp = _phash_fingerprint_batches("doc_id", "payload")
+    bands = fan_out(docs).mapInPandas(
+        lambda it: fp(synth(it)),
+        schema="doc_id long, b0 int, b1 int, b2 int, b3 int",
+    ).persist()
     expl = bands.select(
         "doc_id",
         "b0",
@@ -249,6 +272,14 @@ def synth_mono_wav_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     16 kHz: frames = 128 + id%101, s[k] = ((id·48271 + k·12345) mod
     65536) − 32768 — the ``synth_wav_stage`` formula family pinned to
     one channel so decimation is channel-free."""
+    return fan_out(df).mapInPandas(
+        _synth_mono_wav_batches(id_col), schema="doc_id long, payload binary"
+    )
+
+
+def _synth_mono_wav_batches(id_col: str):
+    """Batch transform of :func:`synth_mono_wav_stage` (exposed for the
+    fused pipeline — see :func:`_synth_pair_png_batches`)."""
     import numpy as np
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -265,9 +296,7 @@ def synth_mono_wav_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(wav_encode(s.reshape(frames, 1), 16000, 16))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return fan_out(df).mapInPandas(
-        synth, schema="doc_id long, payload binary"
-    )
+    return synth
 
 
 def resample_wav_stage(
@@ -279,6 +308,15 @@ def resample_wav_stage(
     re-encode at half the rate → decode AGAIN, emitting the resampled
     stream's shape and order-sensitive checksums. Both codec directions
     run twice per row; any mis-parsed byte anywhere changes rs_dot."""
+    return df.mapInPandas(
+        _resample_wav_batches(id_col, bin_col),
+        schema=("doc_id long, n_out_frames int, out_rate int, "
+                "rs_sum long, rs_dot long"),
+    )
+
+
+def _resample_wav_batches(id_col: str, bin_col: str):
+    """Batch transform of :func:`resample_wav_stage`."""
     import numpy as np
 
     def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -305,11 +343,7 @@ def resample_wav_stage(
                 out["rs_dot"].append(int((m * s).sum()))
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        resample,
-        schema=("doc_id long, n_out_frames int, out_rate int, "
-                "rs_sum long, rs_dot long"),
-    )
+    return resample
 
 
 @query(
@@ -351,9 +385,18 @@ def audio_resample_decimate(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: mapInPandas over Arrow batches with zero shuffles —
     parallelism is input splits; per-row Python IS the codec work, the
-    point of the query (same adjudication as the codec entries)."""
+    point of the query (same adjudication as the codec entries).
+
+    r13: synth+resample fused in one mapInPandas — payloads never
+    cross the Arrow/JVM boundary (see ``multimodal_png_codec``)."""
     docs = t(spark, sf, "documents").select("doc_id")
-    return resample_wav_stage(synth_mono_wav_stage(docs))
+    synth = _synth_mono_wav_batches("doc_id")
+    resample = _resample_wav_batches("doc_id", "payload")
+    return fan_out(docs).mapInPandas(
+        lambda it: resample(synth(it)),
+        schema=("doc_id long, n_out_frames int, out_rate int, "
+                "rs_sum long, rs_dot long"),
+    )
 
 
 def synth_animation_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -365,6 +408,14 @@ def synth_animation_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ((id·31 + j·67) % 256) greyscale, idx[f,i] = (id·7919 + f·131 +
     i·104729) % 16, delay[f] = 4 + (id+f)%6 — so a SQL oracle
     recomputes frame-sampled checksums codec-free."""
+    return fan_out(df).mapInPandas(
+        _synth_animation_batches(id_col), schema="doc_id long, payload binary"
+    )
+
+
+def _synth_animation_batches(id_col: str):
+    """Batch transform of :func:`synth_animation_stage` (exposed for
+    the fused pipeline — see :func:`_synth_pair_png_batches`)."""
     import numpy as np
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -390,9 +441,7 @@ def synth_animation_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(gif_encode_animation(frames, pal, delays))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return fan_out(df).mapInPandas(
-        synth, schema="doc_id long, payload binary"
-    )
+    return synth
 
 
 def framesample_stage(
@@ -405,6 +454,15 @@ def framesample_stage(
     checksums plus the total declared animation delay (which
     value-checks the Graphic Control Extension parsing, not just the
     pixel path)."""
+    return df.mapInPandas(
+        _framesample_batches(id_col, bin_col),
+        schema=("doc_id long, n_frames int, n_sampled int, "
+                "delay_total long, vs_sum long, vs_dot long"),
+    )
+
+
+def _framesample_batches(id_col: str, bin_col: str):
+    """Batch transform of :func:`framesample_stage`."""
     import numpy as np
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -430,11 +488,7 @@ def framesample_stage(
                 out["vs_dot"].append(vs_dot)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        sample,
-        schema=("doc_id long, n_frames int, n_sampled int, "
-                "delay_total long, vs_sum long, vs_dot long"),
-    )
+    return sample
 
 
 @query(
@@ -491,9 +545,18 @@ def multimodal_video_framesample(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: mapInPandas over Arrow batches, zero shuffles;
     parallelism = input splits (the codec adjudication of the
-    ``multimodal_*_codec`` entries applies unchanged)."""
+    ``multimodal_*_codec`` entries applies unchanged).
+
+    r13: synth+framesample fused in one mapInPandas — payloads never
+    cross the Arrow/JVM boundary (see ``multimodal_png_codec``)."""
     docs = t(spark, sf, "documents").select("doc_id")
-    return framesample_stage(synth_animation_stage(docs))
+    synth = _synth_animation_batches("doc_id")
+    sample = _framesample_batches("doc_id", "payload")
+    return fan_out(docs).mapInPandas(
+        lambda it: sample(synth(it)),
+        schema=("doc_id long, n_frames int, n_sampled int, "
+                "delay_total long, vs_sum long, vs_dot long"),
+    )
 
 
 def augment_stage(
@@ -505,6 +568,14 @@ def augment_stage(
     order-sensitive checksums of both augmented images. Any error in
     either codec direction or in the geometric index mapping changes
     f_dot / r_dot."""
+    return df.mapInPandas(
+        _augment_batches(id_col, bin_col),
+        schema="doc_id long, f_sum long, f_dot long, r_dot long",
+    )
+
+
+def _augment_batches(id_col: str, bin_col: str):
+    """Batch transform of :func:`augment_stage`."""
     import numpy as np
 
     def augment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -525,9 +596,7 @@ def augment_stage(
                 out["r_dot"].append(int((i * rv).sum()))
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        augment, schema="doc_id long, f_sum long, f_dot long, r_dot long"
-    )
+    return augment
 
 
 @query(
@@ -568,11 +637,20 @@ def multimodal_image_augment(spark: SparkSession, sf: str) -> DataFrame:
     permutation, so it must equal the original pixel sum).
 
     Scale shape: mapInPandas over Arrow batches, no shuffle — the
-    standard augment-on-read training-input pipeline stage."""
-    docs = t(spark, sf, "documents").select("doc_id")
-    from xml_hive_spark.operators.multimodal import synth_png_stage
+    standard augment-on-read training-input pipeline stage.
 
-    return augment_stage(synth_png_stage(docs))
+    r13: synth+augment fused in one mapInPandas — payloads never
+    cross the Arrow/JVM boundary (see ``multimodal_png_codec``)."""
+    docs = t(spark, sf, "documents").select("doc_id")
+    from xml_hive_spark.operators import fan_out
+    from xml_hive_spark.operators.multimodal import _synth_png_batches
+
+    synth = _synth_png_batches("doc_id")
+    augment = _augment_batches("doc_id", "payload")
+    return fan_out(docs).mapInPandas(
+        lambda it: augment(synth(it)),
+        schema="doc_id long, f_sum long, f_dot long, r_dot long",
+    )
 
 
 def synth_group_png_stage(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
