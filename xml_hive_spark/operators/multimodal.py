@@ -202,6 +202,15 @@ def synth_media_stage(df: DataFrame, id_col: str = "doc_id",
     exactly ``planes`` full w×h grayscale planes. This is the corpus
     generator for the decode/resize/frame operators — headers are valid,
     so the downstream parsers are exercised for real."""
+    return fan_out(df).mapInPandas(
+        _synth_media_batches(id_col, bin_col, planes),
+        schema="doc_id long, payload binary",
+    )
+
+
+def _synth_media_batches(id_col: str, bin_col: str, planes: int):
+    """Batch transform of :func:`synth_media_stage` (exposed for the
+    fused pipelines — see :func:`_synth_png_batches`)."""
     import numpy as np
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -219,9 +228,7 @@ def synth_media_stage(df: DataFrame, id_col: str = "doc_id",
                 out_payload.append(make_image(kind, w, h, body))
             yield pd.DataFrame({"doc_id": out_id, "payload": out_payload})
 
-    return fan_out(df).mapInPandas(
-        synth, schema="doc_id long, payload binary"
-    )
+    return synth
 
 
 def decode_binary_metadata(df: DataFrame, id_col: str = "doc_id",
@@ -230,6 +237,13 @@ def decode_binary_metadata(df: DataFrame, id_col: str = "doc_id",
     Batch shape = Arrow record batches; per-batch Python cost is one loop
     over payloads, no JVM↔Python per-row chatter. The kernel is the real
     header parser (``decode_image_header``)."""
+    return df.mapInPandas(
+        _decode_binary_metadata_batches(id_col, bin_col), schema=DECODE_SCHEMA
+    )
+
+
+def _decode_binary_metadata_batches(id_col: str, bin_col: str):
+    """Batch transform of :func:`decode_binary_metadata`."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -238,7 +252,7 @@ def decode_binary_metadata(df: DataFrame, id_col: str = "doc_id",
             out.insert(0, "doc_id", pdf[id_col].values)
             yield out
 
-    return df.mapInPandas(decode, schema=DECODE_SCHEMA)
+    return decode
 
 
 @query(
@@ -276,12 +290,16 @@ def multimodal_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
     header (PNG 33 = 8 sig + 4 len + 17 IHDR + 4 CRC, JPEG 33 = SOI +
     APP0 + SOF0, GIF 13 = GIF89a + screen descriptor) + w·h body. The
     driver's hash therefore checks the synth container writer AND the
-    real header parser against pure arithmetic."""
+    real header parser against pure arithmetic.
+
+    r13: synth+decode fused in one mapInPandas — containers never
+    cross the Arrow/JVM boundary (see ``multimodal_png_codec``)."""
     docs = t(spark, sf, "documents")
-    with_payload = synth_media_stage(
+    synth = _synth_media_batches("doc_id", "payload", 1)
+    decode = _decode_binary_metadata_batches("doc_id", "payload")
+    meta = fan_out(
         docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    )
-    meta = decode_binary_metadata(with_payload)
+    ).mapInPandas(lambda it: decode(synth(it)), schema=DECODE_SCHEMA)
     return (
         meta.groupBy("format")
         .agg(
@@ -799,6 +817,13 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
     parsed for real (``_pixel_planes``); frames are w×h pixel planes
     sampled evenly across the stream — ffmpeg keyframe seeking would
     replace only the plane extraction."""
+    return df.mapInPandas(
+        _sample_frames_batches(id_col, bin_col, n_frames), schema=FRAME_SCHEMA
+    )
+
+
+def _sample_frames_batches(id_col: str, bin_col: str, n_frames: int):
+    """Batch transform of :func:`sample_frames`."""
     from typing import Iterator
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -828,7 +853,7 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
                     out["frame_bytes"].append(len(frame))
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(explode_frames, schema=FRAME_SCHEMA)
+    return explode_frames
 
 
 @query(
@@ -879,13 +904,16 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     text (char == byte under the ASCII corpus guard, which fails
     LOUDLY otherwise). Like the resize oracle, the twin never touches
     the container, so the driver hash covers the 8-plane make_image
-    encode → header parse → plane-extract → even-sample round trip."""
+    encode → header parse → plane-extract → even-sample round trip.
+
+    r13: synth+sample fused in one mapInPandas — containers never
+    cross the Arrow/JVM boundary (see ``multimodal_png_codec``)."""
     docs = t(spark, sf, "documents")
-    with_payload = synth_media_stage(
-        docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
-        planes=8,
-    )
-    frames = sample_frames(with_payload)
+    synth = _synth_media_batches("doc_id", "payload", 8)
+    sample = _sample_frames_batches("doc_id", "payload", 4)
+    frames = fan_out(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    ).mapInPandas(lambda it: sample(synth(it)), schema=FRAME_SCHEMA)
     return (
         frames.groupBy("frame_idx")
         .agg(
@@ -1014,6 +1042,14 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8,
     and bit-identical in every engine — numpy's pairwise float
     summation over non-integer block means was the one thing keeping
     this query rows-only."""
+    return df.mapInPandas(
+        _resize_images_batches(out_w, out_h, id_col, bin_col),
+        schema=RESIZE_SCHEMA,
+    )
+
+
+def _resize_images_batches(out_w: int, out_h: int, id_col: str, bin_col: str):
+    """Batch transform of :func:`resize_images`."""
     import numpy as np
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1043,7 +1079,7 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8,
                 rows["corner_px"].append(corner)
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+    return resize
 
 
 @query(
@@ -1106,12 +1142,16 @@ def multimodal_resize_stub(spark: SparkSession, sf: str) -> DataFrame:
     tests), block quantities S·2^20//n. The oracle never touches the
     container, so the driver hash verifies the make_image encode →
     header parse → plane-extract round trip end to end — the same
-    codec-closure trick as the phash and decode-stub oracles."""
+    codec-closure trick as the phash and decode-stub oracles.
+
+    r13: synth+resize fused in one mapInPandas — containers never
+    cross the Arrow/JVM boundary (see ``multimodal_png_codec``)."""
     docs = t(spark, sf, "documents")
-    with_payload = synth_media_stage(
+    synth = _synth_media_batches("doc_id", "payload", 1)
+    resize = _resize_images_batches(8, 8, "doc_id", "payload")
+    rs = fan_out(
         docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    )
-    rs = resize_images(with_payload)
+    ).mapInPandas(lambda it: resize(synth(it)), schema=RESIZE_SCHEMA)
     return (
         rs.groupBy("out_w", "out_h")
         .agg(
