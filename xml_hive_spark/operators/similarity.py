@@ -454,7 +454,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     sparse and the same plan is candidate-bound — that regime is what
     ``ann_join_topk`` (adaptive banding, linear-at-scale) demonstrates."""
     return embedding_cosine_pairs(t(spark, sf, "embeddings"),
-                                  "vec_id", "embedding", 0.25)
+                                  "vec_id", "embedding", 0.25,
+                                  n=table_rows(spark, sf, "embeddings"))
 
 
 def embedding_cosine_pairs(
@@ -464,6 +465,7 @@ def embedding_cosine_pairs(
     threshold: float,
     bands: int = 12,
     rows_per_band: int = 3,
+    n: int | None = None,
 ) -> DataFrame:
     """The full banded-LSH → dedupe → attach → exact-verify pipeline of
     :func:`dedup_embedding_cosine`, parameterized on the threshold (and
@@ -472,8 +474,12 @@ def embedding_cosine_pairs(
     θ-sweep test (tests/test_similarity.py) pins that the quadratic
     growth the r11 scale probe measured at θ = 0.25 lives in the OUTPUT,
     not the plan: candidates are banding-bound and identical across θ,
-    and the θ ≥ 0.85 pair set scales with the planted near-dup count."""
-    n = emb.count()  # one cheap metadata job; sizes the attach join
+    and the θ ≥ 0.85 pair set scales with the planted near-dup count.
+
+    ``n``: caller-supplied corpus count (r13: the registry entry passes
+    the parquet footer count — no scheduled job); None → count()."""
+    if n is None:
+        n = emb.count()  # sizes the attach-side broadcast guard
     sigs = banded_signatures(emb, id_col, vec_col,
                              bands=bands, rows_per_band=rows_per_band).persist()
     cand = sigs.select("id", F.posexplode("sig").alias("band", "bucket"))
@@ -1522,7 +1528,7 @@ def cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     idx = ivf_pq_index(spark, sf)
     coded = idx.lists(spark)
-    probed, _ = _adc_tables(spark, emb, idx.books)
+    probed, _ = _adc_tables(spark, emb, idx.books, sf)
 
     cand = probed.drop("qe").crossJoin(
         coded.select(F.col("vec_id").alias("nid"), "hx", "nsq")
@@ -1533,7 +1539,44 @@ def cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     return _shortlist_rerank(scored, probed, emb)
 
 
-def _adc_tables(spark: SparkSession, emb: DataFrame, books):
+from collections import namedtuple
+
+_QRow = namedtuple("_QRow", ["vec_id", "embedding"])
+
+
+def _query_batch_rows(emb: DataFrame, sf: str | None) -> list:
+    """The vec_id < 5 query batch, on the driver. For a local parquet
+    layout this is a pyarrow predicate-pushdown read of 5 rows — no
+    scheduled Spark job (r13: the collect was the only job inside the
+    ivf/pq search functions, ~0.15 s of pure scheduling at sf0.1 to
+    move 5 rows). Values mirror the Spark path bit-exactly: ``t()``
+    pins embeddings to array<float>, so entries are cast through
+    float32 before widening to Python floats, exactly what a collect
+    of the cast DataFrame returns. Any unreadable/remote layout falls
+    back to the collect."""
+    if sf is not None:
+        try:
+            import numpy as np
+            import pyarrow.dataset as _ds
+
+            tab = _ds.dataset(f"{sf}/embeddings.parquet").to_table(
+                columns=["vec_id", "embedding"],
+                filter=_ds.field("vec_id") < 5,
+            )
+            rows = [
+                _QRow(int(i), [float(x) for x in
+                               np.asarray(e, dtype=np.float32)])
+                for i, e in zip(tab.column("vec_id").to_pylist(),
+                                tab.column("embedding").to_pylist())
+            ]
+            rows.sort(key=lambda r: r.vec_id)
+            return rows
+        except Exception:
+            pass
+    return emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+
+
+def _adc_tables(spark: SparkSession, emb: DataFrame, books, sf: str | None = None):
     """Broadcast (qid, qe, tbl) with the per-query ADC lookup table
     T[m][k] = <q_sub_m, codebook[m][k]>, flattened M*K. Returns
     (broadcast DataFrame, collected query rows) so callers that also
@@ -1547,7 +1590,7 @@ def _adc_tables(spark: SparkSession, emb: DataFrame, books):
     twin's SUM, in any order."""
     import numpy as np
 
-    q_rows = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    q_rows = _query_batch_rows(emb, sf)
     sub = books.shape[2]
     probe = []
     for r in q_rows:
@@ -1659,7 +1702,7 @@ def cosine_topk_ivf_pq_probed(spark: SparkSession, sf: str) -> DataFrame:
 
     # one collect for the query batch: the ADC tables' collected rows
     # also feed the coarse probe lists
-    probed, q_rows = _adc_tables(spark, emb, idx.books)
+    probed, q_rows = _adc_tables(spark, emb, idx.books, sf)
     probes = [
         (int(r.vec_id), c)
         for r in q_rows
@@ -1840,8 +1883,14 @@ def ann_join_topk(spark: SparkSession, sf: str) -> DataFrame:
     n = table_rows(spark, sf, "embeddings")
     # min(30): band buckets ride array<int>, so 1 << (r-1) must fit int32
     r = min(30, max(5, (n // 64).bit_length() - 1))
+    # r13: persist (id, sig) ONLY — this query attaches vectors from
+    # the corpus table below (payload_side), never from the cache, so
+    # caching `vec` stored 64 floats/row (~10× the signature) that no
+    # consumer read; now the cache matches the "16 ints per vector"
+    # claim above
     sigs = banded_signatures(emb, "vec_id", "embedding",
-                             bands=16, rows_per_band=r).persist()
+                             bands=16, rows_per_band=r) \
+        .select("id", "sig").persist()
     cand = sigs.select("id", F.posexplode("sig").alias("band", "bucket"))
     a = cand.select("band", "bucket", F.col("id").alias("qid"))
     b = cand.select("band", "bucket", F.col("id").alias("nid"))
