@@ -523,17 +523,20 @@ def logreg_fit(
     # checked on the RAW doubles, before any long cast exists. Normal
     # embedding-like data (|x| ≲ 1 → mx ≈ 2^20) sits ~2^14 under the
     # bound.
-    n = emb.count()
-    if n == 0:
-        raise ValueError("logreg_fit: empty corpus")
-    mxd = emb.agg(
+    # r13: one setup job instead of two — the row count and the
+    # magnitude guard ride the same aggregate (both are full-scan
+    # scalars; scheduling them separately paid one extra job)
+    n, mxd = emb.agg(
+        F.count(F.lit(1)),
         F.max(
             F.expr(
                 f"aggregate({vec_col}, CAST(0.0 AS DOUBLE),"
                 " (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
             )
-        )
-    ).collect()[0][0]
+        ),
+    ).collect()[0]
+    if n == 0:
+        raise ValueError("logreg_fit: empty corpus")
     mx = int(math.floor(float(mxd or 0.0) * _Q20I)) + _Q20I  # + bias/floor margin
     # the cross-batch accumulator is arbitrary-precision Python ints,
     # so the only int64 surface in the gradient is the PER-ARROW-BATCH
