@@ -271,6 +271,69 @@ def chunk_content_defined(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# r14: hash-aggregable min-doc_id dedup representative. ``min(struct(
+# doc_id, lang, n_chars))`` picks the right row but a struct aggregation
+# buffer is not UnsafeRow-mutable, so Spark plans it as a SortAggregate —
+# a map-side AND a reduce-side sort of every (md5, ids) row that exist
+# only because of the buffer type (r13 verdict item 1). Packing the
+# payload into fixed-width DECIMAL(38,0) values whose ordering is
+# doc_id-major makes every buffer mutable and the whole dedup a
+# HashAggregate: min(doc_id·10^12 + n_chars) and
+# min(doc_id·10^17 + enc(lang)) both select the SAME row (doc_id is the
+# documents primary key — unique, so the high digits alone decide), and
+# the payload decodes back exactly. Loud domain guards (the oracle-
+# domain-error convention): lang must be 1-7 UTF-8 bytes with first
+# byte >= 0x10 (⇒ enc(lang) = its big-endian bytes < 2^56 < 10^17, and
+# its hex form keeps no leading zero, so conv→unhex round-trips the
+# exact bytes; ascii() of any multi-byte first char is >= 0x80, so the
+# check is one comparison, no regex), n_chars must sit in [0, 10^12). doc_id ≤ 2^63 keeps both products < 10^37 — inside
+# DECIMAL(38,0) for any long id. NULL in any field raises (docs PK
+# columns are non-null by contract; min() silently dropping a NULL-
+# packed row would diverge from the window semantics).
+_PACK_CHARS = 10**12
+_PACK_LANG = 10**17
+
+
+def dedup_min_id_reps(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_chars) of the min-doc_id representative per
+    distinct ``text`` (keyed on md5) — bit-equal to
+    ``min(doc_id) OVER (PARTITION BY md5(text))`` row selection, planned
+    as a pure HashAggregate (no sorts)."""
+    pc = F.expr(
+        f"CAST(doc_id AS DECIMAL(20,0)) * {_PACK_CHARS} + CASE"
+        f" WHEN n_chars >= 0 AND n_chars < {_PACK_CHARS} THEN n_chars"
+        " ELSE raise_error(concat('corpus_curation_pipeline DOMAIN"
+        " ERROR: n_chars ', CAST(n_chars AS STRING),"
+        " ' outside the packed-decimal slot [0, 10^12)')) END"
+    )
+    pl = F.expr(
+        f"CAST(doc_id AS DECIMAL(20,0)) * {_PACK_LANG} + CASE"
+        " WHEN octet_length(lang) BETWEEN 1 AND 7 AND ascii(lang) >= 16"
+        " THEN CAST(conv(hex(lang), 16, 10) AS DECIMAL(18,0))"
+        " ELSE raise_error(concat('corpus_curation_pipeline DOMAIN"
+        " ERROR: lang ', coalesce(lang, '<NULL>'),"
+        " ' must be 1-7 bytes with first byte >= 0x10 — packed-decimal"
+        " lang encoding does not round-trip')) END"
+    )
+    # group on the raw 16-byte digest, not its 32-char hex rendering —
+    # unhex(md5(x)) ↔ md5(x) is bijective (fixed-width digest), so the
+    # groups are identical and the exchange key is half the bytes
+    return (
+        docs.groupBy(
+            F.unhex(F.md5(F.col("text").cast("binary"))).alias("k")
+        )
+        .agg(F.min(pc).alias("p_c"), F.min(pl).alias("p_l"))
+        .select(
+            F.expr(f"CAST(p_c div {_PACK_CHARS} AS BIGINT)").alias("doc_id"),
+            F.expr(
+                f"decode(unhex(conv(CAST(CAST(p_l % {_PACK_LANG} AS"
+                " BIGINT) AS STRING), 10, 16)), 'UTF-8')"
+            ).alias("lang"),
+            F.expr(f"CAST(p_c % {_PACK_CHARS} AS BIGINT)").alias("n_chars"),
+        )
+    )
+
+
 @query(
     "corpus_curation_pipeline",
     oracle="""
@@ -358,22 +421,32 @@ def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     Exchange+Sort+Window subtrees over ~sum(text) bytes; no exchange
     reuse — the branches prune different columns). Measured at sf0.1:
     8 exchanges, 3 scans, 2 full-text sorts (plans/r13/
-    corpus_curation_pipeline_before.txt). Now the dedup is a hash
-    aggregate: ``min(struct(doc_id, lang, n_chars)) GROUP BY
-    md5(text)`` — doc_id is unique, so the lexicographic struct min IS
-    the min-doc_id representative carrying its own attributes. Partial
-    (map-side) aggregation means the one dedup shuffle moves ~56 B per
-    row (md5 key + ids) instead of document text, and it happens ONCE:
-    zero text bytes cross any exchange in the whole pipeline. The
-    quality gate and the contamination probe are pure functions of
-    ``text``, and duplicate groups are keyed on md5(text), so every
-    group member passes or fails together — both commute with the
-    dedup and run BEFORE it (quality row-local pre-shuffle; grams
-    straight off the scan). The contamination side may now emit
-    non-representative/eval doc_ids too; they are harmless in the
-    anti-join because ``clean`` holds only train-split representatives
-    (superset argument, outputs bit-identical — oracle-verified at
-    sf0.001/0.01/0.1). Stages: two narrow shuffles (dedup agg, final
+    corpus_curation_pipeline_before.txt). Now the dedup is a
+    HASH aggregate (:func:`dedup_min_id_reps`): min over packed
+    DECIMAL(38,0) encodings whose ordering is doc_id-major — doc_id is
+    unique, so both packed mins select the min-doc_id representative
+    and its (lang, n_chars) decode back exactly (r13 shipped this as
+    ``min(struct(...))``, whose struct buffer forced a SortAggregate —
+    two sorts of every (md5, ids) row bought by the buffer type alone;
+    r14 packed the payload into mutable fixed-width buffers, sorts
+    gone, bytes unchanged). Partial (map-side) aggregation means the
+    one dedup shuffle moves ~64 B per row (md5 key + two decimals)
+    instead of document text, and it happens ONCE: zero text bytes
+    cross any exchange in the whole pipeline. The quality gate and the
+    contamination probe are pure functions of ``text``, and duplicate
+    groups are keyed on md5(text), so every group member passes or
+    fails together — both commute with the dedup and run BEFORE it
+    (quality row-local pre-shuffle; grams straight off the scan). The
+    contamination side may now emit non-representative/eval doc_ids
+    too; they are harmless in the anti-join because ``clean`` holds
+    only train-split representatives (superset argument, outputs
+    bit-identical — oracle-verified at sf0.001/0.01/0.1). Dup-factor
+    cost note: the text-free exchanges were bought with redundant gram
+    hashing of duplicate texts — the contamination probe explodes ALL
+    quality train docs, so its map-side explode+hash work grows with
+    the corpus duplication factor (output unchanged; on a duplicate-
+    heavy corpus that CPU term is the deliberate trade against
+    shuffling text). Stages: two narrow shuffles (dedup agg, final
     agg) + one broadcast anti-join, one DAG, nothing materialized."""
     docs = t(spark, sf, "documents")
     wsplit = F.split(F.col("text"), " ")
@@ -385,11 +458,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("n_distinct") * 10 >= F.col("n_words") * 3)
         )
     )
-    reps = (
-        quality.groupBy(F.md5(F.col("text").cast("binary")).alias("k"))
-        .agg(F.min(F.struct("doc_id", "lang", "n_chars")).alias("r"))
-        .select("r.doc_id", "r.lang", "r.n_chars")
-    )
+    reps = dedup_min_id_reps(quality)
 
     def gram_hashes(df: DataFrame) -> DataFrame:
         w = F.split(F.col("text"), " ")
