@@ -1436,6 +1436,103 @@ def cosine_partial_topk(pairs: DataFrame, k: int,
     return sel.mapInArrow(fn, out_schema)
 
 
+#: byte ceiling for the worker-side vector-table load of
+#: :func:`cosine_partial_topk_sideload`. Tighter than
+#: ``_ATTACH_BROADCAST_CAP`` (256 MB) because every CONCURRENT Python
+#: worker holds its own copy (cores-per-node copies vs one broadcast
+#: per executor JVM); 64 MB × 32 local workers = 2 GB peak, same order
+#: as the broadcast the join path builds.
+_SIDELOAD_CAP = 64 << 20
+
+
+def cosine_partial_topk_sideload(pairs: DataFrame, k: int, vec_path: str,
+                                 symmetric: bool = False) -> DataFrame:
+    """:func:`cosine_partial_topk` with the vectors SIDE-LOADED in the
+    Python task instead of joined onto every pair (guide §4.1/§8: the
+    ids decide, the payload moves once). The join formulation ships
+    (qid, nid, qe, ne) ≈ 528 B per candidate pair across the
+    JVM→Python boundary — the vectors are serialized once per PAIR, so
+    a vector in 300 candidates crosses 300 times. Here the mapInArrow
+    input is (qid, nid) ≈ 16 B/row (~33× less Arrow traffic) and each
+    task reads the corpus vector table ONCE from parquet (bounded by
+    :data:`_SIDELOAD_CAP` — broadcast-equivalent bytes, loaded lazily
+    so empty partitions never read), then gathers (qe, ne) by id with
+    numpy. Bit-identical scores: the parquet column is float32 (and
+    ``t()`` pins that dtype), so float32→float64→quantize is the same
+    chain the Arrow-shipped path runs; the per-row einsum/sqrt/divide
+    expressions are unchanged. NOT a cache: the read happens inside
+    the task, per execution, from the query's input table."""
+    import numpy as np
+    import pyarrow as pa
+    from typing import Iterator
+
+    sel = pairs.select("qid", "nid")
+    id_types = [f.dataType.simpleString() for f in sel.schema.fields[:2]]
+    out_schema = f"qid {id_types[0]}, nid {id_types[1]}, adc double"
+
+    def fn(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import pyarrow.dataset as _ds
+
+        vid = vmat = vnorm = None
+        acc: dict = {}
+        id_arrow = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if vmat is None:  # once per task, after the first real batch
+                tab = _ds.dataset(vec_path).to_table(
+                    columns=["vec_id", "embedding"]
+                )
+                vid = np.asarray(
+                    tab.column("vec_id").to_numpy(zero_copy_only=False),
+                    dtype=np.int64,
+                )
+                flat = np.asarray(
+                    tab.column("embedding").combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False),
+                    dtype=np.float32,
+                )
+                vmat = _quantize20(
+                    flat.astype(np.float64).reshape(len(vid), -1)
+                )
+                order = np.argsort(vid, kind="stable")
+                vid, vmat = vid[order], vmat[order]
+                vnorm = np.sqrt(
+                    np.einsum("ij,ij->i", vmat, vmat).astype(np.float64)
+                )
+            id_arrow = (batch.schema.field(0).type, batch.schema.field(1).type)
+            qid = batch.column(0).to_numpy(zero_copy_only=False)
+            nid = batch.column(1).to_numpy(zero_copy_only=False)
+            qi = np.searchsorted(vid, qid)
+            ni = np.searchsorted(vid, nid)
+            qm, nm = vmat[qi], vmat[ni]
+            adc = np.einsum("ij,ij->i", qm, nm).astype(np.float64) / (
+                vnorm[qi] * vnorm[ni]
+            )
+            _topk_accumulate(acc, qid, nid, adc, k)
+            if symmetric:
+                _topk_accumulate(acc, nid, qid, adc, k)
+        if acc:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.concatenate(
+                            [np.full(len(v[0]), q) for q, v in acc.items()]
+                        ),
+                        type=id_arrow[0],
+                    ),
+                    pa.array(
+                        np.concatenate([v[1] for v in acc.values()]),
+                        type=id_arrow[1],
+                    ),
+                    pa.array(np.concatenate([v[0] for v in acc.values()])),
+                ],
+                names=["qid", "nid", "adc"],
+            )
+
+    return sel.mapInArrow(fn, out_schema)
+
+
 def partial_topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """Partition-local partial top-``k`` per query over (qid, nid, adc)
     rows — phase one of a two-phase distributed top-k.
@@ -1902,20 +1999,39 @@ def ann_join_topk(spark: SparkSession, sf: str) -> DataFrame:
     # (symmetric=True) folds each scored pair into both endpoints'
     # heaps, so the directed result is identical — still ids-only
     uniq = pairs.select("qid", "nid").distinct()
-    # ~600 B per row (64 floats + ids + array overhead): broadcast the
-    # vector table while provably small, pin sort-merge beyond the cap
-    # (corpus-sized broadcast is the r11 probe's failure class)
-    vecs = payload_side(emb.select("vec_id", "embedding"), n * 600)
-    uniq = uniq.join(
-        vecs.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")),
-        "qid",
-    ).join(
-        vecs.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne")),
-        "nid",
-    )
+    # r14 (guide §4.1/§8): while the vector table provably fits a
+    # per-worker load (and the corpus parquet is task-readable), score
+    # with the SIDE-LOADED kernel — the mapInArrow ships (qid, nid)
+    # ids only (~16 B/row) instead of (qid, nid, qe, ne) (~528 B/row,
+    # every vector re-serialized once per surviving pair; this query
+    # ships ~25× more Arrow rows than any other headline entry, so the
+    # pair-attached crossing dominated its cost). Beyond the cap the
+    # r11-r13 shape is unchanged: broadcast the vector table while
+    # provably small, pin sort-merge beyond the broadcast cap
+    # (corpus-sized broadcast is the r11 probe's failure class).
+    import os as _os
+
+    vec_path = f"{sf}/embeddings.parquet"
+    if n * 600 <= _SIDELOAD_CAP and _os.path.exists(vec_path):
+        scored = cosine_partial_topk_sideload(
+            uniq, 5, vec_path, symmetric=True
+        )
+    else:
+        # ~600 B per row (64 floats + ids + array overhead)
+        vecs = payload_side(emb.select("vec_id", "embedding"), n * 600)
+        uniq = uniq.join(
+            vecs.select(F.col("vec_id").alias("qid"),
+                        F.col("embedding").alias("qe")),
+            "qid",
+        ).join(
+            vecs.select(F.col("vec_id").alias("nid"),
+                        F.col("embedding").alias("ne")),
+            "nid",
+        )
+        scored = cosine_partial_topk(uniq, 5, symmetric=True)
     w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), "nid")
     return (
-        cosine_partial_topk(uniq, 5, symmetric=True)
+        scored
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("qid", "nid", F.round("adc", 4).alias("cos_sim"), "rank")
