@@ -245,7 +245,14 @@ def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
     holds at cluster scale too (a production pipeline would persist
     corpus stats beside the corpus instead). Falls back to a Spark
     count for unreadable/remote layouts so behavior is unchanged off
-    the local-file path."""
+    the local-file path.
+
+    CALLER CONTRACT (r13 advice): equivalence to ``t(...).count()``
+    holds only for tables where :func:`t` applies no row-changing
+    transform — true for every table today (t() only repairs dtypes).
+    If t() ever grows a filter for some table, callers of table_rows
+    on that table must switch back to counting the DataFrame;
+    tests/test_opt_r13.py pins the equality on the tables in use."""
     try:
         import pyarrow.dataset as _ds
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from xml_hive_spark.operators import query, t
+from xml_hive_spark.operators import query, t, table_rows
 
 # lowercased whitespace tokens, empties dropped — the one tokenizer all
 # three queries and both engines share
@@ -144,9 +144,11 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     (broadcast back when small, shuffle-join otherwise — AQE decides) →
     per-document row_number window (PARTITIONed by doc_id: frames are
     per-doc vocabularies, never a global sort). The corpus size N is the
-    one driver scalar."""
+    one driver scalar — read from parquet footer metadata (r14; the
+    old ``docs.count()`` spent a full scheduled scan to learn a number
+    the footers already state)."""
     docs = t(spark, sf, "documents")
-    n_docs = docs.count()  # one scalar — bounded driver state
+    n_docs = table_rows(spark, sf, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("term")
     )

@@ -1192,7 +1192,11 @@ def cosine_topk_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
 
     import numpy as np
 
-    q_rows = assigned.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    # r14: the query batch selects raw (vec_id, embedding) — assignment
+    # leaves both untouched — so the footer-pushdown fast path of
+    # _query_batch_rows applies (the collect here was a full scheduled
+    # job through the kmeans-assign projection to move 5 rows)
+    q_rows = _query_batch_rows(emb, sf)
     # per-query probe list: tiny (5 × k) — computed driver-side like the
     # centroid collect; at scale this is a broadcast of q × nprobe ints.
     # Exact integer probe scores; np.argsort is stable, so ties fall to
@@ -1650,7 +1654,16 @@ def _query_batch_rows(emb: DataFrame, sf: str | None) -> list:
     pins embeddings to array<float>, so entries are cast through
     float32 before widening to Python floats, exactly what a collect
     of the cast DataFrame returns. Any unreadable/remote layout falls
-    back to the collect."""
+    back to the collect.
+
+    CALLER CONTRACT (r13 advice): ``emb`` must be exactly
+    ``t(spark, sf, 'embeddings')`` — or a projection that leaves
+    (vec_id, embedding) value-identical to it (the ivf_kmeans caller
+    passes the raw table; assignment adds a column, it never rewrites
+    these two). The fast path reads {sf}/embeddings.parquet directly
+    and would silently ignore any row-changing transform on ``emb``;
+    a caller that filters or remaps vectors must pass sf=None to force
+    the collect path."""
     if sf is not None:
         try:
             import numpy as np
