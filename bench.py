@@ -105,6 +105,13 @@ HEADLINE = [
     # GB-scale XML source scan (1 GiB at sf0.1): the engine's raison
     # d'être — file generated once and cached under $TMPDIR/xmlhive_bench
     "xml_scan_bench",
+    # round-14 boundary additions (SCALE.md r14 start item 1 —
+    # ADDITIONS ONLY, nothing removed or renamed, so every BENCH_rN
+    # total is comparable after subtracting these two entries): the
+    # containment-join plagiarism pipeline and the block-pair simhash
+    # dedup, both carrying fresh two-decade byte/exponent evidence
+    "plagiarism_detect",
+    "dedup_simhash",
 ]
 
 

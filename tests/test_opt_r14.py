@@ -128,3 +128,32 @@ def test_ann_join_ships_ids_only_into_arrow(spark, sf_dir):
     i = plan.index("MapInArrow")
     line = plan[i:].splitlines()[0]
     assert "qe" not in line and "ne" not in line and "embedding" not in line, line
+
+
+def test_embedding_cosine_sideload_matches_attach(spark, sf_dir):
+    """r14 change 3: dedup_embedding_cosine's side-loaded verify must be
+    value-identical to the attach-join formulation (vec_path=None keeps
+    the old path live for synthetic inputs and the over-cap regime)."""
+    from xml_hive_spark.operators import table_rows
+    from xml_hive_spark.operators.similarity import embedding_cosine_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    n = table_rows(spark, sf_dir, "embeddings")
+    old = embedding_cosine_pairs(emb, "vec_id", "embedding", 0.25, n=n)
+    new = embedding_cosine_pairs(
+        emb, "vec_id", "embedding", 0.25, n=n,
+        vec_path=f"{sf_dir}/embeddings.parquet",
+    )
+    assert sorted(map(tuple, old.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_embedding_cosine_sideload_slims_signature_cache(spark, sf_dir):
+    """With the side-loaded verify nothing reads ``vec`` from the
+    persisted signature store, so the cache must hold (id, sig) only
+    (the ann_join_topk r13 slimming applied to the sibling pipeline)."""
+    plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+    i = plan.index("InMemoryRelation")
+    line = plan[i:].splitlines()[0]
+    assert "vec" not in line.replace("vec_id", ""), line

@@ -455,7 +455,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     ``ann_join_topk`` (adaptive banding, linear-at-scale) demonstrates."""
     return embedding_cosine_pairs(t(spark, sf, "embeddings"),
                                   "vec_id", "embedding", 0.25,
-                                  n=table_rows(spark, sf, "embeddings"))
+                                  n=table_rows(spark, sf, "embeddings"),
+                                  vec_path=f"{sf}/embeddings.parquet")
 
 
 def embedding_cosine_pairs(
@@ -466,6 +467,7 @@ def embedding_cosine_pairs(
     bands: int = 12,
     rows_per_band: int = 3,
     n: int | None = None,
+    vec_path: str | None = None,
 ) -> DataFrame:
     """The full banded-LSH → dedupe → attach → exact-verify pipeline of
     :func:`dedup_embedding_cosine`, parameterized on the threshold (and
@@ -477,16 +479,41 @@ def embedding_cosine_pairs(
     and the θ ≥ 0.85 pair set scales with the planted near-dup count.
 
     ``n``: caller-supplied corpus count (r13: the registry entry passes
-    the parquet footer count — no scheduled job); None → count()."""
+    the parquet footer count — no scheduled job); None → count().
+
+    ``vec_path`` (r14): the corpus parquet path, REQUIRED to be the
+    exact source of ``emb`` with (vec_id, embedding) columns (only the
+    registry entry passes it). While the vector table provably fits a
+    per-worker load, the verify ships (id_a, id_b) only (~16 B/row vs
+    ~528 B/row with both vectors attached — at θ = 0.25 the candidate
+    set is quadratic-output-bound, the single largest Arrow crossing
+    in the registry) and each task side-loads the vectors once
+    (:func:`cosine_partial_topk_sideload` discipline); the persisted
+    signature store also drops ``vec`` (~10× smaller, the
+    ann_join_topk r13 slimming). Beyond the cap, or for synthetic
+    inputs (vec_path=None), the attach-join shape is unchanged."""
     if n is None:
         n = emb.count()  # sizes the attach-side broadcast guard
+    import os as _os
+
+    sideload = (
+        vec_path is not None
+        and n * 600 <= _SIDELOAD_CAP
+        and _os.path.exists(vec_path)
+        and (id_col, vec_col) == ("vec_id", "embedding")
+    )
     sigs = banded_signatures(emb, id_col, vec_col,
-                             bands=bands, rows_per_band=rows_per_band).persist()
+                             bands=bands, rows_per_band=rows_per_band)
+    if sideload:
+        sigs = sigs.select("id", "sig")  # verify never reads vec
+    sigs = sigs.persist()
     cand = sigs.select("id", F.posexplode("sig").alias("band", "bucket"))
     a = cand.select("band", "bucket", F.col("id").alias("id_a"))
     b = cand.select("band", "bucket", F.col("id").alias("id_b"))
     pairs = a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
     uniq = pairs.select("id_a", "id_b").distinct()
+    if sideload:
+        return cosine_threshold_pairs_sideload(uniq, threshold, vec_path)
     # ~600 B/row vector payload: broadcast only while provably small
     vecs = payload_side(sigs.select("id", "vec"), n * 600)
     attached = (
@@ -554,6 +581,77 @@ def cosine_threshold_pairs(pairs: DataFrame, threshold: float,
                     [
                         batch.column("id_a").filter(keep),
                         batch.column("id_b").filter(keep),
+                        pa.array(cos[m]),
+                    ],
+                    names=["id_a", "id_b", "cos_sim"],
+                )
+
+    return sel.mapInArrow(fn, out_schema)
+
+
+def cosine_threshold_pairs_sideload(pairs: DataFrame, threshold: float,
+                                    vec_path: str) -> DataFrame:
+    """:func:`cosine_threshold_pairs` with the vectors SIDE-LOADED per
+    task instead of joined onto every candidate pair — the threshold
+    counterpart of :func:`cosine_partial_topk_sideload` (see there for
+    the byte accounting and the bit-identity argument; the parquet
+    column is float32, the same dtype the attach join ships, so
+    float32→float64→quantize is the identical chain). Input is
+    (id_a, id_b) ids only; output (id_a, id_b, cos_sim) for pairs
+    above the threshold, exactly as the attach formulation."""
+    import numpy as np
+    import pyarrow as pa
+    from typing import Iterator
+
+    sel = pairs.select("id_a", "id_b")
+    id_types = [f.dataType.simpleString() for f in sel.schema.fields[:2]]
+    out_schema = f"id_a {id_types[0]}, id_b {id_types[1]}, cos_sim double"
+
+    def fn(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import pyarrow.dataset as _ds
+
+        vid = vmat = vnorm = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if vmat is None:  # once per task, after the first real batch
+                tab = _ds.dataset(vec_path).to_table(
+                    columns=["vec_id", "embedding"]
+                )
+                vid = np.asarray(
+                    tab.column("vec_id").to_numpy(zero_copy_only=False),
+                    dtype=np.int64,
+                )
+                flat = np.asarray(
+                    tab.column("embedding").combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False),
+                    dtype=np.float32,
+                )
+                vmat = _quantize20(
+                    flat.astype(np.float64).reshape(len(vid), -1)
+                )
+                order = np.argsort(vid, kind="stable")
+                vid, vmat = vid[order], vmat[order]
+                vnorm = np.sqrt(
+                    np.einsum("ij,ij->i", vmat, vmat).astype(np.float64)
+                )
+            ia = np.searchsorted(
+                vid, batch.column(0).to_numpy(zero_copy_only=False)
+            )
+            ib = np.searchsorted(
+                vid, batch.column(1).to_numpy(zero_copy_only=False)
+            )
+            qa, qb = vmat[ia], vmat[ib]
+            cos = np.einsum("ij,ij->i", qa, qb).astype(np.float64) / (
+                vnorm[ia] * vnorm[ib]
+            )
+            m = cos > threshold
+            if m.any():
+                keep = pa.array(m)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column(0).filter(keep),
+                        batch.column(1).filter(keep),
                         pa.array(cos[m]),
                     ],
                     names=["id_a", "id_b", "cos_sim"],
