@@ -112,6 +112,17 @@ def measure(spark, names, sf_dir: str) -> dict[str, dict[str, int]]:
         # actually executes; WITHIN-run persist/reuse still applies,
         # which is the plan behavior being measured.
         spark.catalog.clearCache()
+        # r14: ALSO flush unreferenced broadcast/cache blocks before the
+        # measured run. clearCache() only unpersists DataFrames; torrent
+        # broadcast blocks from every earlier query linger in STORAGE
+        # memory until a driver GC lets the ContextCleaner reap them.
+        # Deep in a 31-query session that debris shrank the unified pool
+        # enough that plagiarism_detect's pair-count partial aggregate
+        # fell back early and shipped 2.37x its combine-complete bytes
+        # (63,726,438 vs 26,868,487) — a MEASUREMENT-STATE artifact the
+        # solo/short-session runs never show. A GC hint per query makes
+        # the measured run start from a canonical memory state.
+        spark.sparkContext._jvm.System.gc()
         before = _store_totals(spark)
         qd.fn(spark, sf_dir).count()
         # sum ONLY the measured run's stages (id > before max): old-stage
